@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline query surface at sf0.1 (or
+$SPARK_GRAFT_SF_DIR) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Execution is forced through the `noop` sink — full pipeline runs (scan,
+shuffle, agg) with zero driver-side collection, so timings measure the
+engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from op_etl_spark.session import get_spark  # noqa: E402
+from op_etl_spark import suite  # noqa: E402
+
+# Headline set: spans full-scan agg, multi-joins, windows, sessionization,
+# text analysis, dedup (exact + MinHash-LSH + SimHash), similarity search.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_nation_revenue",
+    "w_top3_orders_per_customer",
+    "dedup_keep_newest_event",
+    "metrics_rollup",
+    "sessionize_events",
+    "tumbling_hourly_events",
+    "token_counts",
+    "quality_filter",
+    "doc_fingerprints",
+    "exact_dedup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_near_pairs",
+    "ann_bruteforce_topk",
+    "geometry_type_election",
+    "magnitude_validation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("op_etl_spark-bench")
+    queries = suite.all_queries()
+
+    # Warm up JVM + parquet footers outside the timed region.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""SparkSession factory.
+
+Local-mode testing defaults chosen for correctness + small-SF speed; every
+setting is also the right call on a real cluster (AQE, Arrow, UTC).  At
+100 TB the same code runs with cluster-provided master/memory settings —
+nothing here hard-codes local assumptions except the fallbacks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "op_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    AQE is on so runtime statistics re-plan skewed joins and coalesce
+    small shuffle partitions — the knob that matters most when the same
+    query graph must survive a 100x scale-up.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read the events table, tolerating TIMESTAMP(NANOS) parquet files.
+
+    Spark has no nanosecond timestamp type; `nanosAsLong` reads the raw
+    int64, which we truncate to microseconds with exact integer division
+    (`div`, not `/` — 1e18-scale nanos lose ulps in double division) and
+    rebuild a proper TimestampType column. Stays a distributed parquet
+    scan — no driver-side materialization.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the synthetic test tables as temp views; return dict of DFs."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    dfs = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        dfs[n] = df
+    return dfs

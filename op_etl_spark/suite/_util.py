@@ -1,0 +1,64 @@
+"""Shared helpers for the query suite.
+
+Cross-engine float determinism. Two distinct problems, two tools:
+
+1. Rounding rules differ: Spark `round` applies HALF_UP to the exact
+   decimal expansion of the binary double; DuckDB rounds the shortest
+   decimal representation. On exact .xx5 boundaries they disagree.
+   `fround` = `floor(x * 10^n + 0.5) / 10^n` — identical IEEE754 ops on
+   both engines, bit-identical results given identical inputs.
+
+2. Summation *order and algorithm* differ: DuckDB's (windowed) SUM uses
+   segment-tree/blocked accumulation, Spark sums per-partition then
+   merges — different fp association, ulp-level differences that rounding
+   can't fully hide. `money_sum`/`money_avg` convert fixed-point values to
+   exact integers first (`floor(x*10^s + 0.5)` per row), sum the integers
+   (exact, order-independent), and divide back — deterministic across
+   engines regardless of plan shape. Use for any aggregate over 2-decimal
+   money-like columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def fround(col, n: int) -> Column:
+    p = 10 ** n
+    return F.floor(_c(col) * p + F.lit(0.5)) / F.lit(float(p))
+
+
+def cents(col, scale: int = 2) -> Column:
+    """Fixed-point value -> exact integer units."""
+    p = 10 ** scale
+    return F.floor(_c(col) * p + F.lit(0.5)).cast("long")
+
+
+def money_sum(col, scale: int = 2) -> Column:
+    """Order-independent exact sum of fixed-point values."""
+    return F.sum(cents(col, scale)) / F.lit(float(10 ** scale))
+
+
+def money_avg(col, scale: int = 2) -> Column:
+    """Deterministic average of fixed-point values (exact sum / count)."""
+    return (F.sum(cents(col, scale)) / F.lit(float(10 ** scale))) / F.count(F.lit(1))
+
+
+def sql_cents(expr: str, scale: int = 2) -> str:
+    p = 10 ** scale
+    return f"CAST(floor(({expr}) * {p} + 0.5) AS BIGINT)"
+
+
+def sql_money_sum(expr: str, scale: int = 2) -> str:
+    p = 10 ** scale
+    return f"sum({sql_cents(expr, scale)}) / {p}.0"
+
+
+def sql_money_avg(expr: str, scale: int = 2) -> str:
+    p = 10 ** scale
+    return f"(sum({sql_cents(expr, scale)}) / {p}.0) / count(*)"

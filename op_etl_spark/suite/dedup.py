@@ -1,0 +1,339 @@
+"""Deduplication operators over `documents` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash. The training-data-pipeline surface, designed
+scale-first:
+
+ - exact dedup = one hash-groupBy (single shuffle, map-side combine);
+ - n-gram Jaccard = shingle inverted-index self-join (the exact baseline;
+   at 100 TB you run it only on LSH candidates);
+ - MinHash+LSH = signatures in ONE shuffle (16 min() aggregates over the
+   exploded shingle stream), band-bucket join produces candidates without
+   any all-pairs work;
+ - SimHash = 16-bit fingerprint via per-bit majority vote, prefix-bucket
+   join (banding) instead of an O(n^2) cross join.
+
+Hash contract shared with the DuckDB oracles: md5 hex strings (identical
+on both engines), compared lexicographically for min-hash. No Python UDFs
+anywhere — everything is codegen'd column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import fround
+
+N_HASHES = 16  # minhash signature length
+BAND_ROWS = 4  # rows per LSH band -> 4 bands
+JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per document.
+
+    Pure column expressions: split -> transform(sequence) -> array_distinct
+    -> explode. One narrow stage, no shuffle, codegen'd end to end.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    sh = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.array_join(F.slice(words, i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return d.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+_DUCK_SHINGLES = """
+  SELECT doc_id,
+         unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                  list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                                 for i in range(1, len(string_split(text,' ')) - 1)])
+                ELSE [text] END) AS shingle
+  FROM documents
+"""
+
+
+# --- exact dedup: hash-groupBy on content fingerprint ---
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.col("text").cast("binary"))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_EXACT = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup pairs (exact baseline via inverted index) ---
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(F.broadcast(sa), F.col("id1") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("id2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            fround(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id1", "id2", "n_common", "jaccard")
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2, n_common,
+       floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash signatures + LSH band candidates ---
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """One shuffle: groupBy doc_id with 16 min(md5(seed|shingle)) aggregates."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")).cast("binary"))).alias(f"h{k}")
+        for k in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sigs = _minhash_sigs(_shingles(d))
+    n_bands = N_HASHES // BAND_ROWS
+    bands = []
+    for band in range(n_bands):
+        cols = [F.col(f"h{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_sig"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def _duck_minhash_core() -> str:
+    hcols = ",\n         ".join(
+        f"min(md5('{k}|' || shingle)) AS h{k}" for k in range(N_HASHES)
+    )
+    band_selects = []
+    for band in range(N_HASHES // BAND_ROWS):
+        cols = " || '|' || ".join(f"h{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, md5({cols}) AS band_sig FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id,
+         {hcols}
+  FROM sh GROUP BY doc_id),
+banded AS (
+  {bands_sql})
+"""
+
+
+ORACLE_MINHASH_LSH = (
+    _duck_minhash_core()
+    + """
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM banded a
+JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+"""
+)
+
+
+def minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 signature components for a deterministic sample of docs —
+    verifies the signature computation itself, not just the candidate set."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+    sigs = _minhash_sigs(_shingles(d))
+    return sigs.select("doc_id", "h0", "h1", "h2", "h3")
+
+
+ORACLE_MINHASH_SAMPLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                  list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                                 for i in range(1, len(string_split(text,' ')) - 1)])
+                ELSE [text] END) AS shingle
+  FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id,
+       min(md5('0|' || shingle)) AS h0,
+       min(md5('1|' || shingle)) AS h1,
+       min(md5('2|' || shingle)) AS h2,
+       min(md5('3|' || shingle)) AS h3
+FROM sh GROUP BY doc_id
+"""
+
+
+# --- SimHash fingerprint + prefix-bucket near-dup pairs ---
+
+def _simhash(d: DataFrame) -> DataFrame:
+    """16-bit SimHash: per-token md5 -> first 4 hex chars -> 16-bit int;
+    fingerprint bit i = majority vote of token bit i (ties -> 0).
+    All tokens (with multiplicity) vote, matching classic SimHash weighting.
+    """
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    hx = F.md5(F.col("tok").cast("binary"))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(hx, p, 1)) - 1  # noqa: E731
+    v = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).alias("v")
+    tv = toks.select("doc_id", v)
+    votes = [
+        F.sum(
+            F.when(F.floor(F.col("v") / (2 ** i)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tv.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{i}") > 0, 2 ** i).otherwise(0)
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash(_docs(spark, sf_dir))
+
+
+def _duck_simhash_core() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (v // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    return f"""
+WITH tv AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS v
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+agg AS (
+  SELECT doc_id,
+         {votes}
+  FROM tv GROUP BY doc_id),
+fps AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg)
+"""
+
+
+ORACLE_SIMHASH = _duck_simhash_core() + "SELECT doc_id, simhash FROM fps"
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= 3, bucketed by the high byte
+    (SimHash banding — trades recall for never doing all-pairs)."""
+    fps = _simhash(_docs(spark, sf_dir))
+    a = fps.select(
+        F.col("doc_id").alias("id1"),
+        F.col("simhash").alias("sh1"),
+        F.floor(F.col("simhash") / 256).alias("bucket"),
+    )
+    b = fps.select(
+        F.col("doc_id").alias("id2"),
+        F.col("simhash").alias("sh2"),
+        F.floor(F.col("simhash") / 256).alias("bucket"),
+    )
+    xor = F.col("sh1").bitwiseXOR(F.col("sh2"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("id1", "id2", "hamming")
+    )
+
+
+ORACLE_SIMHASH_PAIRS = (
+    _duck_simhash_core()
+    + f"""
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fps a
+JOIN fps b ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+)
+
+
+QUERIES = {
+    "exact_dedup_groups": exact_dedup_groups,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_candidates": minhash_lsh_candidates,
+    "minhash_signature_sample": minhash_signature_sample,
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_pairs": simhash_near_pairs,
+}
+
+ORACLE = {
+    "exact_dedup_groups": ORACLE_EXACT,
+    "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "minhash_lsh_candidates": ORACLE_MINHASH_LSH,
+    "minhash_signature_sample": ORACLE_MINHASH_SAMPLE,
+    "simhash_fingerprints": ORACLE_SIMHASH,
+    "simhash_near_pairs": ORACLE_SIMHASH_PAIRS,
+}

@@ -1,0 +1,253 @@
+"""Geospatial-ETL operator surface, verified against DuckDB.
+
+These queries run the engine's real column-expression operators
+(op_etl_spark.functions: slug/safe-name F1-F4, CRS parse F9, magnitude
+validation P9, bbox predicate P3, envelope tolerance F14, geometry-type
+election P5) over the driver-provided tables. Where an operator needs
+coordinates, they're synthesized deterministically from integer keys
+(identical arithmetic in the oracle) — the operator logic under test is the
+engine's, the inputs are just reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from op_etl_spark.session import read_events
+
+from op_etl_spark.functions.bbox import bbox_struct, envelope_within_tolerance, point_in_bbox
+from op_etl_spark.functions.crs import crs_to_epsg_expr, magnitude_valid_expr
+from op_etl_spark.functions.naming import safe_name_expr, slug_expr
+
+# AOI bbox from the reference config (config/config.yaml:135).
+AOI = (585826.0, 6550189.0, 648593.0, 6611661.0)
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- F1/F2: slug + safe-name over part and customer names ---
+
+def slug_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        slug_expr(F.col("p_name")).alias("slug"),
+        safe_name_expr(F.col("p_brand")).alias("safe_brand"),
+    )
+
+
+ORACLE_SLUG = """
+SELECT p_partkey,
+       substr(trim(regexp_replace(regexp_replace(regexp_replace(
+                translate(regexp_replace(lower(p_name), 'ß', 'ss', 'g'),
+                          'åäöéèüæøñç', 'aaoeeuaonc'),
+                '\\s+', '_', 'g'),
+                '[^a-z0-9_-]', '', 'g'),
+                '_+', '_', 'g'), '_'), 1, 63) AS slug,
+       substr(trim(regexp_replace(regexp_replace(regexp_replace(
+                translate(regexp_replace(lower(p_brand), 'ß', 'ss', 'g'),
+                          'åäöéèüæøñç', 'aaoeeuaonc'),
+                '\\s+', '_', 'g'),
+                '[^a-z0-9_-]', '', 'g'),
+                '_+', '_', 'g'), '_'), 1, 100) AS safe_brand
+FROM part
+"""
+
+
+# --- F9: CRS identifier parsing ---
+
+_CRS_CASES = [
+    "EPSG:3006",
+    "3010",
+    "CRS84",
+    "http://www.opengis.net/def/crs/EPSG/0/3006",
+    "urn:ogc:def:crs:EPSG::4326",
+    "bogus",
+]
+
+
+def crs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    sel = F.col("event_id") % len(_CRS_CASES)
+    crs_str = F.when(sel == 0, _CRS_CASES[0])
+    for i, c in enumerate(_CRS_CASES[1:], start=1):
+        crs_str = crs_str.when(sel == i, c)
+    crs_str = crs_str.otherwise(F.lit(None))
+    return ev.select(
+        "event_id",
+        crs_str.alias("crs_str"),
+        crs_to_epsg_expr(crs_str).alias("epsg"),
+    )
+
+
+ORACLE_CRS = """
+WITH src AS (
+  SELECT event_id,
+         CASE event_id % 6
+           WHEN 0 THEN 'EPSG:3006' WHEN 1 THEN '3010' WHEN 2 THEN 'CRS84'
+           WHEN 3 THEN 'http://www.opengis.net/def/crs/EPSG/0/3006'
+           WHEN 4 THEN 'urn:ogc:def:crs:EPSG::4326' ELSE 'bogus' END AS crs_str
+  FROM events)
+SELECT event_id, crs_str,
+       CASE
+         WHEN upper(crs_str) IN ('CRS84', 'OGC:CRS84',
+              'HTTP://WWW.OPENGIS.NET/DEF/CRS/OGC/1.3/CRS84',
+              'URN:OGC:DEF:CRS:OGC:1.3:CRS84') THEN 4326
+         WHEN regexp_matches(upper(crs_str), '^[0-9]+$') THEN CAST(crs_str AS INT)
+         WHEN regexp_matches(upper(crs_str), '^EPSG:[0-9]+$')
+              THEN CAST(regexp_extract(upper(crs_str), 'EPSG:([0-9]+)', 1) AS INT)
+         WHEN regexp_extract(upper(crs_str), 'EPSG[/:]+(?:0[/:])?([0-9]+)$', 1) != ''
+              THEN CAST(regexp_extract(upper(crs_str), 'EPSG[/:]+(?:0[/:])?([0-9]+)$', 1) AS INT)
+         ELSE NULL END AS epsg
+FROM src
+"""
+
+
+# --- P3 + P9: bbox predicate and magnitude validation on synthesized points ---
+
+def _synth_points(ev: DataFrame) -> DataFrame:
+    """Deterministic SWEREF99-TM-ish coordinates from integer keys; ~both
+    in/out of AOI and in/out of the valid magnitude window."""
+    x = (F.lit(150000.0) + (F.col("event_id") * 7919 % 800000).cast("double")).alias("x")
+    y = (F.lit(6050000.0) + (F.col("user_id") * 104729 % 1700000).cast("double")).alias("y")
+    return ev.select("event_id", x, y)
+
+
+def bbox_filter_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _synth_points(read_events(spark, sf_dir))
+    aoi = bbox_struct(F.lit(AOI[0]), F.lit(AOI[1]), F.lit(AOI[2]), F.lit(AOI[3]))
+    return pts.filter(point_in_bbox(F.col("x"), F.col("y"), aoi)).select("event_id", "x", "y")
+
+
+ORACLE_BBOX = f"""
+WITH pts AS (
+  SELECT event_id,
+         150000.0::DOUBLE + (event_id * 7919 % 800000) AS x,
+         6050000.0::DOUBLE + (user_id * 104729 % 1700000) AS y
+  FROM events)
+SELECT event_id, x, y FROM pts
+WHERE x >= {AOI[0]} AND x <= {AOI[2]} AND y >= {AOI[1]} AND y <= {AOI[3]}
+"""
+
+
+def magnitude_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _synth_points(read_events(spark, sf_dir))
+    epsg = F.when(F.col("event_id") % 2 == 0, 3006).otherwise(3010)
+    return pts.select(
+        "event_id",
+        epsg.alias("epsg"),
+        magnitude_valid_expr(F.col("x"), F.col("y"), epsg).alias("coords_valid"),
+    )
+
+
+ORACLE_MAGNITUDE = """
+WITH pts AS (
+  SELECT event_id,
+         150000.0 + (event_id * 7919 % 800000) AS x,
+         6050000.0 + (user_id * 104729 % 1700000) AS y,
+         CASE WHEN event_id % 2 = 0 THEN 3006 ELSE 3010 END AS epsg
+  FROM events)
+SELECT event_id, epsg,
+       CASE WHEN epsg = 3006
+              THEN x >= 200000 AND x <= 900000 AND y >= 6100000 AND y <= 7700000
+            ELSE x >= -200000 AND x <= 1000000 AND y >= 6100000 AND y <= 7700000
+       END AS coords_valid
+FROM pts
+"""
+
+
+# --- P5: geometry-type election (dominant type per source, drop minority) ---
+
+_GEOM_TYPES = ["Point", "LineString", "Polygon", "MultiPolygon"]
+
+
+def geometry_type_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote dominant geometry type per 'file' (stage_files.py:32-55):
+    synthetic geom_type from lineitem keys, one 'file' per l_suppkey; output
+    the elected type and kept/dropped counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    gt = F.when(F.col("l_linenumber") <= 4, F.lit("Point")).otherwise(
+        F.when(F.col("l_orderkey") % 3 == 0, "LineString").otherwise("Polygon")
+    )
+    typed = li.select(F.col("l_suppkey").alias("file_id"), gt.alias("geom_type"))
+    counts = typed.groupBy("file_id", "geom_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("file_id").orderBy(F.desc("cnt"), "geom_type")
+    dominant = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("file_id", F.col("geom_type").alias("dominant_type"), F.col("cnt").alias("n_kept"))
+    )
+    totals = typed.groupBy("file_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return dominant.join(totals, "file_id").select(
+        "file_id", "dominant_type", "n_kept", (F.col("n_total") - F.col("n_kept")).alias("n_dropped")
+    )
+
+
+ORACLE_ELECTION = """
+WITH typed AS (
+  SELECT l_suppkey AS file_id,
+         CASE WHEN l_linenumber <= 4 THEN 'Point'
+              WHEN l_orderkey % 3 = 0 THEN 'LineString'
+              ELSE 'Polygon' END AS geom_type
+  FROM lineitem),
+counts AS (
+  SELECT file_id, geom_type, count(*) AS cnt FROM typed GROUP BY 1, 2),
+dominant AS (
+  SELECT file_id, geom_type AS dominant_type, cnt AS n_kept
+  FROM (SELECT *, row_number() OVER (PARTITION BY file_id
+                                     ORDER BY cnt DESC, geom_type) AS rn
+        FROM counts) WHERE rn = 1),
+totals AS (SELECT file_id, count(*) AS n_total FROM typed GROUP BY 1)
+SELECT file_id, dominant_type, n_kept, n_total - n_kept AS n_dropped
+FROM dominant JOIN totals USING (file_id)
+"""
+
+
+# --- F14: envelope-vs-request tolerance check ---
+
+def envelope_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    req = bbox_struct(F.lit(AOI[0]), F.lit(AOI[1]), F.lit(AOI[2]), F.lit(AOI[3]))
+    jitter = (F.col("o_orderkey") % 100).cast("double") * 100.0
+    resp = bbox_struct(
+        F.lit(AOI[0]) + jitter, F.lit(AOI[1]) - jitter, F.lit(AOI[2]) + jitter, F.lit(AOI[3]) - jitter
+    )
+    return orders.select(
+        "o_orderkey",
+        envelope_within_tolerance(resp, req, 0.1).alias("within_tolerance"),
+    )
+
+
+ORACLE_TOLERANCE = f"""
+WITH j AS (
+  SELECT o_orderkey, (o_orderkey % 100) * 100.0 AS jitter
+  FROM orders WHERE o_orderkey % 10 = 0)
+SELECT o_orderkey,
+       abs(jitter) <= ({AOI[2]} - {AOI[0]}) * 0.1
+   AND abs(-jitter) <= ({AOI[2]} - {AOI[0]}) * 0.1
+   AND abs(-jitter) <= ({AOI[3]} - {AOI[1]}) * 0.1
+   AND abs(jitter) <= ({AOI[3]} - {AOI[1]}) * 0.1 AS within_tolerance
+FROM j
+"""
+
+
+QUERIES = {
+    "slug_names": slug_names,
+    "crs_parse": crs_parse,
+    "bbox_filter_points": bbox_filter_points,
+    "magnitude_validation": magnitude_validation,
+    "geometry_type_election": geometry_type_election,
+    "envelope_tolerance": envelope_tolerance,
+}
+
+ORACLE = {
+    "slug_names": ORACLE_SLUG,
+    "crs_parse": ORACLE_CRS,
+    "bbox_filter_points": ORACLE_BBOX,
+    "magnitude_validation": ORACLE_MAGNITUDE,
+    "geometry_type_election": ORACLE_ELECTION,
+    "envelope_tolerance": ORACLE_TOLERANCE,
+}

@@ -1,0 +1,566 @@
+"""Relational query surface: scans, filters, projections, joins, aggs,
+windows, sorts/top-k, set ops, dedup — the generic surface SURVEY.md §2.4-2.8
+requires the engine to expose (built on Catalyst built-ins, zero custom
+operators).
+
+Each query is written for scale: filters early (parquet pushdown), dimension
+tables broadcast explicitly, aggregations expressed so map-side partial
+aggregation applies, top-k via orderBy+limit (Spark plans TakeOrderedAndProject
+— no full sort materialization). Floats are rounded identically in the DuckDB
+oracle so order-insensitive value hashes match.
+
+Reference parity notes (file:line into /root/reference):
+ - semi/anti join gating mirrors load_sde.py:51-59 (processed-manifest
+   allowlist / excluded-log).
+ - dedup-keep-newest mirrors stage_files.py:280-295 (stem dedup by mtime).
+ - argmax-by-count mirrors utils.py:13-39 (best shapefile by feature count).
+ - grouped rollup mirrors monitoring.py:101-159 (per-source-type metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._util import cents, fround, money_avg, money_sum
+
+from op_etl_spark.session import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- Q1: pricing summary (full-scan agg; map-side combine; 6 aggregates) ---
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            money_avg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100.0       AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000.0       AS avg_qty,
+       (sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0) / count(*) AS avg_disc,
+       count(*)                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (3-way join + top-k) ---
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style: revenue by nation inside a region (6-way join, broadcast dims) ---
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(dims), supp.s_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- window functions: top-3 orders per customer by total price ---
+
+def w_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            fround("o_totalprice", 2).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+ORACLE_W_TOP3 = """
+SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# --- window: running revenue per supplier (frame spec) ---
+
+def w_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).over(w)
+         / F.lit(10000.0)).alias("running_rev"),
+    )
+
+
+ORACLE_W_RUNNING = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0 AS running_rev
+FROM lineitem WHERE l_suppkey <= 5
+"""
+
+
+# --- dedup-keep-newest (stage_files.py:280-295 semantics on events) ---
+
+def dedup_keep_newest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+    )
+
+
+ORACLE_DEDUP_NEWEST = """
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- semi join: orders having a high-quantity lineitem (manifest-gate pattern) ---
+
+def semi_join_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", fround("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+ORACLE_SEMI = """
+SELECT o_orderkey, o_orderstatus, floor((o_totalprice) * 100 + 0.5) / 100.0 AS totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+"""
+
+
+# --- anti join: customers with no orders (excluded-log pattern, load_sde.py:53) ---
+
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# --- argmax-by-count: dominant event_type per user (utils.py:13-39 pattern) ---
+
+def argmax_dominant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("dominant_type"), "cnt")
+    )
+
+
+ORACLE_ARGMAX = """
+SELECT user_id, event_type AS dominant_type, cnt
+FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# --- grouped metrics rollup (monitoring.py:101-159 shape, over events) ---
+
+def metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum("value").alias("total_value"),
+            fround(money_avg("value"), 4).alias("avg_value"),
+            fround(F.min("value"), 4).alias("min_value"),
+            fround(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT event_type,
+       count(*)                 AS n_events,
+       count(DISTINCT user_id)  AS n_users,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value,
+       floor(((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value,
+       floor((min(value)) * 10000 + 0.5) / 10000.0     AS min_value,
+       floor((max(value)) * 10000 + 0.5) / 10000.0     AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- grouping sets: ROLLUP over (returnflag, linestatus) ---
+
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), fround(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+    )
+
+
+ORACLE_GROUPING_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n, floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- set operations: union / intersect / except over projections ---
+
+def setops_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(high)
+    only_urgentish = urgent.union(high).distinct().exceptAll(low.distinct())
+    return (
+        both.withColumn("bucket", F.lit("urgent_and_high"))
+        .unionByName(only_urgentish.withColumn("bucket", F.lit("urgentish_not_low")))
+        .select("o_custkey", "bucket")
+    )
+
+
+ORACLE_SETOPS = """
+SELECT o_custkey, 'urgent_and_high' AS bucket FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT o_custkey, 'urgentish_not_low' AS bucket FROM (
+  SELECT DISTINCT o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+"""
+
+
+# --- correlated-EXISTS-shaped: suppliers whose avg balance beats their nation's avg ---
+
+def above_nation_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nat_avg = supp.groupBy("s_nationkey").agg(money_avg("s_acctbal").alias("nat_avg"))
+    return (
+        supp.join(F.broadcast(nat_avg), "s_nationkey")
+        .filter(F.col("s_acctbal") > F.col("nat_avg"))
+        .select("s_suppkey", "s_name", fround("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT s_suppkey, s_name, floor((s_acctbal) * 100 + 0.5) / 100.0 AS acctbal
+FROM supplier s
+WHERE s_acctbal > (SELECT (sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) / 100.0) / count(*)
+                   FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+# --- tumbling-window agg over events (batch analogue of streaming window) ---
+
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- sessionization: gap > 30 min starts a new session (lag + cumulative sum) ---
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w) > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "new_sess", F.when(F.lag("ts").over(w).isNull(), F.lit(1)).otherwise(F.col("new_sess"))
+    )
+    sess = with_gap.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+FROM (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+                ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id, session_id
+"""
+
+
+# --- JSON extraction from events.props (F10/F11 analogue: get_json_object) ---
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+        .filter(F.col("k_value") > 90)
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+"""
+
+
+# --- pivot: order count per status x priority ---
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+            F.coalesce("2-HIGH", F.lit(0)).alias("high"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+            F.coalesce("4-NOT SPECIFIED", F.lit(0)).alias("notspec"),
+            F.coalesce("5-LOW", F.lit(0)).alias("low"),
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_unshipped": q3_top_unshipped,
+    "q5_nation_revenue": q5_nation_revenue,
+    "w_top3_orders_per_customer": w_top3_orders_per_customer,
+    "w_running_revenue": w_running_revenue,
+    "dedup_keep_newest_event": dedup_keep_newest_event,
+    "semi_join_manifest": semi_join_manifest,
+    "anti_join_no_orders": anti_join_no_orders,
+    "argmax_dominant_type": argmax_dominant_type,
+    "metrics_rollup": metrics_rollup,
+    "rollup_flag_status": rollup_flag_status,
+    "setops_priority_customers": setops_priority_customers,
+    "above_nation_avg_suppliers": above_nation_avg_suppliers,
+    "tumbling_hourly_events": tumbling_hourly_events,
+    "sessionize_events": sessionize_events,
+    "json_extract_props": json_extract_props,
+    "pivot_status_priority": pivot_status_priority,
+}
+
+ORACLE = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_top_unshipped": ORACLE_Q3,
+    "q5_nation_revenue": ORACLE_Q5,
+    "w_top3_orders_per_customer": ORACLE_W_TOP3,
+    "w_running_revenue": ORACLE_W_RUNNING,
+    "dedup_keep_newest_event": ORACLE_DEDUP_NEWEST,
+    "semi_join_manifest": ORACLE_SEMI,
+    "anti_join_no_orders": ORACLE_ANTI,
+    "argmax_dominant_type": ORACLE_ARGMAX,
+    "metrics_rollup": ORACLE_ROLLUP,
+    "rollup_flag_status": ORACLE_GROUPING_ROLLUP,
+    "setops_priority_customers": ORACLE_SETOPS,
+    "above_nation_avg_suppliers": ORACLE_ABOVE_AVG,
+    "tumbling_hourly_events": ORACLE_TUMBLING,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "json_extract_props": ORACLE_JSON,
+    "pivot_status_priority": ORACLE_PIVOT,
+}

@@ -1,0 +1,177 @@
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+Brute-force cosine top-k is the exact baseline; the IVF-style variant
+(cluster centroids -> probe only nearest clusters) is the 100 TB scale path:
+centroid assignment is a broadcast join (centroid set is tiny), so the
+all-pairs cross join never materializes at scale.
+
+All vector math stays JVM-side: `aggregate(zip_with(...))` sequential-folds
+the dot product in deterministic order (matching DuckDB's list functions
+bit-for-bit in double precision) — no Python/Pandas UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._util import fround
+
+N_PROBES = 10
+TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+# --- vector stats sanity (norms, means) ---
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        "label",
+        fround(_norm(F.col("emb")), 4).alias("l2_norm"),
+        fround(
+            F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, v: acc + v)
+            / F.size("emb"), 4).alias("mean_val"),
+    )
+
+
+ORACLE_STATS = """
+SELECT vec_id, label,
+       floor((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000 + 0.5) / 10000.0 AS l2_norm,
+       floor((list_sum(embedding::DOUBLE[]) / len(embedding)) * 10000 + 0.5) / 10000.0 AS mean_val
+FROM embeddings
+"""
+
+
+# --- brute-force cosine top-k for a probe set ---
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+    cos = _dot(F.col("p_emb"), F.col("c_emb")) / (
+        _norm(F.col("p_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = (
+        cand.join(F.broadcast(probes))
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("cosine", cos)
+    )
+    w = F.row_number().over(
+        W.partitionBy("probe_id").orderBy(F.desc("cosine"), "cand_id")
+    )
+    return (
+        scored.withColumn("rk", w)
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "cand_id", fround("cosine", 4).alias("cosine"), "rk")
+    )
+
+
+ORACLE_BRUTEFORCE = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p_emb
+  FROM embeddings WHERE vec_id < {N_PROBES}),
+scored AS (
+  SELECT probe_id, e.vec_id AS cand_id,
+         list_dot_product(p_emb, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p_emb, p_emb))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
+  FROM probes, embeddings e WHERE e.vec_id != probe_id),
+ranked AS (
+  SELECT probe_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rk
+  FROM scored)
+SELECT probe_id, cand_id, floor((cosine) * 10000 + 0.5) / 10000.0 AS cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+# --- IVF-style: per-label centroids, rank centroids per probe ---
+
+def ivf_centroid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    pos = e.select("label", F.posexplode("emb").alias("pos", "val"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg((F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long"))
+              / F.lit(1000000.0) / F.count(F.lit(1))).alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("pairs"), lambda s: s["cval"]).alias("centroid"),
+        )
+    )
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb")
+    )
+    cos = _dot(F.col("p_emb"), F.col("centroid")) / (
+        _norm(F.col("p_emb")) * _norm(F.col("centroid"))
+    )
+    scored = probes.join(F.broadcast(cent)).withColumn("cosine", cos)
+    w = F.row_number().over(W.partitionBy("probe_id").orderBy(F.desc("cosine"), "c_label"))
+    return (
+        scored.withColumn("rk", w)
+        .filter(F.col("rk") <= 2)
+        .select("probe_id", F.col("c_label").alias("label"), fround("cosine", 4).alias("cosine"), "rk")
+    )
+
+
+ORACLE_IVF = f"""
+WITH pos AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+cent AS (
+  SELECT label AS c_label,
+         list(cval ORDER BY pos) AS centroid
+  FROM (SELECT label, pos,
+               sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*) AS cval
+        FROM pos GROUP BY 1, 2)
+  GROUP BY 1),
+probes AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p_emb
+  FROM embeddings WHERE vec_id < {N_PROBES}),
+scored AS (
+  SELECT probe_id, c_label,
+         list_dot_product(p_emb, centroid)
+           / (sqrt(list_dot_product(p_emb, p_emb))
+              * sqrt(list_dot_product(centroid, centroid))) AS cosine
+  FROM probes, cent),
+ranked AS (
+  SELECT probe_id, c_label, cosine,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, c_label) AS rk
+  FROM scored)
+SELECT probe_id, c_label AS label, floor((cosine) * 10000 + 0.5) / 10000.0 AS cosine, rk
+FROM ranked WHERE rk <= 2
+"""
+
+
+QUERIES = {
+    "embedding_stats": embedding_stats,
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ivf_centroid_rank": ivf_centroid_rank,
+}
+
+ORACLE = {
+    "embedding_stats": ORACLE_STATS,
+    "ann_bruteforce_topk": ORACLE_BRUTEFORCE,
+    "ivf_centroid_rank": ORACLE_IVF,
+}

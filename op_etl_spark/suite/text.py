@@ -1,0 +1,211 @@
+"""Text-analysis operators over the `documents` table — the training-data
+pipeline surface (language stats, token counting, quality scoring, document
+fingerprinting). All hot-path logic is JVM-side column expressions (split/
+regexp/aggregate) — no Python UDFs — so whole-stage codegen applies and the
+same plan scales to 100 TB of documents: every query here is a single scan +
+one (or zero) shuffle on the group keys.
+
+Tokenization contract (shared with the DuckDB oracles): tokens are the
+space-separated words of `text` (the synthetic corpus is single-space
+separated, lowercase).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import fround
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- token counting (whitespace tokens + distinct tokens) ---
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split(text, ' '))                AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text)                                AS len_chars
+FROM documents
+"""
+
+
+# --- quality scoring: length / stopword-ratio / mean word length ---
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_wl = (F.length("text") - (n_tok - 1)) / n_tok  # chars minus separators
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        fround(n_stop / n_tok, 4).alias("stopword_ratio"),
+        fround(mean_wl, 4).alias("mean_word_len"),
+        fround(F.size(F.array_distinct(toks)) / n_tok, 4).alias("ttr"),
+    )
+
+
+ORACLE_QUALITY = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       floor((len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','of','and','to')))
+             / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+       floor(((length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS mean_word_len,
+       floor((len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS ttr
+FROM documents
+"""
+
+
+# --- training-data quality filter (composite gate, the "keep" set) ---
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_scores(spark, sf_dir)
+    return (
+        q.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("stopword_ratio") <= 0.5)
+            & (F.col("ttr") >= 0.05)
+        )
+        .select("doc_id", "n_tokens", "stopword_ratio", "ttr")
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+WITH q AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         floor((len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the','a','of','and','to')))
+               / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+         floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS ttr
+  FROM documents)
+SELECT doc_id, n_tokens, stopword_ratio, ttr
+FROM q WHERE n_tokens >= 20 AND stopword_ratio <= 0.5 AND ttr >= 0.05
+"""
+
+
+# --- language-ID heuristic (token-evidence scoring) + confusion vs label ---
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: score text against per-language marker
+    tokens, argmax the score, report the confusion histogram vs the labeled
+    `lang`. Markers are deterministic; the point is the operator shape
+    (vectorized evidence scoring, no UDF), not linguistic accuracy on a
+    synthetic corpus."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def score(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score(("the", "a", "fast", "slow")).alias("s_en"),
+        score(("data", "table", "row")).alias("s_de"),
+        score(("query", "filter", "sort")).alias("s_fr"),
+    )
+    guess = (
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang", guess.alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_LANG_CONFUSION = """
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast','slow'))) AS s_en,
+         len(list_filter(string_split(text,' '), t -> t IN ('data','table','row')))    AS s_de,
+         len(list_filter(string_split(text,' '), t -> t IN ('query','filter','sort'))) AS s_fr
+  FROM documents)
+SELECT lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS guessed,
+       count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+# --- corpus rollup per (source, lang) ---
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            fround(F.avg("n_chars"), 4).alias("avg_chars"),
+            fround(F.avg(F.size(F.split(F.col("text"), " "))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       floor((avg(n_chars)) * 10000 + 0.5) / 10000.0 AS avg_chars,
+       floor((avg(len(string_split(text, ' ')))) * 10000 + 0.5) / 10000.0 AS avg_tokens
+FROM documents GROUP BY source, lang
+"""
+
+
+# --- document fingerprinting (md5 content hash of normalized text) ---
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINTS = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "token_counts": token_counts,
+    "quality_scores": quality_scores,
+    "quality_filter": quality_filter,
+    "lang_confusion": lang_confusion,
+    "corpus_stats": corpus_stats,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLE = {
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "quality_scores": ORACLE_QUALITY,
+    "quality_filter": ORACLE_QUALITY_FILTER,
+    "lang_confusion": ORACLE_LANG_CONFUSION,
+    "corpus_stats": ORACLE_CORPUS_STATS,
+    "doc_fingerprints": ORACLE_FINGERPRINTS,
+}
