@@ -51,6 +51,36 @@ def get_spark(
     return spark
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make op_etl_spark importable on executor Python workers.
+
+    Library code that runs inside pandas UDFs / mapInPandas is
+    deserialized BY REFERENCE on workers, so the package must be on the
+    worker's sys.path. When the engine created the session, PYTHONPATH
+    already covers it; for externally-created sessions (e.g. a bare
+    driver session) we zip the package once and addPyFile it — Spark
+    distributes the zip and prepends it to every worker's path.
+    """
+    if getattr(spark, "_op_etl_shipped", False):
+        return
+    import importlib.util
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = os.path.join(tempfile.gettempdir(), "op_etl_spark_ship")
+    os.makedirs(staging, exist_ok=True)
+    zip_base = os.path.join(staging, "op_etl_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip",
+                            root_dir=os.path.dirname(pkg_dir),
+                            base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._op_etl_shipped = True
+
+
 def read_events(spark: SparkSession, sf_dir: str):
     """Read the events table, tolerating TIMESTAMP(NANOS) parquet files.
 
