@@ -1,0 +1,27 @@
+"""Guarded XML parsing (reference F12: etl/http_utils.py:443-475).
+
+Rejects DOCTYPE/ENTITY declarations (entity-expansion injection) and
+bodies exceeding the element cap; returns None on any parse problem
+(continue-on-failure semantics)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+MAX_XML_ELEMENTS = 10_000
+
+
+def safe_xml_parse(body: str):
+    if body is None:
+        return None
+    head = body[:4096].upper()
+    if "<!DOCTYPE" in head or "<!ENTITY" in head:
+        return None
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return None
+    count = sum(1 for _ in root.iter())
+    if count > MAX_XML_ELEMENTS:
+        return None
+    return root

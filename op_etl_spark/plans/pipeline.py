@@ -1,0 +1,133 @@
+"""Pipeline compiler: normalized source specs -> executed DataFrame DAG.
+
+The reference's run.py stage graph (SURVEY.md §3: download -> stage ->
+process -> load, fixed protocol order http/atom/ogc/wfs/rest at
+run.py:197-203) compiled into Spark jobs. Stage boundaries materialize as
+parquet tables (the reference's FileGDB handoffs); per-source failures
+are caught and recorded in the metrics frame instead of failing the run
+(continue-on-failure, config.yaml:130); the processed manifest gates the
+load via semi-join (etl/process.py:73-88 + etl/load_sde.py:51-59).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from op_etl_spark.operators.metrics import METRICS_SCHEMA
+from op_etl_spark.sinks.load import dataset_for_authority, gate_by_manifest, truncate_and_load
+from op_etl_spark.sources.schema import FEATURE_DDL
+
+from .staging import stage_features, write_staged
+
+PROTOCOL_ORDER = ["http", "file", "atom", "ogc", "wfs", "rest"]
+
+
+class Pipeline:
+    """Config-driven pipeline; connectors are injected per protocol so the
+    same compiler runs against live services or test fixtures.
+
+    connector signature: (spark, source_spec) -> feature DataFrame.
+    """
+
+    def __init__(self, spark: SparkSession, cfg: dict,
+                 connectors: dict[str, Callable] | None = None):
+        self.spark = spark
+        self.cfg = cfg
+        self.connectors = connectors or {}
+        self.metrics_rows: list[tuple] = []
+
+    # --- download/extract ---
+
+    def extract(self, sources: list[dict]) -> DataFrame:
+        """Run every source through its protocol connector (reference
+        protocol order), union the canonical outputs, record metrics."""
+        ordered = sorted(
+            sources,
+            key=lambda s: PROTOCOL_ORDER.index(s["type"])
+            if s["type"] in PROTOCOL_ORDER
+            else 99,
+        )
+        out: DataFrame | None = None
+        for src in ordered:
+            conn = self.connectors.get(src["type"])
+            start = time.time()
+            try:
+                if conn is None:
+                    raise ValueError(f"no connector for type {src['type']}")
+                df = conn(self.spark, src)
+                n = df.count()
+                self.metrics_rows.append(
+                    (src["name"], src["authority"], src["type"], start,
+                     time.time(), True, None, None, n, 1, None, 0)
+                )
+            except Exception as e:  # continue-on-failure (config.yaml:130)
+                self.metrics_rows.append(
+                    (src["name"], src["authority"], src["type"], start,
+                     time.time(), False, type(e).__name__, str(e)[:500],
+                     0, 0, None, 0)
+                )
+                continue
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            out = self.spark.createDataFrame([], FEATURE_DDL)
+        return out
+
+    # --- stages ---
+
+    def run(self, workspace: str, authority: str | None = None,
+            stype: str | None = None) -> dict:
+        from op_etl_spark.config.loader import enabled_sources
+
+        sources = enabled_sources(self.cfg, authority, stype)
+        raw = self.extract(sources)
+
+        staged = stage_features(raw)
+        staging_path = f"{workspace}/staging"
+        write_staged(staged, staging_path)
+        staged_back = self.spark.read.parquet(staging_path)
+
+        # geoprocess: clip to AOI when configured (process.py:107-123);
+        # zero-result sources drop out of the manifest (process.py:113-123)
+        aoi = (self.cfg.get("geoprocessing") or {}).get("aoi_bbox")
+        if aoi:
+            from op_etl_spark.geometry.ops import clip_to_aoi
+
+            processed = clip_to_aoi(staged_back, tuple(aoi))
+        else:
+            processed = staged_back
+        processed_path = f"{workspace}/processed"
+        processed.write.mode("overwrite").partitionBy("source_name").parquet(processed_path)
+        processed_back = self.spark.read.parquet(processed_path)
+
+        manifest = processed_back.select("source_name").distinct()
+        manifest_path = f"{workspace}/processed_manifest"
+        manifest.write.mode("overwrite").parquet(manifest_path)
+
+        # load: manifest-gated truncate-and-load per source into its
+        # authority dataset namespace
+        gated = gate_by_manifest(processed_back, self.spark.read.parquet(manifest_path))
+        loaded = {}
+        for row in gated.select("source_name", "authority").distinct().collect():
+            target = (
+                f"{workspace}/sde/{dataset_for_authority(row.authority)}/"
+                f"{row.source_name}"
+            )
+            part = gated.filter(F.col("source_name") == row.source_name)
+            truncate_and_load(part, target)
+            loaded[row.source_name] = target
+
+        metrics = self.spark.createDataFrame(self.metrics_rows, METRICS_SCHEMA)
+        metrics_path = f"{workspace}/metrics"
+        metrics.write.mode("overwrite").json(metrics_path)
+
+        return {
+            "staging": staging_path,
+            "processed": processed_path,
+            "manifest": manifest_path,
+            "loaded": loaded,
+            "metrics": metrics_path,
+        }

@@ -80,7 +80,64 @@ def _esri_geometry(geom: dict):
     return None, None
 
 
+def _parse_vector_file(path: str):
+    """Non-JSON vector formats -> yields (gt, coords, props, epsg)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".shp":
+        from .shapefile import read_shapefile
+
+        yield from read_shapefile(path)
+    elif ext == ".gpkg":
+        from .gpkg import read_gpkg
+
+        yield from read_gpkg(path)
+
+
+def _parse_zip(path: str, source_name: str, authority: str):
+    """S3 ZIP expansion (etl/download_http.py:103-128,
+    etl/stage_files.py:645-686): extract, then try candidates in priority
+    order gpkg > shp > geojson > json; first candidate yielding rows wins.
+    """
+    import tempfile
+    import zipfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            with zipfile.ZipFile(path) as z:
+                z.extractall(tmp)
+        except zipfile.BadZipFile:
+            return
+        prio = {".gpkg": 0, ".shp": 1, ".geojson": 2, ".json": 3}
+        candidates = []
+        for root, _d, names in os.walk(tmp):
+            for n in names:
+                e = os.path.splitext(n)[1].lower()
+                if e in prio:
+                    candidates.append(os.path.join(root, n))
+        candidates.sort(key=lambda p: (prio[os.path.splitext(p)[1].lower()], p))
+        for cand in candidates:
+            rows = list(_parse_one_file(cand, source_name, authority))
+            if rows:
+                yield from rows
+                return
+
+
 def _parse_one_file(path: str, source_name: str, authority: str):
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".zip":
+        yield from _parse_zip(path, source_name, authority)
+        return
+    if ext in (".shp", ".gpkg"):
+        for i, (gt, coords, props, epsg) in enumerate(_parse_vector_file(path)):
+            try:
+                wkb = wkb_dumps(gt, coords)
+            except (ValueError, KeyError, TypeError, IndexError):
+                continue
+            yield (i, source_name, authority, gt, wkb,
+                   _envelope(gt, coords), int(epsg),
+                   _props_to_str_map(props))
+        return
+
     size = os.path.getsize(path)
     if size > MAX_JSON_BYTES or size == 0:
         return
