@@ -20,8 +20,24 @@ Cross-engine float determinism. Two distinct problems, two tools:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan produced fewer partitions
+    than the cluster has task slots (i.e. a small single-file local input).
+
+    On the bench's one-file parquet tables every downstream map stage
+    (shingling, md5 minhash, tokenize) would otherwise run on ONE core.
+    At real scale (100 TB = thousands of file splits) the condition is
+    false and this is a no-op — we never pay a full-data shuffle there.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _c(col) -> Column:

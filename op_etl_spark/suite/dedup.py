@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import fround
+from ._util import fan_out, fround
 
 N_HASHES = 16  # minhash signature length
 BAND_ROWS = 4  # rows per LSH band -> 4 bands
@@ -31,27 +31,58 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word-3-gram shingles per document.
+def _shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word-3-gram shingles.
 
-    Pure column expressions: split -> transform(sequence) -> array_distinct
-    -> explode. One narrow stage, no shuffle, codegen'd end to end.
+    `split(text)` is materialized into a `words` column first so the slice
+    lambda doesn't re-split the text once per shingle (O(len²) otherwise).
+    One narrow stage, no shuffle, codegen'd end to end.
     """
-    words = F.split(F.col("text"), " ")
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    words = F.col("words")
     n = F.size(words)
+    zipped = F.arrays_zip(
+        F.slice(words, 1, n - 2), F.slice(words, 2, n - 2), F.slice(words, 3, n - 2)
+    )
     sh = F.when(
         n >= 3,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 2),
-                lambda i: F.array_join(F.slice(words, i, 3), " "),
-            )
+            F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
-    return d.select("doc_id", F.explode(sh).alias("shingle"))
+    return d.select("doc_id", sh.alias("shingles"))
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct word-3-gram shingles."""
+    return _shingle_arrays(d).select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+def _posting_pairs(posts: DataFrame, member_col: str = "m") -> DataFrame:
+    """Explode each posting list (array of member structs, grouped by some
+    bucket key) into its ordered member pairs: (p1, p2) with
+    p1.doc_id < p2.doc_id.
+
+    This replaces the classic inverted-index SELF-JOIN: the join would scan
+    and shingle the corpus twice and shuffle both exploded streams; pair
+    generation inside the already-grouped array needs no join at all.
+    Posting lists are bounded (doc-frequency of a shingle / LSH bucket
+    size), so the k² in-array expansion is small and skew-free; at 100 TB
+    you'd additionally cap/drop ultra-frequent shingles before this step.
+    """
+    xs = F.col(member_col)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                xs, lambda x: F.transform(xs, lambda y: F.struct(x.alias("a"), y.alias("b")))
+            )
+        ),
+        lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+    )
+    return posts.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 _DUCK_SHINGLES = """
@@ -85,27 +116,34 @@ FROM documents GROUP BY 1
 # --- n-gram Jaccard near-dup pairs (exact baseline via inverted index) ---
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    sh = _shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
+
+    ONE scan of documents; per-doc set size rides along as `n_sh` (it's just
+    `size(shingles)`, no separate aggregate); groupBy(shingle) builds posting
+    lists; pairs are generated in-array (`_posting_pairs`) and counted.
+    Two small shuffles total, zero joins — vs. the naive self-join plan's
+    four scans, four shingle explodes, and three joins.
+    """
+    arrs = _shingle_arrays(_docs(spark, sf_dir))
+    sh = arrs.select(
+        F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
+        F.explode("shingles").alias("shingle"),
+    )
+    posts = sh.groupBy("shingle").agg(F.collect_list("m").alias("m"))
     common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        _posting_pairs(posts)
+        .groupBy(
+            F.col("a.doc_id").alias("id1"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        common.join(F.broadcast(sa), F.col("id1") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("id2") == F.col("sb.doc_id"))
-        .withColumn(
+        common.withColumn(
             "jaccard",
-            fround(
-                F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")), 4),
+            fround(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id1", "id2", "n_common", "jaccard")
@@ -140,31 +178,33 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band signatures exploded in ONE pass over the
+    signature table (not a 4-way union re-reading it), bucketed by
+    (band_id, band_sig), pairs generated in-array — no self-join."""
     d = _docs(spark, sf_dir)
     sigs = _minhash_sigs(_shingles(d))
     n_bands = N_HASHES // BAND_ROWS
-    bands = []
-    for band in range(n_bands):
-        cols = [F.col(f"h{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_sig"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                    ).cast("binary")
+                ).alias("band_sig"),
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b = banded.alias("b")
+            for band in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.struct(F.col("doc_id")).alias("m"), F.explode(band_structs).alias("band")
+    )
+    posts = banded.groupBy("band.band_id", "band.band_sig").agg(
+        F.collect_list("m").alias("m")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _posting_pairs(posts)
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
@@ -288,23 +328,20 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3, bucketed by the high byte
     (SimHash banding — trades recall for never doing all-pairs)."""
     fps = _simhash(_docs(spark, sf_dir))
-    a = fps.select(
-        F.col("doc_id").alias("id1"),
-        F.col("simhash").alias("sh1"),
-        F.floor(F.col("simhash") / 256).alias("bucket"),
+    posts = (
+        fps.select(
+            F.floor(F.col("simhash") / 256).alias("bucket"),
+            F.struct(F.col("doc_id"), F.col("simhash")).alias("m"),
+        )
+        .groupBy("bucket")
+        .agg(F.collect_list("m").alias("m"))
     )
-    b = fps.select(
-        F.col("doc_id").alias("id2"),
-        F.col("simhash").alias("sh2"),
-        F.floor(F.col("simhash") / 256).alias("bucket"),
-    )
-    xor = F.col("sh1").bitwiseXOR(F.col("sh2"))
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id1") < F.col("id2"))
+        _posting_pairs(posts)
         .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("id1", "id2", "hamming")
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"), "hamming")
     )
 
 

@@ -15,13 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import fround
+from ._util import fan_out, fround
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # --- token counting (whitespace tokens + distinct tokens) ---
