@@ -143,8 +143,28 @@ def _parse_one_file(path: str, source_name: str, authority: str):
         return
     try:
         with open(path, "rb") as f:
-            doc = json.loads(f.read())
-    except (ValueError, OSError):
+            raw = f.read()
+    except OSError:
+        return
+    yield from parse_json_content(raw, source_name, authority)
+
+
+def parse_json_content(raw: bytes | str, source_name: str, authority: str):
+    """GeoJSON / Esri JSON document *content* -> canonical feature tuples.
+
+    Shared by the batch file connector (above) and the streaming ingest
+    (`op_etl_spark.streaming.ingest`), which receives whole-file content
+    from the `text`/`binaryFile` stream source rather than a local path.
+    """
+    if isinstance(raw, str):
+        raw = raw.encode("utf-8")
+    if len(raw) > MAX_JSON_BYTES or not raw:
+        return
+    try:
+        doc = json.loads(raw)
+    except ValueError:
+        return
+    if not isinstance(doc, dict):
         return
 
     if "features" in doc and isinstance(doc.get("features"), list) and (

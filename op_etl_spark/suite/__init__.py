@@ -16,9 +16,9 @@ non-SQL-expressible operators).
 
 from __future__ import annotations
 
-from . import dedup, geo, relational, similarity, text
+from . import dedup, geo, relational, similarity, stream_windows, text
 
-_MODULES = [relational, text, dedup, similarity, geo]
+_MODULES = [relational, text, dedup, similarity, geo, stream_windows]
 
 
 def all_queries():

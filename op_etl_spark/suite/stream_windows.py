@@ -1,0 +1,88 @@
+"""Batch-mode correctness surface for the streaming window operators.
+
+`op_etl_spark.streaming.windows` builders run identical DataFrame code on
+batch and streaming inputs; here they run batch so the driver's DuckDB
+oracle can hash-check them. The streaming tests (tests/test_streaming.py)
+separately prove stream == batch on the same data — together the chain
+stream == batch == oracle gates the streaming operators end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from op_etl_spark.session import read_events
+from op_etl_spark.streaming.windows import session_window_rollup, sliding_event_rate
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_rollup(read_events(spark, sf_dir), gap="30 minutes")
+
+
+# Spark session_window: start = first event ts, end = last event ts + gap.
+# Reconstructed relationally with the same lag/cumsum sessionization the
+# batch suite uses.
+ORACLE_SESSION_WINDOWS = """
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+                ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id, session_id
+"""
+
+
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-distinct variant: the streaming path uses
+    approx_count_distinct (HLL state at scale); the oracle-checked batch
+    surface swaps in the exact count so both engines agree bit-for-bit."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+# A 30min/10min sliding window assigns each event to exactly 3 windows,
+# whose starts are the epoch-aligned 10-min grid points
+# floor(epoch/600)*600 - k*600 for k in {0,1,2} — Spark's window grid.
+ORACLE_SLIDING_WINDOWS = """
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(win_start + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS win_end,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT user_id,
+         make_timestamp(((CAST(floor(epoch(ts) / 600) AS BIGINT) - k) * 600) * 1000000) AS win_start
+  FROM events, (SELECT unnest([0, 1, 2]) AS k))
+GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "session_windows": session_windows,
+    "sliding_windows": sliding_windows,
+}
+
+ORACLE = {
+    "session_windows": ORACLE_SESSION_WINDOWS,
+    "sliding_windows": ORACLE_SLIDING_WINDOWS,
+}

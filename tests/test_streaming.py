@@ -1,0 +1,230 @@
+"""Structured Streaming: file-source ingest, watermarked windows, stateful
+sessionization. Every stream runs with trigger(availableNow=True) against a
+closed input and is compared to the batch equivalent on the same data —
+the transformations are identical code paths, so stream == batch is the
+correctness contract.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from op_etl_spark.session import read_events
+from op_etl_spark.streaming import ingest, stateful, windows
+from op_etl_spark.suite.relational import sessionize_events, tumbling_hourly_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_event_json_files(spark, tmpdir, n_files=4) -> None:
+    """events table -> n_files JSONL files split by time order (so later
+    files hold later events — the arrival pattern a stream would see)."""
+    ev = read_events(spark, SF_DIR).orderBy("ts", "event_id")
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).collect()
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        with open(f"{tmpdir}/events_{i:03d}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("event_stream")
+    _write_event_json_files(spark, str(d))
+    return str(d)
+
+
+def _read_event_stream(spark, path, max_files=None):
+    reader = spark.readStream.schema(
+        "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    )
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    return (
+        reader.json(path)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+
+
+def _run_to_memory(df, name, output_mode, max_sec=120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(max_sec)
+    return q
+
+
+class TestWindowedAggs:
+    def test_tumbling_hourly_matches_batch(self, spark, event_stream_dir):
+        ev = _read_event_stream(spark, event_stream_dir)
+        agg = windows.hourly_event_rollup(ev)
+        _run_to_memory(agg, "hourly_stream", "complete")
+        got = {
+            (r.hour_start, r.event_type): (r.n, r.total_value)
+            for r in spark.table("hourly_stream").collect()
+        }
+        want = {
+            (r.hour_start, r.event_type): (r.n, r.total_value)
+            for r in tumbling_hourly_events(spark, SF_DIR).collect()
+        }
+        assert got == want
+
+    def test_sliding_rate_windows_cover_all_events(self, spark, event_stream_dir):
+        ev = _read_event_stream(spark, event_stream_dir)
+        agg = windows.sliding_event_rate(ev, window="30 minutes", slide="10 minutes")
+        _run_to_memory(agg, "sliding_stream", "complete")
+        rows = spark.table("sliding_stream").collect()
+        n_total = read_events(spark, SF_DIR).count()
+        # every event lands in exactly window/slide = 3 windows
+        assert sum(r.n_events for r in rows) == 3 * n_total
+        assert all(r.win_start < r.win_end for r in rows)
+
+    def test_session_window_rollup_matches_batch_run(self, spark, event_stream_dir):
+        ev = _read_event_stream(spark, event_stream_dir)
+        agg = windows.session_window_rollup(ev, gap="30 minutes")
+        _run_to_memory(agg, "sess_win_stream", "complete")
+        got = sorted(
+            (r.user_id, r.session_start, r.n_events)
+            for r in spark.table("sess_win_stream").collect()
+        )
+        batch = windows.session_window_rollup(read_events(spark, SF_DIR))
+        want = sorted(
+            (r.user_id, r.session_start, r.n_events) for r in batch.collect()
+        )
+        assert got == want
+        assert sum(n for _, _, n in got) == read_events(spark, SF_DIR).count()
+
+
+class TestStatefulSessionize:
+    def test_matches_batch_sessionization_across_microbatches(
+        self, spark, event_stream_dir
+    ):
+        # one file per micro-batch -> state must carry across batches
+        ev = _read_event_stream(spark, event_stream_dir, max_files=1)
+        sess = stateful.sessionize_stream(ev)
+        _run_to_memory(sess, "sessions_stream", "update")
+        # update mode re-emits growing sessions; last emit per key is final
+        final = {}
+        for r in spark.table("sessions_stream").collect():
+            key = (r.user_id, r.session_id)
+            prev = final.get(key)
+            if prev is None or r.n_events > prev[0]:
+                final[key] = (r.n_events, r.session_start)
+        got = {
+            (u, s): v for (u, s), v in final.items()
+        }
+        want = {
+            (r.user_id, r.session_id): (r.n_events, r.session_start)
+            for r in sessionize_events(spark, SF_DIR).collect()
+        }
+        assert got == want
+
+
+class TestFileIngest:
+    GEOJSON = {
+        "type": "FeatureCollection",
+        "crs": {"type": "name", "properties": {"name": "EPSG:3006"}},
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [410000.0, 6580000.0]},
+                "properties": {"name": "a", "kind": 1},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[410000.0, 6580000.0], [411000.0, 6581000.0]],
+                },
+                "properties": {"name": "b"},
+            },
+        ],
+    }
+
+    def test_stream_staging_matches_batch_connector(self, spark, tmp_path):
+        downloads = tmp_path / "downloads"
+        downloads.mkdir()
+        (downloads / "roads.geojson").write_text(json.dumps(self.GEOJSON))
+        staging = str(tmp_path / "staging")
+        ckpt = str(tmp_path / "ckpt")
+
+        feats = ingest.stream_feature_files(spark, str(downloads), authority="TEST")
+        q = ingest.start_staging_stream(feats, staging, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(staging).orderBy("feature_id").collect()
+        assert len(out) == 2
+        assert [r.geom_type for r in out] == ["Point", "LineString"]
+        assert all(r.crs == 3006 for r in out)
+        assert all(r.authority == "TEST" for r in out)
+        assert out[0].source_name == "roads"
+        assert out[0].props["name"] == "a" and out[0].props["kind"] == "1"
+        assert out[0].bbox.xmin == 410000.0
+
+        # batch connector on the same file -> identical canonical rows
+        from op_etl_spark.sources.geojson import read_feature_files
+
+        batch = read_feature_files(
+            spark,
+            [{"path": str(downloads / "roads.geojson"),
+              "source_name": "roads", "authority": "TEST"}],
+        ).orderBy("feature_id").collect()
+        assert [(r.feature_id, r.geom_type, bytes(r.geometry)) for r in out] == [
+            (r.feature_id, r.geom_type, bytes(r.geometry)) for r in batch
+        ]
+
+    def test_incremental_files_are_appended_exactly_once(self, spark, tmp_path):
+        downloads = tmp_path / "dl2"
+        downloads.mkdir()
+        (downloads / "a.geojson").write_text(json.dumps(self.GEOJSON))
+        staging = str(tmp_path / "staging2")
+        ckpt = str(tmp_path / "ckpt2")
+
+        def run_once():
+            feats = ingest.stream_feature_files(spark, str(downloads))
+            q = ingest.start_staging_stream(feats, staging, ckpt, available_now=True)
+            q.awaitTermination(120)
+
+        run_once()
+        assert spark.read.parquet(staging).count() == 2
+        # second run with no new files: nothing re-ingested (checkpoint log)
+        run_once()
+        assert spark.read.parquet(staging).count() == 2
+        # drop a new file; only its rows are added
+        (downloads / "b.geojson").write_text(json.dumps(self.GEOJSON))
+        run_once()
+        assert spark.read.parquet(staging).count() == 4
+
+    def test_truncate_and_load_stream_overwrites_target(self, spark, tmp_path, event_stream_dir):
+        ev = _read_event_stream(spark, event_stream_dir)
+        agg = windows.hourly_event_rollup(ev)
+        target = str(tmp_path / "load_target")
+        q = ingest.start_truncate_and_load_stream(
+            agg, target, str(tmp_path / "ckpt3"), available_now=True
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.hour_start, r.event_type): (r.n, r.total_value)
+            for r in spark.read.parquet(target).collect()
+        }
+        want = {
+            (r.hour_start, r.event_type): (r.n, r.total_value)
+            for r in tumbling_hourly_events(spark, SF_DIR).collect()
+        }
+        assert got == want
