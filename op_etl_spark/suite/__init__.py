@@ -16,9 +16,9 @@ non-SQL-expressible operators).
 
 from __future__ import annotations
 
-from . import dedup, geo, relational, similarity, stream_windows, text
+from . import dedup, geo, multimodal, relational, similarity, stream_windows, text
 
-_MODULES = [relational, text, dedup, similarity, geo, stream_windows]
+_MODULES = [relational, text, dedup, similarity, geo, stream_windows, multimodal]
 
 
 def all_queries():

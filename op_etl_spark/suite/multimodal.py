@@ -1,0 +1,102 @@
+"""Oracle-checked surface for the multimodal operators.
+
+The media table derives content = UTF-8 bytes of `documents.text`
+(guaranteed single-byte ASCII by the synthetic corpus), so DuckDB can
+replay every byte-level kernel with ascii()/substr()/md5 — giving the
+mapInPandas plumbing a real cross-engine correctness gate, which a stubbed
+codec path otherwise wouldn't have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from op_etl_spark.operators.multimodal import (
+    byte_entropy_features,
+    decode_media,
+    media_table,
+    sample_frames,
+)
+
+from ._util import fround
+
+_KIND_SQL = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+
+
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(media_table(spark, sf_dir))
+
+
+# fake_decode replayed in SQL: b_k = ascii(substr(text, k+1, 1))
+ORACLE_DECODE = f"""
+SELECT doc_id AS media_id,
+       {_KIND_SQL} AS kind,
+       CAST(len(text) AS INT) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + ascii(substr(text,1,1)) % 64 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + ascii(substr(text,2,1)) % 64 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(1 + ascii(substr(text,3,1)) % 4 AS INT) END AS channels,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 * (1 + ascii(substr(text,1,1)) % 6) AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(len(text) * 32 AS INT) END AS n_samples,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(12 + ascii(substr(text,1,1)) % 18 AS INT) END AS fps,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(greatest(1, len(text) // 256) AS INT) END AS n_frames
+FROM documents
+"""
+
+
+def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = byte_entropy_features(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        fround("byte_entropy", 4).alias("byte_entropy"),
+        fround("byte_mean", 4).alias("byte_mean"),
+        "content_md5",
+    )
+
+
+ORACLE_ENTROPY = f"""
+WITH cnt AS (
+  SELECT doc_id, c, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+  WHERE c != '' GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(n) AS total,
+         sum(n * log2(n)) AS nlogn,
+         sum(n * ascii(c)) AS bytesum
+  FROM cnt GROUP BY 1)
+SELECT d.doc_id AS media_id,
+       {_KIND_SQL.replace("doc_id", "d.doc_id")} AS kind,
+       CAST(len(d.text) AS INT) AS n_bytes,
+       floor((CASE WHEN total > 1 THEN log2(total) - nlogn / total ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS byte_entropy,
+       floor((bytesum / total) * 10000 + 0.5) / 10000.0 AS byte_mean,
+       md5(d.text) AS content_md5
+FROM documents d JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir), every_n=2, frame_bytes=64)
+
+
+ORACLE_FRAMES = """
+SELECT doc_id AS media_id,
+       CAST(idx AS INT) AS frame_idx,
+       md5(substr(text, idx * 64 + 1, 64)) AS frame_md5
+FROM (
+  SELECT doc_id, text, unnest(range(0, greatest(1, len(text) // 64), 2)) AS idx
+  FROM documents WHERE doc_id % 3 = 2)
+"""
+
+QUERIES = {
+    "media_decode_meta": media_decode_meta,
+    "media_byte_entropy": media_byte_entropy,
+    "media_frame_samples": media_frame_samples,
+}
+
+ORACLE = {
+    "media_decode_meta": ORACLE_DECODE,
+    "media_byte_entropy": ORACLE_ENTROPY,
+    "media_frame_samples": ORACLE_FRAMES,
+}

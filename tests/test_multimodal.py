@@ -1,0 +1,100 @@
+"""Multimodal binary-column operators: schema/plumbing tests beyond the
+DuckDB-oracle gate (tools/check_correctness covers the value-level
+equivalence of decode/entropy/frames)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from op_etl_spark.operators import multimodal as mm
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.media_table(spark, SF_DIR)
+
+
+class TestMediaTable:
+    def test_schema_and_kinds(self, media):
+        assert dict(media.dtypes)["content"] == "binary"
+        kinds = {r.kind for r in media.select("kind").distinct().collect()}
+        assert kinds == {"image", "audio", "video"}
+
+    def test_content_is_text_bytes(self, spark, media):
+        row = media.orderBy("media_id").first()
+        doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").orderBy("doc_id").first()
+        assert bytes(row.content) == doc.text.encode()
+        assert row.meta.n_bytes == len(doc.text)
+
+
+class TestDecode:
+    def test_kind_specific_fields(self, media):
+        out = mm.decode_media(media).collect()
+        for r in out:
+            if r.kind == "image":
+                assert r.width and r.height and r.channels
+                assert r.sample_rate is None and r.fps is None
+            elif r.kind == "audio":
+                assert r.sample_rate and r.n_samples == r.n_bytes * 32
+                assert r.width is None
+            else:
+                assert r.fps and r.n_frames >= 1
+                assert r.width is None and r.sample_rate is None
+
+    def test_fake_decode_deterministic(self):
+        buf = b"hello world"
+        assert mm.fake_decode("image", buf) == mm.fake_decode("image", buf)
+        assert mm.fake_decode("image", buf)["width"] == 64 + buf[0] % 64
+
+
+class TestResizeStub:
+    def test_real_resize_raises_clearly_without_codecs(self, media):
+        with pytest.raises(NotImplementedError, match="codec"):
+            mm.resize_images(media, 32, 32)
+
+    def test_fake_resize_restrides_content(self, media):
+        out = mm.fake_resize(media.limit(5), 8, 8).collect()
+        assert len(out) == 5
+        for r in out:
+            assert len(bytes(r.content)) == 64
+            assert r.meta.n_bytes == 64
+            assert r.meta.tag == "resized_8x8"
+
+    def test_fake_resize_cycles_short_content(self, spark):
+        df = spark.createDataFrame(
+            [(1, "image", b"ab", {"n_bytes": 2, "tag": "t"})], mm.MEDIA_DDL
+        )
+        (row,) = mm.fake_resize(df, 2, 3).collect()
+        assert bytes(row.content) == b"ababab"
+
+
+class TestFrames:
+    def test_only_video_sampled_with_stride(self, spark, media):
+        frames = mm.sample_frames(media, every_n=2, frame_bytes=64)
+        rows = frames.collect()
+        video_ids = {
+            r.media_id for r in media.filter("kind = 'video'").collect()
+        }
+        assert {r.media_id for r in rows} == video_ids
+        idx = sorted(r.frame_idx for r in rows if r.media_id == min(video_ids))
+        assert all(i % 2 == 0 for i in idx)
+
+    def test_frame_md5_matches_local_slice(self, spark, media):
+        first_video = media.filter("kind = 'video'").orderBy("media_id").first()
+        got = {
+            r.frame_idx: r.frame_md5
+            for r in mm.sample_frames(
+                media.filter(media.media_id == first_video.media_id),
+                every_n=1, frame_bytes=64,
+            ).collect()
+        }
+        buf = bytes(first_video.content)
+        want = {
+            i: hashlib.md5(buf[i * 64 : (i + 1) * 64]).hexdigest()
+            for i in range(0, max(1, len(buf) // 64))
+        }
+        assert got == want
