@@ -41,8 +41,13 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash_near_pairs",
     "ann_bruteforce_topk",
+    "embedding_neardup_pairs",
     "geometry_type_election",
     "magnitude_validation",
+    "asof_join_events",
+    "range_join_price_bands",
+    "q10_returned_customers",
+    "media_byte_entropy",
 ]
 
 

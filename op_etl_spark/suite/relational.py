@@ -525,6 +525,155 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# --- as-of join: most recent prior click for each purchase (per user) ---
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a carried-forward window value rather than
+    a range join: ONE shuffle on user_id, no join at all, no per-row range
+    probe — the scale-correct plan for 'latest matching event at or
+    before t' (a range-join formulation shuffles both sides AND explodes
+    matches before picking the max)."""
+    ev = read_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    asof = ev.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return asof.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events WHERE event_type IN ('click', 'purchase'))
+WHERE event_type = 'purchase'
+"""
+
+
+# --- range join: orders binned into literal price bands (non-equi join) ---
+
+PRICE_BANDS = [
+    ("low", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 300_000.0),
+    ("lux", 300_000.0, 1e18),
+]
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a 4-row band dimension. The dim is
+    broadcast, so the physical plan is BroadcastNestedLoopJoin with a
+    tiny build side — each orders row probes 4 bands in-memory, no
+    shuffle of the fact table at all."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+ORACLE_RANGE_BANDS = f"""
+SELECT band, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM orders
+JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# --- Q10-style: top customers by returned-item revenue (fact-fact join) ---
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- cube: all grouping-set combinations of status x priority ---
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice").alias("total_value"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT grouping_id(o_orderstatus, o_orderpriority) AS gid,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -543,6 +692,10 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "json_extract_props": json_extract_props,
     "pivot_status_priority": pivot_status_priority,
+    "asof_join_events": asof_join_events,
+    "range_join_price_bands": range_join_price_bands,
+    "q10_returned_customers": q10_returned_customers,
+    "cube_status_priority": cube_status_priority,
 }
 
 ORACLE = {
@@ -563,4 +716,8 @@ ORACLE = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "json_extract_props": ORACLE_JSON,
     "pivot_status_priority": ORACLE_PIVOT,
+    "asof_join_events": ORACLE_ASOF,
+    "range_join_price_bands": ORACLE_RANGE_BANDS,
+    "q10_returned_customers": ORACLE_Q10,
+    "cube_status_priority": ORACLE_CUBE,
 }

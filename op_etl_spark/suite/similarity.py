@@ -164,14 +164,116 @@ FROM ranked WHERE rk <= 2
 """
 
 
+# --- embedding-cosine near-dup (the dedup-by-embedding training-data op) ---
+
+NEARDUP_THRESHOLD = 0.3
+SIGNLSH_THRESHOLD = 0.2
+SIGNLSH_BITS = 8
+
+def _pair_cosine(a_emb, b_emb):
+    return _dot(a_emb, b_emb) / (_norm(a_emb) * _norm(b_emb))
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs within each label block (cosine >= 0.3).
+
+    Label blocking = the 'dedup within cluster assignment' pattern: the
+    self-join is key-equi on `label`, so Spark co-partitions both sides
+    with ONE shuffle each and never builds all-pairs across blocks. At
+    100 TB the label comes from a coarse clusterer (e.g. IVF centroid
+    assignment, see ivf_centroid_rank); block sizes bound the quadratic
+    work per partition."""
+    e = _emb(spark, sf_dir)
+    a = e.select("label", F.col("vec_id").alias("id1"), F.col("emb").alias("emb1"))
+    b = e.select("label", F.col("vec_id").alias("id2"), F.col("emb").alias("emb2"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", _pair_cosine(F.col("emb1"), F.col("emb2")))
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .select("label", "id1", "id2", fround("cosine", 4).alias("cosine"))
+    )
+
+
+ORACLE_NEARDUP = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT label, id1, id2, floor((cosine) * 10000 + 0.5) / 10000.0 AS cosine
+FROM pairs WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+def embedding_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup: bucket = sign bits of the first 8 dimensions
+    (deterministic random-hyperplane LSH with axis-aligned planes);
+    candidate pairs generated in-bucket, then exact-cosine filtered.
+    Never does all-pairs — the scale path when no block key exists.
+    Bucket posting lists stay tiny (16 max here), so pairs are generated
+    in-array with zero joins, like the MinHash-LSH text path."""
+    e = _emb(spark, sf_dir)
+    bucket = None
+    for i in range(SIGNLSH_BITS):
+        bit = F.when(F.element_at("emb", i + 1) > 0, 2 ** i).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    posts = (
+        e.select(bucket.alias("bucket"), F.struct("vec_id", "emb").alias("m"))
+        .groupBy("bucket")
+        .agg(F.collect_list("m").alias("m"))
+    )
+    xs = F.col("m")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(xs, lambda x: F.transform(xs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
+        ),
+        lambda p: p["a"]["vec_id"] < p["b"]["vec_id"],
+    )
+    exploded = posts.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    return (
+        exploded.withColumn("cosine", _pair_cosine(F.col("a.emb"), F.col("b.emb")))
+        .filter(F.col("cosine") >= SIGNLSH_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            fround("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(SIGNLSH_BITS)
+)
+
+ORACLE_SIGNLSH = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, {_SIGN_BUCKET_SQL} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id1, id2, floor((cosine) * 10000 + 0.5) / 10000.0 AS cosine
+FROM pairs WHERE cosine >= {SIGNLSH_THRESHOLD}
+"""
+
+
 QUERIES = {
     "embedding_stats": embedding_stats,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ivf_centroid_rank": ivf_centroid_rank,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_signlsh_neardup": embedding_signlsh_neardup,
 }
 
 ORACLE = {
     "embedding_stats": ORACLE_STATS,
     "ann_bruteforce_topk": ORACLE_BRUTEFORCE,
     "ivf_centroid_rank": ORACLE_IVF,
+    "embedding_neardup_pairs": ORACLE_NEARDUP,
+    "embedding_signlsh_neardup": ORACLE_SIGNLSH,
 }
