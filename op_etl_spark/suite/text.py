@@ -46,6 +46,44 @@ FROM documents
 """
 
 
+# --- BPE-ish tokenization (regex pre-tokenizer + bounded sub-word split) ---
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting the way an LLM-data pipeline estimates cost: a
+    GPT-2-style regex pre-tokenizer (letter runs / digit runs / punctuation
+    runs), then a BPE-ish sub-word bound of ceil(len/4) pieces per token
+    (merge tables are model-specific; the 4-char bound is the standard
+    chars-per-token estimate). Pure JVM regex + higher-order array
+    functions — codegen'd, single scan, no shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)")
+    subwords = F.aggregate(
+        F.transform(toks, lambda t: (F.length(t) + 3).cast("long") / F.lit(4)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.floor(v).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_pieces"),
+        subwords.alias("n_subwords"),
+        fround(F.length("text") / subwords, 4).alias("chars_per_subword"),
+    )
+
+
+ORACLE_BPE = """
+SELECT doc_id,
+       len(pieces) AS n_pieces,
+       n_subwords,
+       floor((length(text)::DOUBLE / n_subwords) * 10000 + 0.5) / 10000.0 AS chars_per_subword
+FROM (
+  SELECT doc_id, text, pieces,
+         list_sum(list_transform(pieces, t -> (length(t) + 3) // 4)) AS n_subwords
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+') AS pieces
+        FROM documents))
+"""
+
+
 # --- quality scoring: length / stopword-ratio / mean word length ---
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +231,7 @@ FROM documents
 
 
 QUERIES = {
+    "bpe_token_stats": bpe_token_stats,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "quality_filter": quality_filter,
@@ -202,6 +241,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bpe_token_stats": ORACLE_BPE,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "quality_scores": ORACLE_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,

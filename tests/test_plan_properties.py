@@ -1,0 +1,140 @@
+"""Physical-plan assertions — the scale contract, enforced by tests.
+
+Correctness at sf0.01 says nothing about 100 TB behavior; these tests pin
+the *plan shapes* that do: filters reaching the parquet scan, column
+pruning, dimension broadcasts, as-of-join-without-a-join, and the dedup
+suite's single-scan property. If a refactor regresses one of these, the
+suite fails even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree(p: str) -> str:
+    """Just the operator tree (formatted explain repeats every node in a
+    detail section below, which would double node counts)."""
+    return p.split("\n\n", 1)[0]
+
+
+def n_nodes(p: str, name: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {name}\s*(\(|$)", p, re.M))
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {}
+
+
+class TestScanPushdown:
+    def test_q1_filter_and_columns_reach_scan(self, spark):
+        from op_etl_spark.suite.relational import q1_pricing_summary
+
+        p = plan(q1_pricing_summary(spark, SF_DIR))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+        # column pruning: projection needs 7 of 11 lineitem columns
+        read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+        assert "l_partkey" not in read and "l_suppkey" not in read
+
+    def test_asof_event_type_filter_pushed(self, spark):
+        from op_etl_spark.suite.relational import asof_join_events
+
+        p = plan(asof_join_events(spark, SF_DIR))
+        assert "In(event_type, [click,purchase])" in p
+
+    def test_range_join_scan_reads_one_column(self, spark):
+        from op_etl_spark.suite.relational import range_join_price_bands
+
+        p = plan(range_join_price_bands(spark, SF_DIR))
+        read = [l for l in p.splitlines() if "ReadSchema" in l and "orders" not in l]
+        assert any("struct<o_totalprice:double>" in l for l in read)
+
+
+class TestJoinStrategies:
+    def test_q5_dimensions_broadcast(self, spark):
+        from op_etl_spark.suite.relational import q5_nation_revenue
+
+        p = plan(q5_nation_revenue(spark, SF_DIR))
+        assert "BroadcastHashJoin" in p
+
+    def test_range_join_is_broadcast_nested_loop(self, spark):
+        from op_etl_spark.suite.relational import range_join_price_bands
+
+        p = plan(range_join_price_bands(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in p
+        # the fact table must not shuffle before the join: the only
+        # shuffle Exchange is the post-join aggregation's
+        t = tree(p)
+        shuffles = [m.start() for m in re.finditer(r"\bExchange\b", t)
+                    if not t[max(0, m.start() - 9):m.start()].startswith("Broadcast")]
+        assert len(shuffles) == 1
+        assert t.index("BroadcastNestedLoopJoin") > shuffles[0]  # deeper in tree = later line
+
+    def test_semi_join_manifest_is_semi_not_inner(self, spark):
+        from op_etl_spark.suite.relational import semi_join_manifest
+
+        p = plan(semi_join_manifest(spark, SF_DIR))
+        assert "LeftSemi" in p
+
+    def test_anti_join_is_anti(self, spark):
+        from op_etl_spark.suite.relational import anti_join_no_orders
+
+        p = plan(anti_join_no_orders(spark, SF_DIR))
+        assert "LeftAnti" in p
+
+
+class TestShuffleDiscipline:
+    def test_asof_join_has_no_join_and_one_exchange(self, spark):
+        from op_etl_spark.suite.relational import asof_join_events
+
+        p = plan(asof_join_events(spark, SF_DIR))
+        assert "Join" not in p  # window formulation, not a range join
+        assert n_nodes(p, "Exchange") == 1
+
+    def test_ngram_jaccard_scans_documents_once(self, spark):
+        from op_etl_spark.suite.dedup import ngram_jaccard_pairs
+
+        p = plan(ngram_jaccard_pairs(spark, SF_DIR))
+        assert n_nodes(p, "Scan parquet") == 1
+        assert "Join" not in p  # posting-list pair generation, no self-join
+
+    def test_minhash_lsh_scans_documents_once(self, spark):
+        from op_etl_spark.suite.dedup import minhash_lsh_candidates
+
+        p = plan(minhash_lsh_candidates(spark, SF_DIR))
+        assert n_nodes(p, "Scan parquet") == 1
+        assert "Join" not in p
+
+    def test_token_counts_is_single_narrow_scan(self, spark):
+        from op_etl_spark.suite.text import token_counts
+
+        p = plan(token_counts(spark, SF_DIR))
+        assert n_nodes(p, "Scan parquet") == 1
+        # fan_out's round-robin is the only permissible exchange; no
+        # aggregation shuffle may appear in a per-row projection
+        assert n_nodes(p, "Exchange") <= 1 and "hashpartitioning" not in p
+
+
+class TestCodegen:
+    def test_q1_aggregation_is_wholestage_codegen(self, spark):
+        from op_etl_spark.suite.relational import q1_pricing_summary
+
+        df = q1_pricing_summary(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        assert "WholeStageCodegen" in buf.getvalue()
