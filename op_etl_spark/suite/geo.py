@@ -11,6 +11,7 @@ engine's, the inputs are just reproducible.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints (PEP 563)
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -234,6 +235,149 @@ FROM j
 """
 
 
+# --- T1: Krüger-series reprojection 4326 -> 3006, oracle replays the math ---
+
+def reproject_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transverse-Mercator forward projection (the engine's replacement for
+    arcpy Project, T1) on synthetic Swedish lat/lons, via the vectorized
+    numpy kernel inside an Arrow pandas UDF. The DuckDB oracle replays the
+    identical Krüger series in SQL; both engines agree far below the mm
+    rounding (fround 3)."""
+    from pyspark.sql import types as T
+
+    from op_etl_spark.geometry.tm import geodetic_to_grid
+    from op_etl_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    ev = read_events(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+    pts = ev.select(
+        "event_id",
+        (F.lit(55.0) + (F.col("event_id") * 7919 % 13000).cast("double") / 1000.0).alias("lat"),
+        (F.lit(11.0) + (F.col("user_id") * 104729 % 13000).cast("double") / 1000.0).alias("lon"),
+    )
+
+    @F.pandas_udf(
+        T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+    )
+    def project(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        x, y = geodetic_to_grid(lat.to_numpy(), lon.to_numpy(), 3006)
+        return pd.DataFrame({"x": x, "y": y})
+
+    from ._util import fround
+
+    out = pts.withColumn("g", project("lat", "lon"))
+    return out.select(
+        "event_id",
+        fround("g.x", 3).alias("x_3006"),
+        fround("g.y", 3).alias("y_3006"),
+    )
+
+
+def _kruger_oracle_sql() -> str:
+    from op_etl_spark.geometry import tm
+
+    consts = {
+        "CA": tm._CA, "CB": tm._CB, "CC": tm._CC, "CD": tm._CD,
+        "B1": tm._BETA1, "B2": tm._BETA2, "B3": tm._BETA3, "B4": tm._BETA4,
+        # k0 * a_hat precomputed in Python — the identical IEEE product the
+        # numpy kernel folds first (left-assoc k0 * _a_hat * expr)
+        "K0AH": 0.9996 * tm._a_hat,
+    }
+    c = {k: repr(v) for k, v in consts.items()}
+    # hyperbolics inlined (DuckDB lacks sinh/cosh/atanh):
+    #   atanh(z) = ln((1+z)/(1-z))/2 ; cosh/sinh via exp
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         radians(55.0 + (event_id * 7919 % 13000) / 1000.0) AS phi,
+         radians(11.0 + (user_id * 104729 % 13000) / 1000.0) AS lam
+  FROM events WHERE event_id % 20 = 0),
+conf AS (
+  SELECT event_id, lam,
+         phi - sin(phi) * cos(phi) *
+           ({c['CA']} + {c['CB']} * pow(sin(phi), 2) + {c['CC']} * pow(sin(phi), 4)
+            + {c['CD']} * pow(sin(phi), 6)) AS phi_s
+  FROM pts),
+prim AS (
+  SELECT event_id,
+         atan2(tan(phi_s), cos(lam - radians(15.0))) AS xi,
+         ln((1 + cos(phi_s) * sin(lam - radians(15.0)))
+            / (1 - cos(phi_s) * sin(lam - radians(15.0)))) / 2 AS eta
+  FROM conf),
+grid AS (
+  SELECT event_id,
+         {c['K0AH']}::DOUBLE * (eta
+           + {c['B1']} * cos(2 * xi) * (exp(2 * eta) - exp(-2 * eta)) / 2
+           + {c['B2']} * cos(4 * xi) * (exp(4 * eta) - exp(-4 * eta)) / 2
+           + {c['B3']} * cos(6 * xi) * (exp(6 * eta) - exp(-6 * eta)) / 2
+           + {c['B4']} * cos(8 * xi) * (exp(8 * eta) - exp(-8 * eta)) / 2) + 500000.0 AS x,
+         {c['K0AH']}::DOUBLE * (xi
+           + {c['B1']} * sin(2 * xi) * (exp(2 * eta) + exp(-2 * eta)) / 2
+           + {c['B2']} * sin(4 * xi) * (exp(4 * eta) + exp(-4 * eta)) / 2
+           + {c['B3']} * sin(6 * xi) * (exp(6 * eta) + exp(-6 * eta)) / 2
+           + {c['B4']} * sin(8 * xi) * (exp(8 * eta) + exp(-8 * eta)) / 2) + 0.0 AS y
+  FROM prim)
+SELECT event_id,
+       floor(x * 1000 + 0.5) / 1000.0 AS x_3006,
+       floor(y * 1000 + 0.5) / 1000.0 AS y_3006
+FROM grid
+"""
+
+
+ORACLE_REPROJECT = _kruger_oracle_sql()
+
+
+# --- T3 (point case): clip against a convex AOI polygon (half-plane tests) ---
+
+# convex quadrilateral AOI in SWEREF99 TM (counter-clockwise)
+AOI_QUAD = [
+    (585826.0, 6550189.0),
+    (648593.0, 6555000.0),
+    (652000.0, 6611661.0),
+    (590000.0, 6605000.0),
+]
+
+
+def clip_points_convex_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon as pure column math: a point is inside iff
+    every edge's cross product has the same sign (CCW ring -> all >= 0).
+    JVM-side expression — the exact-geometry stage that runs AFTER the
+    envelope prefilter, broadcast-AOI pattern (reference T3,
+    etl/process.py:107-123)."""
+    pts = _synth_points(read_events(spark, sf_dir))
+    inside = None
+    n = len(AOI_QUAD)
+    for i in range(n):
+        (x1, y1), (x2, y2) = AOI_QUAD[i], AOI_QUAD[(i + 1) % n]
+        cross = (F.lit(x2 - x1)) * (F.col("y") - F.lit(y1)) - (
+            F.lit(y2 - y1)
+        ) * (F.col("x") - F.lit(x1))
+        cond = cross >= 0
+        inside = cond if inside is None else (inside & cond)
+    return pts.filter(inside).select("event_id", "x", "y")
+
+
+def _clip_oracle_sql() -> str:
+    conds = []
+    n = len(AOI_QUAD)
+    for i in range(n):
+        (x1, y1), (x2, y2) = AOI_QUAD[i], AOI_QUAD[(i + 1) % n]
+        conds.append(f"({x2 - x1}) * (y - {y1}) - ({y2 - y1}) * (x - {x1}) >= 0")
+    cond = "\n   AND ".join(conds)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         150000.0::DOUBLE + (event_id * 7919 % 800000) AS x,
+         6050000.0::DOUBLE + (user_id * 104729 % 1700000) AS y
+  FROM events)
+SELECT event_id, x, y FROM pts
+WHERE {cond}
+"""
+
+
+ORACLE_CLIP_POINTS = _clip_oracle_sql()
+
+
 QUERIES = {
     "slug_names": slug_names,
     "crs_parse": crs_parse,
@@ -241,6 +385,8 @@ QUERIES = {
     "magnitude_validation": magnitude_validation,
     "geometry_type_election": geometry_type_election,
     "envelope_tolerance": envelope_tolerance,
+    "reproject_points": reproject_points,
+    "clip_points_convex_aoi": clip_points_convex_aoi,
 }
 
 ORACLE = {
@@ -250,4 +396,6 @@ ORACLE = {
     "magnitude_validation": ORACLE_MAGNITUDE,
     "geometry_type_election": ORACLE_ELECTION,
     "envelope_tolerance": ORACLE_TOLERANCE,
+    "reproject_points": ORACLE_REPROJECT,
+    "clip_points_convex_aoi": ORACLE_CLIP_POINTS,
 }
