@@ -583,7 +583,20 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny build side — each orders row probes 4 bands in-memory, no
     shuffle of the fact table at all."""
     orders = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    # literal-array explode, not createDataFrame: the dim stays JVM-side
+    # (no Python-RDD conversion in the plan)
+    bands = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.lit(lo).alias("lo"), F.lit(hi).alias("hi")
+                    )
+                    for b, lo, hi in PRICE_BANDS
+                ]
+            )
+        ).alias("b")
+    ).select("b.band", "b.lo", "b.hi")
     return (
         orders.join(
             F.broadcast(bands),
