@@ -88,7 +88,9 @@ class Pipeline:
         staged = stage_features(raw)
         staging_path = f"{workspace}/staging"
         write_staged(staged, staging_path)
-        staged_back = self.spark.read.parquet(staging_path)
+        # explicit schema: an all-sources-failed run writes zero part
+        # files and schema inference on read-back would throw
+        staged_back = self.spark.read.schema(staged.schema).parquet(staging_path)
 
         # geoprocess: clip to AOI when configured (process.py:107-123);
         # zero-result sources drop out of the manifest (process.py:113-123)
@@ -101,7 +103,7 @@ class Pipeline:
             processed = staged_back
         processed_path = f"{workspace}/processed"
         processed.write.mode("overwrite").partitionBy("source_name").parquet(processed_path)
-        processed_back = self.spark.read.parquet(processed_path)
+        processed_back = self.spark.read.schema(processed.schema).parquet(processed_path)
 
         manifest = processed_back.select("source_name").distinct()
         manifest_path = f"{workspace}/processed_manifest"
@@ -109,7 +111,10 @@ class Pipeline:
 
         # load: manifest-gated truncate-and-load per source into its
         # authority dataset namespace
-        gated = gate_by_manifest(processed_back, self.spark.read.parquet(manifest_path))
+        gated = gate_by_manifest(
+            processed_back,
+            self.spark.read.schema(manifest.schema).parquet(manifest_path),
+        )
         loaded = {}
         for row in gated.select("source_name", "authority").distinct().collect():
             target = (

