@@ -19,4 +19,4 @@ Every transformation here also runs in batch mode (same DataFrame code) —
 tests assert stream results equal the batch equivalents on identical data.
 """
 
-from . import ingest, stateful, windows  # noqa: F401
+from . import dedup, ingest, stateful, windows  # noqa: F401

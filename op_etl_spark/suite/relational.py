@@ -687,6 +687,48 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- statistical aggregates: exact percentiles + correlation ---
+
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per priority class. Spark's
+    `percentile` sorts within each group — at 100 TB you'd switch to
+    `approx_percentile` (t-digest, mergeable sketch); the exact form is
+    the oracle-checkable baseline."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fround(F.percentile("o_totalprice", 0.5), 2).alias("median_value"),
+            fround(F.percentile("o_totalprice", 0.9), 2).alias("p90_value"),
+        )
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT o_orderpriority, count(*) AS n,
+       floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100.0 AS median_value,
+       floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100.0 AS p90_value
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        fround(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+    )
+
+
+ORACLE_CORR = """
+SELECT l_returnflag, count(*) AS n,
+       floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000.0 AS corr_qp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -709,6 +751,8 @@ QUERIES = {
     "range_join_price_bands": range_join_price_bands,
     "q10_returned_customers": q10_returned_customers,
     "cube_status_priority": cube_status_priority,
+    "order_value_quantiles": order_value_quantiles,
+    "corr_qty_price": corr_qty_price,
 }
 
 ORACLE = {
@@ -733,4 +777,6 @@ ORACLE = {
     "range_join_price_bands": ORACLE_RANGE_BANDS,
     "q10_returned_customers": ORACLE_Q10,
     "cube_status_priority": ORACLE_CUBE,
+    "order_value_quantiles": ORACLE_QUANTILES,
+    "corr_qty_price": ORACLE_CORR,
 }

@@ -136,6 +136,40 @@ class TestStatefulSessionize:
         assert got == want
 
 
+class TestStreamingDedup:
+    def test_duplicates_across_microbatches_dropped(self, spark, tmp_path):
+        # duplicate event_ids spread across two files/micro-batches
+        rows_a = [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00.000000", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00.000000", "user_id": 1, "event_type": "view", "value": 2.0},
+        ]
+        rows_b = [
+            {"event_id": 2, "ts": "2024-01-01 10:01:00.000000", "user_id": 1, "event_type": "view", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00.000000", "user_id": 1, "event_type": "click", "value": 3.0},
+        ]
+        d = tmp_path / "dup_stream"
+        d.mkdir()
+        for i, rows in enumerate([rows_a, rows_b]):
+            with open(d / f"f{i}.json", "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+
+        from op_etl_spark.streaming.dedup import dedup_events_stream
+
+        ev = _read_event_stream(spark, str(d), max_files=1)
+        out = dedup_events_stream(ev, keys=["event_id"], watermark="1 hour")
+        _run_to_memory(out, "dedup_stream", "append")
+        got = sorted(r.event_id for r in spark.table("dedup_stream").collect())
+        assert got == [1, 2, 3]
+
+    def test_batch_fallback_plain_dedup(self, spark):
+        from op_etl_spark.streaming.dedup import dedup_events_stream
+
+        ev = read_events(spark, SF_DIR)
+        doubled = ev.unionByName(ev)
+        assert dedup_events_stream(doubled).count() == ev.count()
+
+
 class TestFileIngest:
     GEOJSON = {
         "type": "FeatureCollection",
