@@ -21,8 +21,9 @@ import sys
 from pyspark.sql import SparkSession
 
 
-def default_connectors() -> dict:
+def default_connectors(downloads_dir: str | None = None) -> dict:
     """protocol -> (spark, source_spec) -> canonical feature DataFrame."""
+    from op_etl_spark.sources.download import process_http_source
     from op_etl_spark.sources.geojson import read_feature_files
     from op_etl_spark.sources.ogc import read_collections
     from op_etl_spark.sources.rest import read_rest_layer
@@ -78,9 +79,20 @@ def default_connectors() -> dict:
             bbox=tuple(src["bbox"]) if src.get("bbox") else None,
         )
 
+    def http_conn(spark: SparkSession, src: dict):
+        # S1/S2: land the file(s) driver-side, then parse distributed
+        paths = process_http_source(src, downloads_dir or "downloads")
+        return read_feature_files(
+            spark,
+            [
+                {"path": p, "source_name": src["name"], "authority": src["authority"]}
+                for p in paths
+            ],
+        )
+
     return {
         "file": file_conn,
-        "http": file_conn,  # post-download staging shares the file path
+        "http": http_conn,
         "rest": rest_conn,
         "ogc": ogc_conn,
         "wfs": wfs_conn,
@@ -103,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = load_config(args.config, args.sources)
     spark = get_spark("op_etl_spark-run", master=args.master)
-    pipe = Pipeline(spark, cfg, connectors=default_connectors())
+    downloads_dir = (cfg.get("workspaces") or {}).get("downloads")
+    pipe = Pipeline(spark, cfg, connectors=default_connectors(downloads_dir))
     result = pipe.run(args.workspace, authority=args.authority, stype=args.stype)
 
     n_ok = sum(1 for r in pipe.metrics_rows if r[5])

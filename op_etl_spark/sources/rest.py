@@ -204,6 +204,32 @@ def read_rest_layer(
     return plan.mapInPandas(fetch, FEATURE_DDL)
 
 
+def count_sanity_check(
+    fetcher: Fetcher,
+    layer_url: str,
+    base_params: dict,
+    small_bbox: tuple,
+    large_bbox: tuple,
+    min_ratio: float = 0.1,
+) -> dict:
+    """A5 (etl/sr_utils.py:118-142): a smaller bbox must return fewer (or
+    equal) features than a larger enclosing bbox, and not suspiciously
+    few — a ratio under `min_ratio` flags an SR mismatch (bbox interpreted
+    in the wrong CRS selects almost nothing)."""
+    counts = {}
+    for label, bbox in (("small", small_bbox), ("large", large_bbox)):
+        p = build_rest_params(base_params.get("where", "1=1"), bbox=bbox)
+        counts[label] = probe_count(fetcher, layer_url, p)
+    ratio = counts["small"] / counts["large"] if counts["large"] else 0.0
+    return {
+        "small_count": counts["small"],
+        "large_count": counts["large"],
+        "ratio": ratio,
+        "ok": counts["small"] <= counts["large"]
+        and (counts["large"] == 0 or ratio >= min_ratio),
+    }
+
+
 def discover_layers(fetcher: Fetcher, base_url: str,
                     include: list[str] | None = None) -> list[dict]:
     """Layer discovery with fnmatch include patterns
