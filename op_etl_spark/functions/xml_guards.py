@@ -6,16 +6,20 @@ bodies exceeding the element cap; returns None on any parse problem
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 MAX_XML_ELEMENTS = 10_000
+
+# whole-body scan: a DOCTYPE pushed past any fixed-size head window (e.g.
+# behind a long comment) must still be rejected
+_DOCTYPE_RE = re.compile(r"<!(?:DOCTYPE|ENTITY)", re.IGNORECASE)
 
 
 def safe_xml_parse(body: str):
     if body is None:
         return None
-    head = body[:4096].upper()
-    if "<!DOCTYPE" in head or "<!ENTITY" in head:
+    if _DOCTYPE_RE.search(body):
         return None
     try:
         root = ET.fromstring(body)

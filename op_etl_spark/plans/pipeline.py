@@ -21,7 +21,7 @@ from op_etl_spark.operators.metrics import METRICS_SCHEMA
 from op_etl_spark.sinks.load import dataset_for_authority, gate_by_manifest, truncate_and_load
 from op_etl_spark.sources.schema import FEATURE_DDL
 
-from .staging import stage_features, write_staged
+from .staging import stage_features
 
 PROTOCOL_ORDER = ["http", "file", "atom", "ogc", "wfs", "rest"]
 
@@ -40,26 +40,50 @@ class Pipeline:
         self.connectors = connectors or {}
         self.metrics_rows: list[tuple] = []
 
-    # --- download/extract ---
+    # --- download/extract + stage (one execution per source) ---
 
-    def extract(self, sources: list[dict]) -> DataFrame:
+    def extract_and_stage(self, sources: list[dict], staging_path: str) -> DataFrame:
         """Run every source through its protocol connector (reference
-        protocol order), union the canonical outputs, record metrics."""
+        protocol order), stage it, and MATERIALIZE it to its own staging
+        subdirectory inside the per-source try block.
+
+        The write is the single execution of the source's fetch DAG —
+        remote services are hit exactly once (a count-then-write shape
+        would fetch everything twice), the feature count comes from the
+        written parquet footers (metadata, no re-fetch), and an executor
+        failure during the fetch surfaces HERE, attributed to its source,
+        instead of exploding later under the unioned write."""
         ordered = sorted(
             sources,
             key=lambda s: PROTOCOL_ORDER.index(s["type"])
             if s["type"] in PROTOCOL_ORDER
             else 99,
         )
-        out: DataFrame | None = None
+        staged_schema = stage_features(
+            self.spark.createDataFrame([], FEATURE_DDL)
+        ).schema
         for src in ordered:
             conn = self.connectors.get(src["type"])
             start = time.time()
             try:
                 if conn is None:
                     raise ValueError(f"no connector for type {src['type']}")
-                df = conn(self.spark, src)
-                n = df.count()
+                staged = stage_features(conn(self.spark, src))
+                # dynamic partition overwrite: this source's partitions are
+                # replaced, other sources' partitions untouched — the whole
+                # staging path stays ONE normally-readable partitioned table
+                (
+                    staged.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("source_name")
+                    .parquet(staging_path)
+                )
+                n = (
+                    self.spark.read.schema(staged_schema)
+                    .parquet(staging_path)
+                    .filter(F.col("source_name") == src["name"])
+                    .count()
+                )
                 self.metrics_rows.append(
                     (src["name"], src["authority"], src["type"], start,
                      time.time(), True, None, None, n, 1, None, 0)
@@ -71,10 +95,10 @@ class Pipeline:
                      0, 0, None, 0)
                 )
                 continue
-            out = df if out is None else out.unionByName(df)
-        if out is None:
-            out = self.spark.createDataFrame([], FEATURE_DDL)
-        return out
+        import os
+
+        os.makedirs(staging_path, exist_ok=True)  # empty run: readable dir
+        return self.spark.read.schema(staged_schema).parquet(staging_path)
 
     # --- stages ---
 
@@ -82,15 +106,10 @@ class Pipeline:
             stype: str | None = None) -> dict:
         from op_etl_spark.config.loader import enabled_sources
 
+        self.metrics_rows = []  # a fresh run reports its own sources only
         sources = enabled_sources(self.cfg, authority, stype)
-        raw = self.extract(sources)
-
-        staged = stage_features(raw)
         staging_path = f"{workspace}/staging"
-        write_staged(staged, staging_path)
-        # explicit schema: an all-sources-failed run writes zero part
-        # files and schema inference on read-back would throw
-        staged_back = self.spark.read.schema(staged.schema).parquet(staging_path)
+        staged_back = self.extract_and_stage(sources, staging_path)
 
         # geoprocess: clip to AOI when configured (process.py:107-123);
         # zero-result sources drop out of the manifest (process.py:113-123)

@@ -74,7 +74,19 @@ def ensure_shipped(spark: SparkSession) -> None:
     os.makedirs(staging, exist_ok=True)
     zip_base = os.path.join(staging, "op_etl_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+
+    def _newest_source_mtime() -> float:
+        newest = 0.0
+        for root, _dirs, names in os.walk(pkg_dir):
+            for n in names:
+                if n.endswith(".py"):
+                    newest = max(newest, os.path.getmtime(os.path.join(root, n)))
+        return newest
+
+    # the zip is cached across processes — REBUILD when any package source
+    # is newer, or a stale zip (missing newly added modules) ships forever
+    if (not os.path.exists(zip_path)
+            or os.path.getmtime(zip_path) < _newest_source_mtime()):
         shutil.make_archive(zip_base, "zip",
                             root_dir=os.path.dirname(pkg_dir),
                             base_dir=os.path.basename(pkg_dir))

@@ -63,8 +63,10 @@ def parse_feed(body: str, filter_services: bool = True) -> list[AtomRoute]:
             rel = link.get("rel", "")
             ltype = link.get("type", "")
             if rel == "enclosure" or "zip" in ltype:
-                kind = detect_service_kind(href) if filter_services else "file"
-                routes.append(AtomRoute(kind if kind != "file" else "file", href, title))
+                # an enclosure IS the download — never re-route it through
+                # service detection (a zip served from /wfs/export/... is
+                # still a zip); detection applies to the OTHER entry links
+                routes.append(AtomRoute("file", href, title))
             elif filter_services:
                 kind = detect_service_kind(href)
                 if kind != "file":

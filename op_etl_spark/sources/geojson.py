@@ -101,9 +101,19 @@ def _parse_zip(path: str, source_name: str, authority: str):
     import tempfile
     import zipfile
 
+    max_extract = 5000 * 1024 * 1024  # mirror the download cap (http_utils.py:40)
     with tempfile.TemporaryDirectory() as tmp:
         try:
             with zipfile.ZipFile(path) as z:
+                # zip-bomb guard: declared expansion size capped BEFORE
+                # extraction, and no absolute/parent-escaping members
+                infos = z.infolist()
+                if sum(i.file_size for i in infos) > max_extract:
+                    return
+                for i in infos:
+                    name = i.filename
+                    if name.startswith(("/", "\\")) or ".." in name.split("/"):
+                        return
                 z.extractall(tmp)
         except zipfile.BadZipFile:
             return
@@ -116,7 +126,13 @@ def _parse_zip(path: str, source_name: str, authority: str):
                     candidates.append(os.path.join(root, n))
         candidates.sort(key=lambda p: (prio[os.path.splitext(p)[1].lower()], p))
         for cand in candidates:
-            rows = list(_parse_one_file(cand, source_name, authority))
+            try:
+                rows = list(_parse_one_file(cand, source_name, authority))
+            except Exception:
+                # first candidate YIELDING ROWS wins (stage_files.py:654-673):
+                # an unreadable candidate (AppleDouble ._foo.shp, corrupt
+                # gpkg) must fall through to the next, not kill the task
+                continue
             if rows:
                 yield from rows
                 return
@@ -131,10 +147,11 @@ def _parse_one_file(path: str, source_name: str, authority: str):
         for i, (gt, coords, props, epsg) in enumerate(_parse_vector_file(path)):
             try:
                 wkb = wkb_dumps(gt, coords)
+                env = _envelope(gt, coords)  # inside: empty coords raise too
             except (ValueError, KeyError, TypeError, IndexError):
                 continue
             yield (i, source_name, authority, gt, wkb,
-                   _envelope(gt, coords), int(epsg),
+                   env, int(epsg),
                    _props_to_str_map(props))
         return
 
@@ -176,9 +193,13 @@ def parse_json_content(raw: bytes | str, source_name: str, authority: str):
             gt, coords = _esri_geometry(feat.get("geometry"))
             if gt is None:
                 continue
-            wkb = wkb_dumps(gt, coords)
+            try:
+                wkb = wkb_dumps(gt, coords)
+                env = _envelope(gt, coords)
+            except (ValueError, KeyError, TypeError, IndexError):
+                continue
             yield (i, source_name, authority, gt, wkb,
-                   _envelope(gt, coords), int(sr),
+                   env, int(sr),
                    _props_to_str_map(feat.get("attributes")))
     else:
         crs = _detect_geojson_crs(doc)
@@ -189,10 +210,11 @@ def parse_json_content(raw: bytes | str, source_name: str, authority: str):
                 continue
             try:
                 wkb = wkb_dumps(gt, coords)
+                env = _envelope(gt, coords)
             except (ValueError, KeyError, TypeError, IndexError):
                 continue
             yield (i, source_name, authority, gt, wkb,
-                   _envelope(gt, coords), crs,
+                   env, crs,
                    _props_to_str_map(feat.get("properties")))
 
 

@@ -57,7 +57,16 @@ def read_gpkg(path: str, table: str | None = None):
     tables = list_feature_tables(path)
     if not tables:
         return
-    chosen = next((t for t in tables if t["table"] == table), tables[0])
+    if table is None:
+        chosen = tables[0]
+    else:
+        chosen = next((t for t in tables if t["table"] == table), None)
+        if chosen is None:
+            # a named layer that doesn't exist is an error, not a silent
+            # read of whichever table happens to be first
+            raise KeyError(
+                f"layer {table!r} not in {path}: {[t['table'] for t in tables]}"
+            )
     con = sqlite3.connect(path)
     con.row_factory = sqlite3.Row
     try:

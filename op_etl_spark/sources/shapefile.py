@@ -73,16 +73,62 @@ def read_shp(path: str):
         elif shape_type in _SHAPE_POLYGON:
             num_parts, num_points = struct.unpack_from("<2i", buf, p + 32)
             rings, _ = _parts_to_lists(buf, p + 40, num_parts, num_points)
-            yield "Polygon", rings
+            yield _assemble_polygons(rings)
         off = rec_end
+
+
+def _signed_area(ring) -> float:
+    s = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def _point_in_ring(pt, ring) -> bool:
+    x, y = pt
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def _assemble_polygons(rings):
+    """Shapefile rings -> Polygon or MultiPolygon.
+
+    The shapefile spec stores outer rings CLOCKWISE (negative shoelace
+    area) and holes counter-clockwise, with no nesting structure — a
+    record holding two islands has two CW rings. Emitting all rings as
+    one GeoJSON Polygon would turn the second island into a HOLE of the
+    first (GeoJSON ring 2..n are interior), so multiple outers must
+    become a MultiPolygon with holes assigned by containment."""
+    outers = [r for r in rings if _signed_area(r) < 0]
+    holes = [r for r in rings if _signed_area(r) >= 0]
+    if len(outers) <= 1:
+        ordered = (outers + holes) if outers else rings
+        return "Polygon", ordered
+    polys = [[o] for o in outers]
+    for h in holes:
+        for poly in polys:
+            if h and _point_in_ring(h[0], poly[0]):
+                poly.append(h)
+                break
+        else:
+            polys[0].append(h)  # orphan hole: keep, attached to first
+    return "MultiPolygon", polys
 
 
 def read_dbf(path: str):
     """Yield one {field: str} dict per record (dBase III, deleted rows
-    skipped; values returned as trimmed strings — schema-on-read)."""
+    skipped; values returned as trimmed strings — schema-on-read).
+    A missing sidecar yields nothing (finite — callers pair with
+    zip_longest, see read_shapefile)."""
     if not os.path.exists(path):
-        while True:
-            yield {}
+        return
     with open(path, "rb") as f:
         buf = f.read()
     n_records = struct.unpack_from("<i", buf, 4)[0]
@@ -135,7 +181,13 @@ def detect_prj_epsg(path: str, default: int = 3006) -> int:
 
 def read_shapefile(path: str):
     """Full shapefile -> yields (geom_type, coords, props, epsg)."""
+    from itertools import zip_longest
+
     epsg = detect_prj_epsg(path)
     dbf = read_dbf(os.path.splitext(path)[0] + ".dbf")
-    for (gt, coords), props in zip(read_shp(path), dbf):
-        yield gt, coords, props, epsg
+    # zip_longest: a missing/short .dbf must not truncate geometry records
+    for shape, props in zip_longest(read_shp(path), dbf):
+        if shape is None:  # more attribute rows than shapes: ignore extras
+            continue
+        gt, coords = shape
+        yield gt, coords, props or {}, epsg

@@ -94,6 +94,10 @@ def _parse_wfs_body(body: str, srs_name: str):
     try:
         doc = json.loads(body)
     except ValueError:
+        if "ExceptionReport" in body[:4096]:
+            # OWS error served with HTTP 200: raise so the source records
+            # a FAILURE, not a silent success-with-zero-rows
+            raise ValueError(f"WFS ExceptionReport: {body[:300]!r}") from None
         for gt, coords, props in _gml_features(body):
             yield gt, coords, props, default_epsg
         return
@@ -145,9 +149,9 @@ def read_wfs(
                 ):
                     try:
                         wkb = wkb_dumps(gt, coords)
+                        env = _envelope(gt, coords)  # empty coords raise here
                     except (ValueError, KeyError, TypeError, IndexError):
                         continue
-                    env = _envelope(gt, coords)
                     rows.append(
                         {
                             "feature_id": i,

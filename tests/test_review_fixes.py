@@ -1,0 +1,222 @@
+"""Regression tests for defects found in the connector-layer review:
+XML guard bypass, Atom enclosure mis-routing, shapefile multi-island
+polygons, GPKG silent wrong-table fallback, missing-.dbf truncation, ZIP
+candidate fall-through, WFS ExceptionReport silent-success."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zipfile
+
+import pytest
+
+from op_etl_spark.functions.xml_guards import safe_xml_parse
+from op_etl_spark.sources.atom import parse_feed
+from op_etl_spark.sources.shapefile import _assemble_polygons, read_shapefile
+from op_etl_spark.sources.wfs import _parse_wfs_body
+
+
+class TestXmlGuardBypass:
+    def test_doctype_beyond_4k_still_rejected(self):
+        pad = "<!-- " + "x" * 5000 + " -->"
+        body = (
+            f"{pad}<!DOCTYPE lolz [<!ENTITY a 'aaaa'>]>"
+            "<feed><entry>&a;</entry></feed>"
+        )
+        assert safe_xml_parse(body) is None
+
+    def test_lowercase_doctype_rejected(self):
+        assert safe_xml_parse("<!doctype x [<!entity a 'b'>]><r>&a;</r>") is None
+
+    def test_plain_feed_still_parses(self):
+        assert safe_xml_parse("<feed><entry/></feed>") is not None
+
+
+class TestAtomEnclosureRouting:
+    FEED = """<?xml version="1.0"?>
+    <feed xmlns="http://www.w3.org/2005/Atom">
+      <entry>
+        <title>reservat</title>
+        <link rel="enclosure" type="application/zip"
+              href="https://geo.example.se/wfs/export/naturreservat.zip"/>
+        <link rel="alternate" href="https://geo.example.se/wfs?service=WFS"/>
+      </entry>
+    </feed>"""
+
+    def test_zip_enclosure_is_file_even_on_wfs_path(self):
+        routes = parse_feed(self.FEED, filter_services=True)
+        by_url = {r.url: r.kind for r in routes}
+        assert by_url["https://geo.example.se/wfs/export/naturreservat.zip"] == "file"
+        assert by_url["https://geo.example.se/wfs?service=WFS"] == "wfs"
+
+
+class TestShapefilePolygons:
+    # CW ring (shapefile outer), y-up shoelace negative
+    def _cw(self, x0, y0, s=10.0):
+        return [[x0, y0], [x0, y0 + s], [x0 + s, y0 + s], [x0 + s, y0], [x0, y0]]
+
+    def _ccw(self, x0, y0, s=2.0):
+        return [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+
+    def test_two_islands_become_multipolygon(self):
+        gt, coords = _assemble_polygons([self._cw(0, 0), self._cw(100, 100)])
+        assert gt == "MultiPolygon"
+        assert len(coords) == 2 and all(len(p) == 1 for p in coords)
+
+    def test_hole_assigned_to_containing_island(self):
+        islands = [self._cw(0, 0), self._cw(100, 100)]
+        hole = self._ccw(102, 102)
+        gt, coords = _assemble_polygons(islands + [hole])
+        assert gt == "MultiPolygon"
+        with_hole = [p for p in coords if len(p) == 2]
+        assert len(with_hole) == 1
+        assert with_hole[0][0][0] == [100, 100]
+
+    def test_single_ring_stays_polygon(self):
+        gt, coords = _assemble_polygons([self._cw(0, 0)])
+        assert gt == "Polygon" and len(coords) == 1
+
+
+def _write_minimal_shp(path, points):
+    """One-point-per-record shapefile (type 1)."""
+    records = b""
+    for i, (x, y) in enumerate(points, 1):
+        content = struct.pack("<i2d", 1, x, y)
+        records += struct.pack(">2i", i, len(content) // 2) + content
+    header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    header += struct.pack(">i", (100 + len(records)) // 2)
+    header += struct.pack("<2i", 1000, 1)
+    header += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(header + records)
+
+
+class TestShapefileSidecars:
+    def test_missing_dbf_does_not_truncate_geometries(self, tmp_path):
+        shp = tmp_path / "pts.shp"
+        _write_minimal_shp(str(shp), [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)])
+        rows = list(read_shapefile(str(shp)))
+        assert len(rows) == 3
+        assert all(props == {} for _, _, props, _ in rows)
+        assert rows[0][3] == 3006  # assume-3006 default
+
+
+class TestGpkgMissingTable:
+    def test_named_missing_layer_raises(self, tmp_path):
+        import sqlite3
+
+        from op_etl_spark.sources.gpkg import read_gpkg
+
+        db = tmp_path / "x.gpkg"
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, srs_id INT)"
+        )
+        con.execute("INSERT INTO gpkg_contents VALUES ('roads', 'features')")
+        con.execute("INSERT INTO gpkg_geometry_columns VALUES ('roads', 'geom', 3006)")
+        con.execute("CREATE TABLE roads (fid INT, geom BLOB)")
+        con.commit()
+        con.close()
+        with pytest.raises(KeyError, match="nosuch"):
+            list(read_gpkg(str(db), table="nosuch"))
+
+
+class TestZipCandidateFallthrough:
+    def test_unreadable_first_candidate_falls_through(self, tmp_path):
+        from op_etl_spark.sources.geojson import _parse_one_file
+
+        buf = io.BytesIO()
+        good = {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                 "properties": {}}
+            ],
+        }
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("_bad.shp", b"\x00\x01 not a shapefile")  # sorts first
+            z.writestr("data.geojson", json.dumps(good))
+        p = tmp_path / "pkg.zip"
+        p.write_bytes(buf.getvalue())
+        rows = list(_parse_one_file(str(p), "s", "a"))
+        assert len(rows) == 1 and rows[0][3] == "Point"
+
+    def test_zip_bomb_declared_size_rejected(self, tmp_path):
+        from op_etl_spark.sources.geojson import _parse_zip
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            info = zipfile.ZipInfo("huge.json")
+            info.file_size = 6000 * 1024 * 1024  # declared 6 GB
+            # craft header only; write small body under a lying header is
+            # complex — emulate by monkeypatching infolist below instead
+            z.writestr("huge.json", "{}")
+        p = tmp_path / "b.zip"
+        p.write_bytes(buf.getvalue())
+
+        import op_etl_spark.sources.geojson as gj
+
+        orig = zipfile.ZipFile.infolist
+
+        def lying_infolist(self):
+            infos = orig(self)
+            for i in infos:
+                i.file_size = 6000 * 1024 * 1024
+            return infos
+
+        zipfile.ZipFile.infolist = lying_infolist
+        try:
+            assert list(gj._parse_zip(str(p), "s", "a")) == []
+        finally:
+            zipfile.ZipFile.infolist = orig
+
+    def test_path_traversal_member_rejected(self, tmp_path):
+        from op_etl_spark.sources.geojson import _parse_zip
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("../escape.json", "{}")
+        p = tmp_path / "t.zip"
+        p.write_bytes(buf.getvalue())
+        assert list(_parse_zip(str(p), "s", "a")) == []
+        assert not os.path.exists(tmp_path.parent / "escape.json")
+
+
+class TestWfsExceptionReport:
+    def test_exception_report_raises_not_silent_zero(self):
+        body = (
+            '<?xml version="1.0"?><ows:ExceptionReport '
+            'xmlns:ows="http://www.opengis.net/ows/1.1">'
+            "<ows:Exception exceptionCode=\"InvalidParameterValue\"/>"
+            "</ows:ExceptionReport>"
+        )
+        with pytest.raises(ValueError, match="ExceptionReport"):
+            list(_parse_wfs_body(body, "EPSG:3006"))
+
+    def test_empty_coordinates_skipped_not_crash(self):
+        body = json.dumps(
+            {
+                "type": "FeatureCollection",
+                "features": [
+                    {"type": "Feature",
+                     "geometry": {"type": "LineString", "coordinates": []},
+                     "properties": {}},
+                    {"type": "Feature",
+                     "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                     "properties": {}},
+                ],
+            }
+        )
+        rows = list(_parse_wfs_body(body, "EPSG:3006"))
+        # parser yields both; the connector's wkb/envelope guard drops the
+        # empty one — checked via the geojson path which shares the guard
+        from op_etl_spark.sources.geojson import parse_json_content
+
+        out = list(parse_json_content(body, "s", "a"))
+        assert len(out) == 1 and out[0][3] == "Point"
+        assert len(rows) == 2
