@@ -60,14 +60,22 @@ def salted_agg(
     )
 
     def recombine(name: str, expr: Column) -> Column:
-        # sum/count partials re-merge with SUM; min/max with themselves
-        fn_name = expr._jc.toString().split("(")[0].lower()
+        # sum/count partials re-merge with SUM; min/max with themselves.
+        # str(Column) works on classic AND Connect (no private _jc).
+        fn_name = str(expr).split("'", 1)[-1].split("(")[0].strip().lower()
         p = F.col(f"_p_{name}")
-        if fn_name.startswith(("min",)):
+        if fn_name == "min":
             return F.min(p).alias(name)
-        if fn_name.startswith(("max",)):
+        if fn_name == "max":
             return F.max(p).alias(name)
-        return F.sum(p).alias(name)
+        if fn_name in ("sum", "count"):
+            return F.sum(p).alias(name)
+        # avg, count(DISTINCT), stddev, ... do NOT re-merge by summing
+        # partials; silently mis-aggregating is worse than refusing
+        raise ValueError(
+            f"salted_agg cannot re-combine {fn_name!r} for {name!r}: only "
+            "sum/count/min/max are decomposable; rewrite avg as sum+count"
+        )
 
     return partial.groupBy(key).agg(
         *[recombine(name, expr) for name, expr in aggs.items()]

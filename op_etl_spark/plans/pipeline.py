@@ -98,7 +98,16 @@ class Pipeline:
         import os
 
         os.makedirs(staging_path, exist_ok=True)  # empty run: readable dir
-        return self.spark.read.schema(staged_schema).parquet(staging_path)
+        # restrict to THIS run's selection: dynamic overwrite preserves
+        # other sources' partitions (good for incremental refresh), but a
+        # filtered/repeat run must not re-process stale partitions from
+        # sources outside its --authority/--type selection
+        names = [s["name"] for s in sources]
+        return (
+            self.spark.read.schema(staged_schema)
+            .parquet(staging_path)
+            .filter(F.col("source_name").isin(names) if names else F.lit(False))
+        )
 
     # --- stages ---
 

@@ -90,9 +90,49 @@ def default_connectors(downloads_dir: str | None = None) -> dict:
             ],
         )
 
+    def atom_conn(spark: SparkSession, src: dict):
+        # S12: parse the feed driver-side, then dispatch each route to
+        # the matching connector; file enclosures download + parse
+        from op_etl_spark.sources.atom import read_atom_routes
+        from op_etl_spark.sources.download import download_file, extract_zip, select_candidates
+        from op_etl_spark.sources.schema import FEATURE_DDL
+
+        routes = read_atom_routes(default_text_fetcher, src["url"])
+        out_dir = f"{downloads_dir or 'downloads'}/{src.get('authority', '')}"
+        dfs = []
+        for route in routes:
+            routed = dict(src, url=route.url)
+            if route.kind == "file":
+                path = download_file(route.url, out_dir)
+                paths = (
+                    select_candidates(extract_zip(path))
+                    if path.endswith(".zip")
+                    else [path]
+                )
+                dfs.append(
+                    read_feature_files(
+                        spark,
+                        [{"path": p, "source_name": src["name"],
+                          "authority": src["authority"]} for p in paths],
+                    )
+                )
+            elif route.kind == "wfs":
+                dfs.append(wfs_conn(spark, routed))
+            elif route.kind == "ogc":
+                dfs.append(ogc_conn(spark, routed))
+            elif route.kind == "rest":
+                dfs.append(rest_conn(spark, routed))
+        if not dfs:
+            return spark.createDataFrame([], FEATURE_DDL)
+        result = dfs[0]
+        for extra in dfs[1:]:
+            result = result.unionByName(extra)
+        return result
+
     return {
         "file": file_conn,
         "http": http_conn,
+        "atom": atom_conn,
         "rest": rest_conn,
         "ogc": ogc_conn,
         "wfs": wfs_conn,

@@ -49,13 +49,20 @@ def validate_content(body: bytes, url: str = "") -> None:
 
 
 def _dest_path(out_dir: str, name: str, now: Callable[[], float] = time.time) -> str:
-    """Timestamp-suffix on collision (F5) instead of overwrite."""
+    """Timestamp-suffix on collision (F5) instead of overwrite; a counter
+    breaks same-second ties (three downloads of one basename within a
+    second must land as three files, never overwrite)."""
     path = os.path.join(out_dir, name)
     if not os.path.exists(path):
         return path
     stem, ext = os.path.splitext(name)
     stamp = time.strftime("%Y%m%d-%H%M%S", time.gmtime(now()))
-    return os.path.join(out_dir, f"{stem}_{stamp}{ext}")
+    candidate = os.path.join(out_dir, f"{stem}_{stamp}{ext}")
+    k = 1
+    while os.path.exists(candidate):
+        candidate = os.path.join(out_dir, f"{stem}_{stamp}-{k}{ext}")
+        k += 1
+    return candidate
 
 
 def download_file(
@@ -79,16 +86,43 @@ def download_file(
 
 
 def extract_zip(path: str) -> list[str]:
-    """S3: expand an archive next to itself; returns extracted paths."""
+    """S3: expand an archive next to itself; returns extracted paths.
+
+    Same zip-bomb discipline as the executor-side parser: declared
+    expansion size capped BEFORE extraction, traversal members rejected —
+    this driver-side path touches the untrusted archive first."""
     out_root = os.path.splitext(path)[0]
     extracted = []
     with zipfile.ZipFile(path) as z:
-        for member in z.namelist():
-            if member.endswith("/"):
-                continue
-            target = z.extract(member, out_root)
+        infos = [i for i in z.infolist() if not i.filename.endswith("/")]
+        if sum(i.file_size for i in infos) > MAX_DOWNLOAD_BYTES:
+            raise ValueError(f"archive declares expansion over size cap: {path}")
+        for i in infos:
+            name = i.filename
+            if name.startswith(("/", "\\")) or ".." in name.split("/"):
+                raise ValueError(f"archive member escapes extraction root: {name}")
+        for i in infos:
+            target = z.extract(i, out_root)
             extracted.append(target)
     return extracted
+
+
+def select_candidates(paths: list[str]) -> list[str]:
+    """S14 priority + stem-dedup over landed/extracted files: one file per
+    stem, best extension wins (.gpkg > .geojson > .json > .shp) — a zip
+    shipping the same layer as both .gpkg and .shp must not be parsed
+    twice (duplicated features under one source_name)."""
+    prio = {".gpkg": 0, ".geojson": 1, ".json": 2, ".shp": 3, ".zip": 4}
+    best: dict[str, str] = {}
+    for p in paths:
+        stem, ext = os.path.splitext(os.path.basename(p))
+        e = ext.lower()
+        if e not in prio:
+            continue
+        cur = best.get(stem)
+        if cur is None or prio[e] < prio[os.path.splitext(cur)[1].lower()]:
+            best[stem] = p
+    return sorted(best.values())
 
 
 def process_http_source(
@@ -112,7 +146,7 @@ def process_http_source(
     for u in urls:
         path = download_file(u, out_dir, fetch_bytes=fetch_bytes)
         if path.endswith(".zip"):
-            landed.extend(extract_zip(path))
+            landed.extend(select_candidates(extract_zip(path)))
         else:
             landed.append(path)
     return landed

@@ -22,7 +22,8 @@ def _fetch_bytes(url: str, params: dict) -> bytes:
     qs = urllib.parse.urlencode(params)
     full = f"{url}?{qs}" if qs else url
     last: Exception | None = None
-    for attempt in range(5):
+    tries = 5
+    for attempt in range(tries):
         try:
             with urllib.request.urlopen(full, timeout=60) as resp:
                 body = resp.read(MAX_RESPONSE_BYTES + 1)
@@ -35,7 +36,8 @@ def _fetch_bytes(url: str, params: dict) -> bytes:
                 raise
         except (urllib.error.URLError, TimeoutError) as e:
             last = e
-        time.sleep(0.5 * (2 ** attempt))
+        if attempt < tries - 1:  # no pointless sleep after the final try
+            time.sleep(0.5 * (2 ** attempt))
     raise RuntimeError(f"fetch failed after retries: {full}") from last
 
 

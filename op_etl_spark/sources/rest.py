@@ -41,29 +41,13 @@ Fetcher = Callable[[str, dict], dict]
 
 
 def default_fetcher(url: str, params: dict) -> dict:
-    """urllib-based fetcher with the reference's retry policy
+    """urllib-based JSON fetcher with the reference's retry policy
     (etl/http_utils.py:170-179: 5 tries, backoff 0.5, retry on
-    429/500/502/503/504)."""
-    import time
-    import urllib.error
-    import urllib.parse
-    import urllib.request
+    429/500/502/503/504) — one retry implementation, shared via
+    sources.fetchers."""
+    from .fetchers import default_json_fetcher
 
-    qs = urllib.parse.urlencode(params)
-    full = f"{url}?{qs}"
-    last: Exception | None = None
-    for attempt in range(5):
-        try:
-            with urllib.request.urlopen(full, timeout=60) as resp:
-                return json.loads(resp.read())
-        except urllib.error.HTTPError as e:
-            last = e
-            if e.code not in (429, 500, 502, 503, 504):
-                raise
-        except (urllib.error.URLError, TimeoutError) as e:
-            last = e
-        time.sleep(0.5 * (2 ** attempt))
-    raise RuntimeError(f"fetch failed after retries: {full}") from last
+    return default_json_fetcher(url, params)
 
 
 def build_rest_params(

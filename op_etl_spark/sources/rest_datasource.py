@@ -181,24 +181,35 @@ class ArcGISRestReader(DataSourceReader):
         from .geojson import _esri_geometry
 
         fetcher = _resolve_fetcher(self.fetcher_spec)
-        doc = fetcher(
-            f"{self.url}/query",
-            {
-                "where": partition.where,
-                "outFields": ",".join(self.attr_fields) or "*",
-                "returnGeometry": "true",
-                "f": "json",
-            },
-        )
         want_geom = len(self.attr_fields) != len(self.schema_.fields)
-        for feat in doc.get("features") or []:
-            attrs = feat.get("attributes") or {}
-            row = [attrs.get(name) for name in self.attr_fields]
-            if want_geom:
-                gt, coords = _esri_geometry(feat.get("geometry"))
-                row.append(gt)
-                row.append(wkb_dumps(gt, coords) if gt is not None else None)
-            yield tuple(row)
+        # a server whose maxRecordCount is below our page_size truncates
+        # the OID batch and sets exceededTransferLimit — re-page WITHIN the
+        # batch by resultOffset until the server stops truncating
+        offset = 0
+        while True:
+            doc = fetcher(
+                f"{self.url}/query",
+                {
+                    "where": partition.where,
+                    "outFields": ",".join(self.attr_fields) or "*",
+                    "returnGeometry": "true",
+                    "resultOffset": offset,
+                    "resultRecordCount": self.page_size,
+                    "f": "json",
+                },
+            )
+            feats = doc.get("features") or []
+            for feat in feats:
+                attrs = feat.get("attributes") or {}
+                row = [attrs.get(name) for name in self.attr_fields]
+                if want_geom:
+                    gt, coords = _esri_geometry(feat.get("geometry"))
+                    row.append(gt)
+                    row.append(wkb_dumps(gt, coords) if gt is not None else None)
+                yield tuple(row)
+            if not doc.get("exceededTransferLimit") or not feats:
+                return
+            offset += len(feats)
 
 
 class ArcGISRestDataSource(DataSource):

@@ -94,7 +94,7 @@ def _parse_wfs_body(body: str, srs_name: str):
     try:
         doc = json.loads(body)
     except ValueError:
-        if "ExceptionReport" in body[:4096]:
+        if "ExceptionReport" in body:  # whole body: no fixed-window bypass
             # OWS error served with HTTP 200: raise so the source records
             # a FAILURE, not a silent success-with-zero-rows
             raise ValueError(f"WFS ExceptionReport: {body[:300]!r}") from None

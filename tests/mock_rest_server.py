@@ -44,6 +44,22 @@ def _eval_where(where: str, row: dict) -> bool:
     return bool(eval(expr, {"__builtins__": {}}, dict(row)))  # noqa: S307 - test-only
 
 
+def fetch_truncating(url: str, params: dict) -> dict:
+    """Like `fetch` but emulates a server whose maxRecordCount is 10:
+    query responses are truncated to 10 rows past resultOffset with
+    exceededTransferLimit=true — the reader must re-page within a batch."""
+    doc = fetch(url, params)
+    if "features" not in doc:
+        return doc
+    offset = int(params.get("resultOffset", 0))
+    window = doc["features"][offset : offset + 10]
+    truncated = offset + 10 < len(doc["features"])
+    out = dict(doc, features=window)
+    if truncated:
+        out["exceededTransferLimit"] = True
+    return out
+
+
 def fetch(url: str, params: dict) -> dict:
     if not url.endswith("/query"):
         return {

@@ -94,8 +94,9 @@ class TestHttpSource:
             str(tmp_path),
             fetch_bytes=lambda u: body,
         )
-        assert len(landed) == 2
-        assert any(p.endswith("layer.geojson") for p in landed)
+        # priority selection keeps only parseable geo candidates
+        assert len(landed) == 1
+        assert landed[0].endswith("layer.geojson")
 
     def test_extract_zip_skips_dirs(self, tmp_path):
         buf = io.BytesIO()

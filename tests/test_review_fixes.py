@@ -187,6 +187,145 @@ class TestZipCandidateFallthrough:
         assert not os.path.exists(tmp_path.parent / "escape.json")
 
 
+class TestSecondReviewBatch:
+    def test_select_candidates_dedups_same_layer_formats(self):
+        from op_etl_spark.sources.download import select_candidates
+
+        out = select_candidates(
+            ["/x/roads.shp", "/x/roads.gpkg", "/x/rivers.geojson", "/x/readme.txt"]
+        )
+        assert out == ["/x/rivers.geojson", "/x/roads.gpkg"]
+
+    def test_dest_path_triple_collision_never_overwrites(self, tmp_path):
+        from op_etl_spark.sources.download import _dest_path
+
+        fixed = lambda: 1700000000.0  # noqa: E731 - frozen clock, same second
+        p1 = _dest_path(str(tmp_path), "a.zip", now=fixed)
+        open(p1, "w").write("1")
+        p2 = _dest_path(str(tmp_path), "a.zip", now=fixed)
+        open(p2, "w").write("2")
+        p3 = _dest_path(str(tmp_path), "a.zip", now=fixed)
+        open(p3, "w").write("3")
+        assert len({p1, p2, p3}) == 3
+        assert sorted(f.read_text() for f in tmp_path.iterdir()) == ["1", "2", "3"]
+
+    def test_driver_extract_zip_rejects_bomb(self, tmp_path):
+        from op_etl_spark.sources.download import extract_zip
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("x.json", "{}")
+        p = tmp_path / "b.zip"
+        p.write_bytes(buf.getvalue())
+
+        orig = zipfile.ZipFile.infolist
+
+        def lying(self):
+            infos = orig(self)
+            for i in infos:
+                i.file_size = 6000 * 1024 * 1024
+            return infos
+
+        zipfile.ZipFile.infolist = lying
+        try:
+            with pytest.raises(ValueError, match="size cap"):
+                extract_zip(str(p))
+        finally:
+            zipfile.ZipFile.infolist = orig
+
+    def test_salted_agg_refuses_non_decomposable(self, spark):
+        from pyspark.sql import functions as F
+
+        from op_etl_spark.operators.scale import salted_agg
+        from op_etl_spark.session import read_events
+
+        ev = read_events(spark, "/root/testdata/sf0.001").select("user_id", "event_id", "value")
+        with pytest.raises(ValueError, match="avg"):
+            salted_agg(ev, "user_id", {"m": F.avg("value")}, salt_col="event_id")
+
+    def test_wfs_exception_report_found_past_4k(self):
+        pad = "<!-- " + "y" * 5000 + " -->"
+        body = pad + "<ows:ExceptionReport><ows:Exception/></ows:ExceptionReport>"
+        with pytest.raises(ValueError, match="ExceptionReport"):
+            list(_parse_wfs_body(body, "EPSG:3006"))
+
+
+class TestRestDataSourceTransferLimit:
+    def test_truncating_server_repages_within_batch(self, spark):
+        """A server with maxRecordCount below page_size truncates each OID
+        batch; the reader must resultOffset-loop until complete."""
+        spark.dataSource.register_called = True
+        from op_etl_spark.sources.rest_datasource import ArcGISRestDataSource
+
+        spark.dataSource.register(ArcGISRestDataSource)
+        df = (
+            spark.read.format("arcgis_rest")
+            .option("url", "http://mock/FeatureServer/0")
+            .option("fetcher", "mock_rest_server:fetch_truncating")
+            .option("page_size", "50")  # one partition for all 35 rows
+            .load()
+        )
+        import mock_rest_server as mock
+
+        got = sorted(r.OBJECTID for r in df.collect())
+        assert got == sorted(r["OBJECTID"] for r in mock.ROWS)
+
+
+class TestPipelineStalePartitions:
+    def test_filtered_rerun_does_not_leak_previous_sources(self, spark, tmp_path):
+        import json as _json
+
+        from op_etl_spark.plans.pipeline import Pipeline
+        from op_etl_spark.sources.geojson import read_feature_files
+
+        def mk_geojson(name):
+            p = tmp_path / f"{name}.geojson"
+            p.write_text(_json.dumps({
+                "type": "FeatureCollection",
+                "crs": {"type": "name", "properties": {"name": "EPSG:3006"}},
+                "features": [
+                    {"type": "Feature",
+                     "geometry": {"type": "Point",
+                                  "coordinates": [400000.0, 6500000.0]},
+                     "properties": {"src": name}},
+                ],
+            }))
+            return str(p)
+
+        def file_conn(sp, src):
+            return read_feature_files(
+                sp,
+                [{"path": src["raw"]["paths"][0], "source_name": src["name"],
+                  "authority": src["authority"]}],
+            )
+
+        cfg = {
+            "workspaces": {"downloads": str(tmp_path / "d"), "staging": str(tmp_path / "s")},
+            "sources": [
+                {"name": "alpha", "authority": "A1", "type": "file", "enabled": True,
+                 "raw": {"paths": [mk_geojson("alpha")]}},
+                {"name": "beta", "authority": "B1", "type": "file", "enabled": True,
+                 "raw": {"paths": [mk_geojson("beta")]}},
+            ],
+        }
+        from op_etl_spark.config.loader import normalize_source
+
+        cfg["sources"] = [normalize_source(s, cfg) for s in cfg["sources"]]
+        ws = str(tmp_path / "ws")
+
+        pipe = Pipeline(spark, cfg, {"file": file_conn})
+        out1 = pipe.run(ws)
+        assert set(out1["loaded"]) == {"alpha", "beta"}
+
+        # second run restricted to authority A1: beta's staged partition
+        # from run 1 must NOT flow into processed/loaded again
+        out2 = pipe.run(ws, authority="A1")
+        assert set(out2["loaded"]) == {"alpha"}
+        processed = spark.read.parquet(out2["processed"])
+        names = {r.source_name for r in processed.select("source_name").distinct().collect()}
+        assert names == {"alpha"}
+
+
 class TestWfsExceptionReport:
     def test_exception_report_raises_not_silent_zero(self):
         body = (
