@@ -181,8 +181,33 @@ def read_rest_layer(
         for pdf in batches_it:
             rows = []
             for params_json, start_id in zip(pdf["params_json"], pdf["start_id"]):
-                doc = fetcher(f"{layer_url}/query", json.loads(params_json))
-                rows.extend(_esri_rows(doc, source_name, authority, int(start_id)))
+                params = json.loads(params_json)
+                # a server whose maxRecordCount is below our window size
+                # truncates the page and sets exceededTransferLimit — keep
+                # advancing resultOffset inside this task's window until
+                # the server stops truncating, or rows silently go missing
+                # (etl/download_rest.py:361-365 transfer-limit semantics)
+                want = int(params.get("resultRecordCount", PAGE_SIZE))
+                base_offset = int(params.get("resultOffset", 0))
+                got = 0
+                while True:
+                    p = dict(params)
+                    if "resultOffset" in params or got:
+                        p["resultOffset"] = base_offset + got
+                    p["resultRecordCount"] = want - got
+                    doc = fetcher(f"{layer_url}/query", p)
+                    feats = list(
+                        _esri_rows(doc, source_name, authority, int(start_id) + got)
+                    )
+                    rows.extend(feats)
+                    n_returned = len(doc.get("features") or [])
+                    got += n_returned
+                    if (
+                        got >= want
+                        or n_returned == 0
+                        or not doc.get("exceededTransferLimit")
+                    ):
+                        break
             yield pd.DataFrame(rows, columns=cols)
 
     return plan.mapInPandas(fetch, FEATURE_DDL)

@@ -94,6 +94,41 @@ def test_rest_oid_pagination(spark):
     assert df.select("props.OBJECTID").distinct().count() == N_FEATURES
 
 
+def rest_mock_truncating(url: str, params: dict) -> dict:
+    """Server whose maxRecordCount is 300: every query response truncates
+    to 300 rows and sets exceededTransferLimit — the connector must
+    re-page inside each planned window or silently lose rows."""
+    doc = rest_mock(url, params)
+    if "features" not in doc:
+        return doc
+    feats = doc["features"]
+    if "OBJECTID IN (" in params.get("where", ""):
+        # the base mock ignores resultOffset for OID queries; a real
+        # server honors it, so apply it here before truncating
+        off = int(params.get("resultOffset", 0))
+        feats = feats[off:]
+    if len(feats) > 300:
+        return dict(doc, features=feats[:300], exceededTransferLimit=True)
+    return dict(doc, features=feats)
+
+
+def test_rest_offset_pagination_survives_server_truncation(spark):
+    df = read_rest_layer(
+        spark, "http://mock/0", "skydd", "NVV", fetcher=rest_mock_truncating
+    )
+    assert df.count() == N_FEATURES
+    assert df.select("props.OBJECTID").distinct().count() == N_FEATURES
+
+
+def test_rest_oid_pagination_survives_server_truncation(spark):
+    df = read_rest_layer(
+        spark, "http://mock/0", "skydd", "NVV", fetcher=rest_mock_truncating,
+        use_oid_pagination=True,
+    )
+    assert df.count() == N_FEATURES
+    assert df.select("props.OBJECTID").distinct().count() == N_FEATURES
+
+
 # --- OGC mock: 2 collections, 3 pages each via next links ---
 
 OGC_BASE = "http://mock/ogc"
