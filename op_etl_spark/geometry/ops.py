@@ -151,18 +151,25 @@ def make_clip_udf(bbox: tuple[float, float, float, float]):
 # --- DataFrame-level operators (envelope prefilter + exact kernel) ---
 
 def reproject(df: DataFrame, dst_epsg: int, geom_col: str = "geometry",
-              crs_col: str = "crs") -> DataFrame:
+              crs_col: str = "crs", assume_epsg: int | None = None) -> DataFrame:
     """Project every geometry to dst_epsg; updates geometry, bbox and crs
     columns. Rows already in dst_epsg pass through untouched (JVM-side
-    short-circuit — the UDF only sees rows needing work)."""
+    short-circuit — the UDF only sees rows needing work).
+
+    Null-CRS rows: `assume_epsg` names the CRS they are assumed to be in
+    (the reference's DefineProjection-then-Project chain, T2+T1). The
+    default None assumes they are already in dst_epsg — metadata-only
+    stamping, NO coordinate transform — which is only sound after
+    `define_projection` has run (as in plans/staging.stage_features)."""
     from op_etl_spark.session import ensure_shipped
 
     ensure_shipped(df.sparkSession)
     udf = make_reproject_udf(dst_epsg)
-    needs = F.col(crs_col) != dst_epsg
+    crs_in = F.coalesce(F.col(crs_col), F.lit(assume_epsg or dst_epsg))
+    needs = crs_in != dst_epsg
     out = df.withColumn(
         geom_col,
-        F.when(needs, udf(F.col(geom_col), F.col(crs_col))).otherwise(F.col(geom_col)),
+        F.when(needs, udf(F.col(geom_col), crs_in)).otherwise(F.col(geom_col)),
     ).withColumn(crs_col, F.lit(dst_epsg))
     if "bbox" in df.columns:
         out = out.withColumn("bbox", envelope_wkb(F.col(geom_col)))

@@ -144,3 +144,26 @@ def test_point_in_polygon_concave():
     assert point_in_polygon([2, 1.5], ring)
     assert not point_in_polygon([2, 3.5], ring)  # inside the notch
     assert not point_in_polygon([5, 5], ring)
+
+
+class TestReprojectNullCrs:
+    def test_assume_epsg_transforms_null_crs_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        from op_etl_spark.geometry.ops import reproject
+        from op_etl_spark.geometry.wkb import wkb_dumps, wkb_loads
+
+        wkb = wkb_dumps("Point", [500000.0, 6500000.0])
+        df = spark.createDataFrame(
+            [(wkb, None)], "geometry binary, crs int"
+        )
+        # null CRS assumed 3006 -> transformed into 3010 coordinates
+        out = reproject(df, 3010, assume_epsg=3006).collect()[0]
+        assert out.crs == 3010
+        _, coords = wkb_loads(bytes(out.geometry))
+        assert coords[0] != 500000.0  # actually reprojected, not stamped
+
+        # default: null CRS treated as already-dst (metadata-only stamp)
+        out2 = reproject(df, 3010).collect()[0]
+        _, coords2 = wkb_loads(bytes(out2.geometry))
+        assert coords2 == [500000.0, 6500000.0] and out2.crs == 3010
