@@ -9,7 +9,7 @@ stream == batch == oracle gates the streaming operators end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from op_etl_spark.session import read_events
@@ -77,12 +77,84 @@ FROM (
 GROUP BY 1, 2
 """
 
+def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer run AS A STREAM (file source,
+    availableNow trigger, update-mode memory sink) and reduced to final
+    session rows — hash-checked against the same DuckDB sessionization SQL
+    as the batch window-function twin. This is the strongest correctness
+    statement for the custom stateful operator: stream == oracle directly,
+    not just stream == batch."""
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from op_etl_spark.streaming.stateful import sessionize_stream
+
+    ev = read_events(spark, sf_dir).orderBy("ts", "event_id")
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+    ).collect()
+    tmp = tempfile.mkdtemp(prefix="sessionize_stream_")
+    half = len(rows) // 2 or 1
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(f"{tmp}/events_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts string, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmp)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    name = "stateful_sessionize_gate"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode re-emits growing sessions; keep the final (largest) emit
+    emitted = spark.table(name)
+    w = W.partitionBy("user_id", "session_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "session_id", "n_events", "session_start")
+    )
+
+
+# identical session semantics to the batch suite's sessionize_events
+ORACLE_STATEFUL_SESSIONIZE = """
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+FROM (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+                ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id, session_id
+"""
+
 QUERIES = {
     "session_windows": session_windows,
     "sliding_windows": sliding_windows,
+    "stateful_sessionize_stream": stateful_sessionize_stream,
 }
 
 ORACLE = {
     "session_windows": ORACLE_SESSION_WINDOWS,
     "sliding_windows": ORACLE_SLIDING_WINDOWS,
+    "stateful_sessionize_stream": ORACLE_STATEFUL_SESSIONIZE,
 }
