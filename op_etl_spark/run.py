@@ -52,31 +52,45 @@ def default_connectors(downloads_dir: str | None = None) -> dict:
             src["authority"],
             where=raw.get("where", "1=1"),
             out_fields=raw.get("out_fields", "*"),
-            bbox=tuple(src["bbox"]) if src.get("bbox") else None,
+            bbox=tuple(raw["bbox"]) if raw.get("bbox") else None,
         )
 
     def ogc_conn(spark: SparkSession, src: dict):
         raw = src.get("raw") or {}
+        collections = raw.get("collections")
+        if not collections:
+            # unconfigured (e.g. atom-dispatched) service: discover, with
+            # optional include patterns (etl/download_ogc.py:127-142)
+            from op_etl_spark.sources.ogc import discover_collections
+
+            collections = discover_collections(
+                default_json_fetcher, src["url"], include=raw.get("include")
+            )
         return read_collections(
             spark,
             src["url"],
-            raw.get("collections") or [],
+            collections,
             src["name"],
             src["authority"],
             default_json_fetcher,
-            bbox=tuple(src["bbox"]) if src.get("bbox") else None,
+            bbox=tuple(raw["bbox"]) if raw.get("bbox") else None,
         )
 
     def wfs_conn(spark: SparkSession, src: dict):
         raw = src.get("raw") or {}
+        typenames = raw.get("typenames")
+        if not typenames:
+            from op_etl_spark.sources.wfs import discover_typenames
+
+            typenames = discover_typenames(default_text_fetcher, src["url"])
         return read_wfs(
             spark,
             src["url"],
-            raw.get("typenames") or [],
+            typenames,
             src["name"],
             src["authority"],
             default_text_fetcher,
-            bbox=tuple(src["bbox"]) if src.get("bbox") else None,
+            bbox=tuple(raw["bbox"]) if raw.get("bbox") else None,
         )
 
     def http_conn(spark: SparkSession, src: dict):

@@ -82,6 +82,43 @@ def test_cli_runs_full_pipeline(spark, tmp_path, capsys):
     assert metrics.filter("success = true").count() == 1
 
 
+def test_wfs_connector_discovers_typenames_when_unconfigured(spark, monkeypatch):
+    """An atom-dispatched (or minimally configured) WFS source has no
+    typenames; the CLI connector must discover them via GetCapabilities."""
+    CAPS = """<?xml version="1.0"?>
+    <WFS_Capabilities xmlns="http://www.opengis.net/wfs/2.0">
+      <FeatureTypeList>
+        <FeatureType><Name>ns:roads</Name></FeatureType>
+      </FeatureTypeList>
+    </WFS_Capabilities>"""
+    FEATURES = json.dumps({
+        "type": "FeatureCollection",
+        "crs": {"type": "name", "properties": {"name": "EPSG:3006"}},
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [400000.0, 6500000.0]},
+             "properties": {"n": 1}},
+        ],
+    })
+
+    def text_fetcher(url, params):
+        if params.get("request") == "GetCapabilities":
+            return CAPS
+        assert params.get("typeNames") or params.get("typename") or "roads" in str(params)
+        return FEATURES
+
+    import op_etl_spark.sources.fetchers as fetchers
+
+    monkeypatch.setattr(fetchers, "default_text_fetcher", text_fetcher)
+    from op_etl_spark.run import default_connectors
+
+    conn = default_connectors()["wfs"]
+    src = {"name": "w", "authority": "A", "url": "http://mock/wfs",
+           "raw": {"bbox": None}}
+    rows = conn(spark, src).collect()
+    assert len(rows) == 1 and rows[0].geom_type == "Point"
+
+
 def test_cli_continue_on_failure_exit_code(spark, tmp_path, capsys):
     cfg = {
         "workspaces": {
