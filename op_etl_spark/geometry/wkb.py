@@ -70,6 +70,10 @@ def _read_point(buf, off):
 def _read_ring(buf, off):
     (n,) = struct.unpack_from("<I", buf, off)
     off += 4
+    if n > (len(buf) - off) // 16:
+        # declared count exceeds what the buffer can hold: malformed —
+        # fail fast instead of looping to the buffer end
+        raise ValueError(f"malformed WKB: ring declares {n} points")
     pts = []
     for _ in range(n):
         p, off = _read_point(buf, off)
@@ -106,8 +110,15 @@ def _loads_at(buf: bytes, off: int):
 
 
 def wkb_loads(buf: bytes):
-    """WKB bytes -> (geom_type, GeoJSON-style coordinates)."""
-    gt, coords, _ = _loads_at(buf, 0)
+    """WKB bytes -> (geom_type, GeoJSON-style coordinates).
+
+    Malformed input always raises ValueError (never struct.error /
+    KeyError), so connector-level `except (ValueError, ...)` guards see a
+    single failure type from arbitrary untrusted blobs (GPKG, WKB cols)."""
+    try:
+        gt, coords, _ = _loads_at(buf, 0)
+    except (struct.error, KeyError, IndexError, TypeError) as exc:
+        raise ValueError(f"malformed WKB: {exc}") from exc
     return gt, coords
 
 

@@ -66,8 +66,14 @@ def discover_typenames(text_fetcher: TextFetcher, base_url: str) -> list[str]:
     return names
 
 
+def _pos_list(el) -> list:
+    vals = [float(v) for v in el.text.split()]
+    return [[vals[i], vals[i + 1]] for i in range(0, len(vals) - 1, 2)]
+
+
 def _gml_features(body: str):
-    """Bounded GML fallback: gml:pos / gml:posList points & lines."""
+    """Bounded GML fallback: gml:Polygon (exterior + interior rings),
+    gml:pos points, gml:posList lines."""
     from op_etl_spark.functions.xml_guards import safe_xml_parse
 
     root = safe_xml_parse(body)
@@ -76,14 +82,30 @@ def _gml_features(body: str):
     for member in root.iter():
         if not (member.tag.endswith("member") or member.tag.endswith("featureMember")):
             continue
+        # a polygon's rings are posList elements too — consume them as
+        # polygon structure, not as standalone LineStrings
+        consumed = set()
+        for poly in member.iter():
+            if not poly.tag.endswith("Polygon"):
+                continue
+            rings = []
+            for el in poly.iter():
+                if el.tag.endswith("posList") and el.text:
+                    consumed.add(id(el))
+                    ring = _pos_list(el)
+                    if len(ring) >= 4:
+                        rings.append(ring)
+            if rings:
+                yield "Polygon", rings, {}
         for el in member.iter():
+            if id(el) in consumed:
+                continue
             if el.tag.endswith("pos") and el.text:
                 vals = [float(v) for v in el.text.split()]
                 if len(vals) >= 2:
                     yield "Point", [vals[0], vals[1]], {}
             elif el.tag.endswith("posList") and el.text:
-                vals = [float(v) for v in el.text.split()]
-                pts = [[vals[i], vals[i + 1]] for i in range(0, len(vals) - 1, 2)]
+                pts = _pos_list(el)
                 if len(pts) >= 2:
                     yield "LineString", pts, {}
 

@@ -105,6 +105,26 @@ class TestNaming:
         assert all(c.islower() or c.isdigit() or c in "_-" for c in out)
 
 
+class TestWkbFuzz:
+    @given(st.binary(min_size=0, max_size=200))
+    @settings(max_examples=500, deadline=None)
+    def test_arbitrary_bytes_never_raise_anything_but_valueerror(self, buf):
+        try:
+            wkb_loads(buf)
+        except ValueError:
+            pass  # the contract: malformed -> ValueError, nothing else
+
+    @given(st.binary(min_size=9, max_size=50))
+    @settings(max_examples=300, deadline=None)
+    def test_truncated_valid_prefix_raises_cleanly(self, junk):
+        valid = wkb_dumps("LineString", [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+        for cut in (5, 9, 13, len(valid) - 1):
+            try:
+                wkb_loads(valid[:cut] + junk[: max(0, cut - 9)])
+            except ValueError:
+                pass
+
+
 class TestClip:
     BBOX = (0.0, 0.0, 100.0, 100.0)
 

@@ -326,6 +326,42 @@ class TestPipelineStalePartitions:
         assert names == {"alpha"}
 
 
+class TestGmlPolygons:
+    GML = """<?xml version="1.0"?>
+    <wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs/2.0"
+                           xmlns:gml="http://www.opengis.net/gml/3.2">
+      <wfs:member>
+        <f:zone xmlns:f="http://x">
+          <f:geom>
+            <gml:Polygon>
+              <gml:exterior><gml:LinearRing>
+                <gml:posList>0 0 0 10 10 10 10 0 0 0</gml:posList>
+              </gml:LinearRing></gml:exterior>
+              <gml:interior><gml:LinearRing>
+                <gml:posList>2 2 2 4 4 4 4 2 2 2</gml:posList>
+              </gml:LinearRing></gml:interior>
+            </gml:Polygon>
+          </f:geom>
+        </f:zone>
+      </wfs:member>
+      <wfs:member>
+        <f:road xmlns:f="http://x">
+          <gml:LineString><gml:posList>0 0 5 5</gml:posList></gml:LineString>
+        </f:road>
+      </wfs:member>
+    </wfs:FeatureCollection>"""
+
+    def test_polygon_rings_not_emitted_as_linestrings(self):
+        from op_etl_spark.sources.wfs import _gml_features
+
+        feats = list(_gml_features(self.GML))
+        kinds = [gt for gt, _, _ in feats]
+        assert kinds == ["Polygon", "LineString"]
+        _, rings, _ = feats[0]
+        assert len(rings) == 2  # exterior + interior preserved
+        assert rings[0][0] == [0.0, 0.0] and rings[1][0] == [2.0, 2.0]
+
+
 class TestWfsExceptionReport:
     def test_exception_report_raises_not_silent_zero(self):
         body = (
