@@ -11,9 +11,13 @@ scale-first:
  - SimHash = 16-bit fingerprint via per-bit majority vote, prefix-bucket
    join (banding) instead of an O(n^2) cross join.
 
-Hash contract shared with the DuckDB oracles: md5 hex strings (identical
-on both engines), compared lexicographically for min-hash. No Python UDFs
-anywhere — everything is codegen'd column expressions.
+Hash contract shared with the DuckDB oracles: ONE md5 per shingle/token,
+hex-parsed into 60/56-bit ints on both engines (Spark `conv`, DuckDB
+`('0x'||…)::BIGINT`), then a Carter-Wegman family h_k = (a + k*b) mod
+(2^61-1) derives all minhash functions with exact int64 arithmetic — 16×
+less hashing than the naive min(md5(k|shingle)) per k, with the pairwise-
+independence guarantee the naive seeding lacks. No Python UDFs anywhere —
+everything is codegen'd column expressions.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ from ._util import fan_out, fround
 
 N_HASHES = 16  # minhash signature length
 BAND_ROWS = 4  # rows per LSH band -> 4 bands
+MINHASH_P = (1 << 61) - 1  # Mersenne prime; a < 2^60, k*b < 2^60 -> no int64 overflow
 JACCARD_THRESHOLD = 0.3
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
@@ -59,6 +64,35 @@ def _shingle_arrays(d: DataFrame) -> DataFrame:
 def _shingles(d: DataFrame) -> DataFrame:
     """(doc_id, shingle) — exploded distinct word-3-gram shingles."""
     return _shingle_arrays(d).select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+def _hashed_shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<long>) — distinct 64-bit shingle IDs.
+
+    xxhash64 applied INSIDE the transform, before array_distinct/explode:
+    everything downstream (dedup, shuffle keys, posting lists) moves 8-byte
+    longs instead of ~25-byte strings. This is the standard trick at scale
+    (Spark MLlib's MinHashLSH likewise hashes terms to ints first); the
+    string-side oracle still matches because the final pair output only
+    depends on set equality, and 64-bit collisions at ~2^22 distinct
+    shingles (~1e-6, deterministic) don't occur in these corpora.
+    """
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    words = F.col("words")
+    n = F.size(words)
+    zipped = F.arrays_zip(
+        F.slice(words, 1, n - 2), F.slice(words, 2, n - 2), F.slice(words, 3, n - 2)
+    )
+    sh = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                zipped,
+                lambda s: F.xxhash64(F.concat_ws(" ", s["0"], s["1"], s["2"])),
+            )
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(words, " "))))
+    return d.select("doc_id", sh.alias("shingles"))
 
 
 def _posting_pairs(posts: DataFrame, member_col: str = "m") -> DataFrame:
@@ -122,9 +156,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `size(shingles)`, no separate aggregate); groupBy(shingle) builds posting
     lists; pairs are generated in-array (`_posting_pairs`) and counted.
     Two small shuffles total, zero joins — vs. the naive self-join plan's
-    four scans, four shingle explodes, and three joins.
+    four scans, four shingle explodes, and three joins. Shingles are 64-bit
+    IDs (`_hashed_shingle_arrays`), so both shuffles move longs, not strings.
     """
-    arrs = _shingle_arrays(_docs(spark, sf_dir))
+    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
     sh = arrs.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
@@ -169,18 +204,28 @@ WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) /
 # --- MinHash signatures + LSH band candidates ---
 
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    """One shuffle: groupBy doc_id with 16 min(md5(seed|shingle)) aggregates."""
+    """One shuffle: groupBy doc_id with 16 min((a + k*b) mod p) aggregates.
+
+    ONE md5 per shingle; a = md5 hex chars 1-15 (60 bits), b = chars 17-30
+    (56 bits), so a + 15*b < 2^61 stays exact in int64 on both engines."""
+    hx = F.md5(F.col("shingle").cast("binary"))
+    base = sh.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 15), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(hx, 17, 14), 16, 10).cast("long").alias("b"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")).cast("binary"))).alias(f"h{k}")
+        F.min((F.col("a") + F.lit(k) * F.col("b")) % F.lit(MINHASH_P)).alias(f"h{k}")
         for k in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: band signatures exploded in ONE pass over the
-    signature table (not a 4-way union re-reading it), bucketed by
-    (band_id, band_sig), pairs generated in-array — no self-join."""
+    """LSH candidate pairs: bands exploded in ONE pass over the signature
+    table (not a 4-way union re-reading it), bucketed directly on the
+    (band_id, h..h) int 4-tuple — no band re-hash, no self-join; pairs
+    generated in-array."""
     d = _docs(spark, sf_dir)
     sigs = _minhash_sigs(_shingles(d))
     n_bands = N_HASHES // BAND_ROWS
@@ -188,11 +233,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(band).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-                    ).cast("binary")
-                ).alias("band_sig"),
+                *[
+                    F.col(f"h{band * BAND_ROWS + r}").alias(f"x{r}")
+                    for r in range(BAND_ROWS)
+                ],
             )
             for band in range(n_bands)
         ]
@@ -200,9 +244,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         F.struct(F.col("doc_id")).alias("m"), F.explode(band_structs).alias("band")
     )
-    posts = banded.groupBy("band.band_id", "band.band_sig").agg(
-        F.collect_list("m").alias("m")
-    )
+    posts = banded.groupBy(
+        "band.band_id", *[f"band.x{r}" for r in range(BAND_ROWS)]
+    ).agg(F.collect_list("m").alias("m"))
     return (
         _posting_pairs(posts)
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
@@ -210,34 +254,45 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_MINHASH_AB = """
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS a,
+         ('0x' || substr(md5(shingle), 17, 14))::BIGINT AS b
+  FROM sh
+"""
+
+
 def _duck_minhash_core() -> str:
     hcols = ",\n         ".join(
-        f"min(md5('{k}|' || shingle)) AS h{k}" for k in range(N_HASHES)
+        f"min((a + {k} * b) % {MINHASH_P}) AS h{k}" for k in range(N_HASHES)
     )
     band_selects = []
     for band in range(N_HASHES // BAND_ROWS):
-        cols = " || '|' || ".join(f"h{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
-        band_selects.append(
-            f"SELECT doc_id, {band} AS band_id, md5({cols}) AS band_sig FROM sigs"
+        cols = ", ".join(
+            f"h{band * BAND_ROWS + r} AS x{r}" for r in range(BAND_ROWS)
         )
+        band_selects.append(f"SELECT doc_id, {band} AS band_id, {cols} FROM sigs")
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
 WITH sh AS ({_DUCK_SHINGLES}),
+ab AS ({_DUCK_MINHASH_AB}),
 sigs AS (
   SELECT doc_id,
          {hcols}
-  FROM sh GROUP BY doc_id),
+  FROM ab GROUP BY doc_id),
 banded AS (
   {bands_sql})
 """
 
 
+_BAND_EQ = " AND ".join(f"a.x{r} = b.x{r}" for r in range(BAND_ROWS))
+
 ORACLE_MINHASH_LSH = (
     _duck_minhash_core()
-    + """
+    + f"""
 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
 FROM banded a
-JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+JOIN banded b ON a.band_id = b.band_id AND {_BAND_EQ}
             AND a.doc_id < b.doc_id
 """
 )
@@ -258,13 +313,14 @@ WITH sh AS (
                   list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
                                  for i in range(1, len(string_split(text,' ')) - 1)])
                 ELSE [text] END) AS shingle
-  FROM documents WHERE doc_id % 50 = 0)
+  FROM documents WHERE doc_id % 50 = 0),
+ab AS ({_DUCK_MINHASH_AB})
 SELECT doc_id,
-       min(md5('0|' || shingle)) AS h0,
-       min(md5('1|' || shingle)) AS h1,
-       min(md5('2|' || shingle)) AS h2,
-       min(md5('3|' || shingle)) AS h3
-FROM sh GROUP BY doc_id
+       min((a + 0 * b) % {MINHASH_P}) AS h0,
+       min((a + 1 * b) % {MINHASH_P}) AS h1,
+       min((a + 2 * b) % {MINHASH_P}) AS h2,
+       min((a + 3 * b) % {MINHASH_P}) AS h3
+FROM ab GROUP BY doc_id
 """
 
 
@@ -277,12 +333,11 @@ def _simhash(d: DataFrame) -> DataFrame:
     """
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     hx = F.md5(F.col("tok").cast("binary"))
-    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(hx, p, 1)) - 1  # noqa: E731
-    v = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).alias("v")
+    v = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long").alias("v")
     tv = toks.select("doc_id", v)
     votes = [
         F.sum(
-            F.when(F.floor(F.col("v") / (2 ** i)) % 2 == 1, 1).otherwise(-1)
+            F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ]
@@ -300,17 +355,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_simhash_core() -> str:
     votes = ",\n         ".join(
-        f"sum(CASE WHEN (v // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
-        for i in range(SIMHASH_BITS)
+        f"sum(((v >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(SIMHASH_BITS)
     )
     fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(SIMHASH_BITS))
     return f"""
 WITH tv AS (
   SELECT doc_id,
-         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
-       + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
-       + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
-       + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS v
+         ('0x' || substr(md5(tok), 1, 4))::BIGINT AS v
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
 agg AS (
   SELECT doc_id,
