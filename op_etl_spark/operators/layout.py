@@ -1,0 +1,209 @@
+"""Physical-layout operators: small-file compaction and Z-order clustering.
+
+Long-running ingest (the reference's per-source staging loop,
+etl/stage_files.py:170-233, one output per source per run) accretes many
+small files per dataset; at 100 TB the scan-task explosion and per-file
+open cost dominate query latency long before CPU does. `plan_compaction` /
+`compact_files` are the OPTIMIZE story: a deterministic target file count
+derived from actual on-disk bytes, ONE round-robin shuffle sized to the
+target, and a directory swap.
+
+`zorder_write` is the multi-dimensional clustering story: interleave the
+bits of N range-normalized columns into one Z-order key, then
+repartitionByRange + sortWithinPartitions on that key before writing.
+Every output file then covers a small hyper-rectangle of the key space,
+so parquet min/max row-group stats prune scans for range filters on ANY
+prefix-free subset of the clustered columns — the thing a single-column
+sort cannot give you.
+
+All integer arithmetic (bit interleave, range normalization) is exact and
+engine-portable; the z-key math is oracle-checked in suite/layout.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 128 << 20  # the usual parquet sweet spot
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every parquet data file under `path` (recursive).
+
+    Uses the Hadoop FileSystem API so the same code lists local dirs,
+    HDFS, or an object store — whatever the session's hadoopConfiguration
+    resolves for the path's scheme.
+    """
+    fs, jpath = _hadoop_fs(spark, path)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+@dataclass(frozen=True)
+class CompactionPlan:
+    n_files: int
+    total_bytes: int
+    target_files: int
+    skipped: bool
+
+    @property
+    def avg_file_bytes(self) -> float:
+        return self.total_bytes / self.n_files if self.n_files else 0.0
+
+
+def plan_compaction(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> CompactionPlan:
+    """Decide whether `path` is worth rewriting, from real on-disk sizes.
+
+    target = ceil(total_bytes / target_file_bytes); compaction is skipped
+    when the table already has that few files (re-running is a no-op, so
+    a scheduled compactor can fire unconditionally).
+    """
+    files = _list_data_files(spark, path)
+    n = len(files)
+    total = sum(b for _, b in files)
+    target = max(1, math.ceil(total / target_file_bytes))
+    return CompactionPlan(n, total, target, skipped=n <= target)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> CompactionPlan:
+    """Rewrite `path` into its planned file count (Delta OPTIMIZE analogue).
+
+    Writes to a sibling temp directory, then swaps via two FS renames —
+    atomic on HDFS/local posix rename semantics. (On S3-like stores rename
+    is copy+delete; production there uses a table format's commit log —
+    this operator is the Hadoop-FS tier of that story.) The bounded
+    non-atomic window is rename-swap only; readers never see partial data
+    files because the temp write is complete before the first rename.
+    """
+    plan = plan_compaction(spark, path, target_file_bytes)
+    if plan.skipped:
+        return plan
+    df = spark.read.parquet(path)
+    base = path.rstrip("/")
+    tmp, bak = base + ".__compact_tmp__", base + ".__compact_bak__"
+    df.repartition(plan.target_files).write.mode("overwrite").parquet(tmp)
+    fs, jpath = _hadoop_fs(spark, base)
+    mk = spark._jvm.org.apache.hadoop.fs.Path
+    fs.delete(mk(bak), True)
+    if not fs.rename(jpath, mk(bak)):
+        raise IOError(f"compaction swap failed: could not move {base} aside")
+    if not fs.rename(mk(tmp), jpath):
+        fs.rename(mk(bak), jpath)  # roll back
+        raise IOError(f"compaction swap failed: could not move {tmp} into place")
+    fs.delete(mk(bak), True)
+    return plan
+
+
+# --- Z-order clustering ---
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low `bits` bits of each column: result bit
+    (i * n_cols + j) = bit i of cols[j]. Inputs must already be
+    non-negative ints < 2**bits (use `normalize_to_bits`). Pure
+    shift/mask/add int64 arithmetic — codegen'd, and expressible
+    identically in ANSI SQL for the oracle."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds the int64 key space")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            key = key + F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (i * n + j)
+            )
+    return key
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The oracle twin of `zorder_key` — same bit math as a SQL string."""
+    n = len(cols)
+    terms = [
+        f"((({c}) >> {i}) & 1) * {1 << (i * n + j)}"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def normalize_to_bits(c: Column, lo: int, hi: int, bits: int = 16) -> Column:
+    """Map integer range [lo, hi] onto [0, 2**bits) with exact integer
+    arithmetic: ((x - lo) * 2**bits) div (hi - lo + 1), clamped.
+
+    Integer division is done as (n - n % d) / d: the numerator becomes an
+    exact multiple of d, so the one double division is exact — matching
+    SQL `//` bit-for-bit (plain floor(a/b) on doubles can be off by one
+    at cell boundaries). Exact while (hi-lo+1) * 2**bits < 2**53."""
+    span = hi - lo + 1
+    num = (c.cast("long") - F.lit(lo)) * F.lit(1 << bits)
+    cell = ((num - num % F.lit(span)) / F.lit(span)).cast("long")
+    return F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), cell)).cast("long")
+
+
+def normalize_to_bits_sql(expr: str, lo_expr: str, hi_expr: str, bits: int = 16) -> str:
+    """Oracle twin of `normalize_to_bits` (SQL `//` is exact on ints)."""
+    return (
+        f"least({(1 << bits) - 1}, greatest(0, "
+        f"((({expr}) - ({lo_expr})) * {1 << bits}) // (({hi_expr}) - ({lo_expr}) + 1)))"
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Cluster `df` on zorder(cols) and write parquet.
+
+    One stats pass (min/max per clustered column — a broadcastable 1-row
+    aggregate), then repartitionByRange on the z-key so files hold
+    contiguous, non-overlapping key ranges, and sortWithinPartitions so
+    row groups inside each file are clustered too. The helper column is
+    dropped before the write; clustering survives only as physical order
+    plus parquet min/max stats — exactly what the scan pruner reads."""
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    key = zorder_key(
+        [
+            normalize_to_bits(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
+            for c in cols
+        ],
+        bits,
+    )
+    out = df.withColumn("__zkey", key)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -16,9 +16,29 @@ non-SQL-expressible operators).
 
 from __future__ import annotations
 
-from . import dedup, geo, multimodal, relational, similarity, stream_windows, text, tpch_extra
+from . import (
+    dedup,
+    geo,
+    layout,
+    multimodal,
+    relational,
+    similarity,
+    stream_windows,
+    text,
+    tpch_extra,
+)
 
-_MODULES = [relational, tpch_extra, text, dedup, similarity, geo, stream_windows, multimodal]
+_MODULES = [
+    relational,
+    tpch_extra,
+    text,
+    dedup,
+    similarity,
+    geo,
+    stream_windows,
+    multimodal,
+    layout,
+]
 
 
 def all_queries():
