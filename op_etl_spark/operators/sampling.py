@@ -1,0 +1,99 @@
+"""Deterministic sampling and dataset splitting.
+
+The training-data-pipeline primitives that `sample(fraction)` can't give
+you: every decision here is a pure function of (salt, key), so samples
+are reproducible run-to-run, stable under repartitioning, resumable after
+failure, and consistent across engines — the properties a 100 TB corpus
+split actually needs (Spark's native `sample` is seed-stable only for an
+identical partitioning).
+
+Mechanism: u(key) = first 52 bits of md5(salt|key) / 2^52 — an exact
+double in [0, 1) computed identically by Spark (`conv`) and the DuckDB
+oracles (`('0x'||…)::BIGINT`). 52 bits because every such integer is
+exactly representable in a double, making the `< fraction` comparison
+bit-deterministic. All ops are narrow (no shuffle) except the per-group
+top-k sampler, which shuffles once on its group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_UNIT = float(1 << 52)
+
+
+def hash_unit(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from a key column (see module doc)."""
+    hx = F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string")).cast("binary"))
+    return F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") / F.lit(_UNIT)
+
+
+def hash_unit_sql(key_expr: str, salt: str = "") -> str:
+    """Oracle twin of `hash_unit`."""
+    return (
+        f"(('0x' || substr(md5('{salt}|' || CAST({key_expr} AS VARCHAR)), 1, 13))::BIGINT"
+        f" / {_UNIT!r})"
+    )
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep ~fraction of rows, chosen by key hash — stable under re-runs,
+    repartitioning, and incremental appends (a row's fate never changes)."""
+    return df.filter(hash_unit(F.col(key), salt) < fraction)
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    holdout_fraction: float = 0.0,
+) -> DataFrame:
+    """Label each row train/test (and optionally holdout) by key hash.
+
+    Disjoint contiguous u-intervals, so growing test_fraction only MOVES
+    the boundary — rows never hop between existing splits when fractions
+    are tuned, and the same key lands in the same split in every table
+    it appears in (leakage-proof joins between split corpora)."""
+    u = hash_unit(F.col(key), salt)
+    split = (
+        F.when(u < test_fraction, F.lit("test"))
+        .when(u < test_fraction + holdout_fraction, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum keep-fractions (e.g. downsample dominant languages).
+    Still a narrow filter — the per-stratum threshold is a CASE chain, no
+    join, no shuffle."""
+    thr: Column = F.lit(default_fraction)
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(frac)).otherwise(thr)
+    return df.filter(hash_unit(F.col(key), salt) < thr)
+
+
+def group_topk_sample(
+    df: DataFrame, group_cols: list[str], key: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, uniformly chosen by key
+    hash (rank over u). The fixed-size variant of stratified sampling —
+    caps every group's contribution regardless of skew. One shuffle on
+    the group key; ties broken by the key itself so results are total-
+    ordered and engine-reproducible."""
+    w = Window.partitionBy(*group_cols).orderBy(hash_unit(F.col(key), salt), F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

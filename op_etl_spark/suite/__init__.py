@@ -22,6 +22,7 @@ from . import (
     layout,
     multimodal,
     relational,
+    sampling,
     similarity,
     stream_windows,
     text,
@@ -38,6 +39,7 @@ _MODULES = [
     stream_windows,
     multimodal,
     layout,
+    sampling,
 ]
 
 

@@ -1,0 +1,116 @@
+"""Oracle-checked queries for deterministic sampling (operators/sampling.py).
+
+Aggregated outputs (counts + id checksums per cohort) keep result sets
+small while still pinning every row's sampling decision: a single row
+flipping cohort changes a checksum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import (
+    deterministic_sample,
+    group_topk_sample,
+    hash_unit_sql,
+    stratified_sample,
+    train_test_split,
+)
+
+TEST_FRACTION = 0.2
+HOLDOUT_FRACTION = 0.1
+LANG_FRACTIONS = {"en": 0.25, "fr": 0.5, "zh": 1.0}
+DEFAULT_FRACTION = 0.05
+GROUP_K = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def split_cohort_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/test/holdout sizes and id checksums per language."""
+    d = train_test_split(
+        _docs(spark, sf_dir), "doc_id", TEST_FRACTION, "split", HOLDOUT_FRACTION
+    )
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+_U_SPLIT = hash_unit_sql("doc_id", "split")
+
+ORACLE_SPLIT = f"""
+SELECT CASE WHEN {_U_SPLIT} < {TEST_FRACTION} THEN 'test'
+            WHEN {_U_SPLIT} < {TEST_FRACTION + HOLDOUT_FRACTION} THEN 'holdout'
+            ELSE 'train' END AS split,
+       lang,
+       count(*) AS n_docs,
+       sum(doc_id) AS id_sum
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus sample: per-lang keep fractions, default
+    for unlisted strata."""
+    s = stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", LANG_FRACTIONS, DEFAULT_FRACTION
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+_U = hash_unit_sql("doc_id")
+_THR = (
+    "CASE lang "
+    + " ".join(f"WHEN '{v}' THEN {f}" for v, f in sorted(LANG_FRACTIONS.items()))
+    + f" ELSE {DEFAULT_FRACTION} END"
+)
+
+ORACLE_STRATIFIED = f"""
+SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum, sum(n_chars) AS chars_kept
+FROM documents
+WHERE {_U} < {_THR}
+GROUP BY lang
+"""
+
+
+def source_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly K uniformly-chosen docs per (source, lang) group — skew-capped
+    sampling; emits the chosen doc ids so the oracle pins each pick."""
+    s = group_topk_sample(
+        _docs(spark, sf_dir), ["source", "lang"], "doc_id", GROUP_K, "cap"
+    )
+    return s.select("source", "lang", "doc_id")
+
+
+_U_CAP = hash_unit_sql("doc_id", "cap")
+
+ORACLE_TOPK = f"""
+SELECT source, lang, doc_id
+FROM (
+  SELECT source, lang, doc_id,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY {_U_CAP}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {GROUP_K}
+"""
+
+QUERIES = {
+    "split_cohort_counts": split_cohort_counts,
+    "stratified_lang_sample": stratified_lang_sample,
+    "source_topk_sample": source_topk_sample,
+}
+
+ORACLE = {
+    "split_cohort_counts": ORACLE_SPLIT,
+    "stratified_lang_sample": ORACLE_STRATIFIED,
+    "source_topk_sample": ORACLE_TOPK,
+}

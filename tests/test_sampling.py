@@ -1,0 +1,71 @@
+"""Invariants for deterministic sampling (values are oracle-checked in the
+suite; these pin the properties that make the ops safe at scale)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from op_etl_spark.operators.sampling import (
+    deterministic_sample,
+    group_topk_sample,
+    train_test_split,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_sample_stable_under_repartition(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(d.repartition(17), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < d.count()
+
+
+def test_sample_fraction_roughly_honored(spark):
+    d = _docs(spark)
+    total = d.count()
+    kept = deterministic_sample(d, "doc_id", 0.3).count()
+    assert abs(kept / total - 0.3) < 0.08
+
+
+def test_split_disjoint_exhaustive_and_monotone(spark):
+    d = _docs(spark)
+    s1 = train_test_split(d, "doc_id", 0.1, holdout_fraction=0.1)
+    counts = dict(
+        (r.split, r.n) for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(counts.values()) == d.count()
+    assert set(counts) == {"train", "test", "holdout"}
+
+    test1 = {r.doc_id for r in s1.filter("split = 'test'").select("doc_id").collect()}
+    s2 = train_test_split(d, "doc_id", 0.25)
+    test2 = {r.doc_id for r in s2.filter("split = 'test'").select("doc_id").collect()}
+    assert test1 <= test2  # growing the fraction only moves the boundary
+
+
+def test_group_topk_exact_cap(spark):
+    d = _docs(spark)
+    k = 4
+    sizes = {
+        (r.source, r.lang): r.n
+        for r in d.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        (r.source, r.lang): r.n
+        for r in group_topk_sample(d, ["source", "lang"], "doc_id", k)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(sizes)
+    for g, n in sizes.items():
+        assert got[g] == min(k, n)
