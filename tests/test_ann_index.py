@@ -1,0 +1,92 @@
+"""Persisted IVF index: build determinism, partition pruning, search
+correctness (full-probe == brute force) and recall at partial probe."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from op_etl_spark.operators.ann_index import (
+    build_ivf_index,
+    ivf_search,
+    load_centroids,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+N_LISTS = 8
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = build_ivf_index(emb, path, n_lists=N_LISTS, iters=2)
+    return path, centroids, emb
+
+
+@pytest.fixture(scope="module")
+def query_vec(spark):
+    row = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]
+    )
+    return [float(v) for v in row.embedding]
+
+
+def _brute_topk(spark, query, k):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = F.array(*[F.lit(float(v)) for v in query])
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(e, q, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    nrm = F.sqrt(F.aggregate(F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v))
+    qn = sum(v * v for v in query) ** 0.5
+    return [
+        r.vec_id
+        for r in emb.withColumn("cosine", dot / (nrm * F.lit(qn)))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_layout_and_coverage(spark, index):
+    path, centroids, emb = index
+    assert len(centroids) == N_LISTS and len(centroids[0]) > 0
+    part_dirs = glob.glob(os.path.join(path, "vectors", "list_id=*"))
+    assert 1 < len(part_dirs) <= N_LISTS
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == emb.count()
+    assert load_centroids(spark, path) == centroids
+
+
+def test_build_deterministic(spark, index, tmp_path):
+    path, centroids, emb = index
+    again = build_ivf_index(emb, str(tmp_path / "idx2"), n_lists=N_LISTS, iters=2)
+    assert again == centroids
+
+
+def test_partition_pruning_in_plan(spark, index, query_vec):
+    path, _, _ = index
+    df = ivf_search(spark, path, query_vec, nprobe=2, topk=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    probed = {r.list_id for r in df.select("list_id").distinct().collect()}
+    assert len(probed) <= 2
+
+
+def test_full_probe_equals_bruteforce(spark, index, query_vec):
+    path, _, _ = index
+    got = [r.vec_id for r in ivf_search(spark, path, query_vec, nprobe=N_LISTS, topk=10).collect()]
+    assert got == _brute_topk(spark, query_vec, 10)
+
+
+def test_partial_probe_recall(spark, index, query_vec):
+    path, _, _ = index
+    got = {r.vec_id for r in ivf_search(spark, path, query_vec, nprobe=4, topk=10).collect()}
+    truth = set(_brute_topk(spark, query_vec, 10))
+    # embeddings are near-random (TESTDATA), so partial-probe recall is
+    # modest but deterministic; the self-match (vec_id 0) must survive
+    assert 0 in got
+    assert len(got & truth) >= 3
