@@ -105,10 +105,19 @@ def read_events(spark: SparkSession, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
+    cache = getattr(spark, "_op_etl_events_cache", None)
+    if cache is None:
+        cache = {}
+        spark._op_etl_events_cache = cache
+    df = cache.get(sf_dir)
+    if df is not None:
+        return df
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cache[sf_dir] = df
     return df
 
 

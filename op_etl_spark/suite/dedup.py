@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import fan_out, fround
+from ._util import fround, read_table
 
 N_HASHES = 16  # minhash signature length
 BAND_ROWS = 4  # rows per LSH band -> 4 bands
@@ -36,7 +36,7 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return read_table(spark, sf_dir, "documents", fan=True)
 
 
 def _shingle_arrays(d: DataFrame) -> DataFrame:

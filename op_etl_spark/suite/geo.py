@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from op_etl_spark.session import read_events
 
+from ._util import read_table
+
 from op_etl_spark.functions.bbox import bbox_struct, envelope_within_tolerance, point_in_bbox
 from op_etl_spark.functions.crs import crs_to_epsg_expr, magnitude_valid_expr
 from op_etl_spark.functions.naming import safe_name_expr, slug_expr
@@ -26,7 +28,7 @@ AOI = (585826.0, 6550189.0, 648593.0, 6611661.0)
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # --- F1/F2: slug + safe-name over part and customer names ---

@@ -19,13 +19,13 @@ from ..operators.layout import (
     zorder_key,
     zorder_key_sql,
 )
-from ._util import cents, sql_cents
+from ._util import cents, read_table, sql_cents
 
 BITS = 8
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return read_table(spark, sf_dir, "orders")
 
 
 def zorder_curve_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,13 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ._util import cents, fround, money_avg, money_sum
+from ._util import cents, fround, money_avg, money_sum, read_table
 
 from op_etl_spark.session import read_events
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # --- Q1: pricing summary (full-scan agg; map-side combine; 6 aggregates) ---

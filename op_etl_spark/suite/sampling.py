@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._util import read_table
 from ..operators.sampling import (
     deterministic_sample,
     group_topk_sample,
@@ -26,7 +27,7 @@ GROUP_K = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_table(spark, sf_dir, "documents")
 
 
 def split_cohort_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,14 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ._util import fan_out, fround
+from ._util import fround, read_table
 
 N_PROBES = 10
 TOP_K = 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    df = read_table(spark, sf_dir, "embeddings", fan=True)
     return df.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
 
 

@@ -15,13 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import fan_out, fround
+from ._util import fround, read_table
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return read_table(spark, sf_dir, "documents", fan=True)
 
 
 # --- token counting (whitespace tokens + distinct tokens) ---

@@ -29,11 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import cents, fround, money_sum, sql_cents, sql_money_sum
+from ._util import cents, fround, money_sum, read_table, sql_cents, sql_money_sum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # --- q4 shape: EXISTS with a non-equi residual condition ---
