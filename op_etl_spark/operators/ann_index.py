@@ -76,34 +76,47 @@ def build_ivf_index(
     Returns the final centroids. Each Lloyd iteration is one job: assign
     (narrow) -> groupBy(list, pos) mean (one shuffle) -> collect n_lists
     tiny rows to the driver."""
-    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-    seeds = (
-        vecs.orderBy(hash_unit(F.col(id_col), "ivf-seed"), F.col(id_col))
-        .limit(n_lists)
-        .collect()
-    )
-    centroids = [list(r["__v"]) for r in seeds]
-    for _ in range(iters):
-        assigned = _assign(vecs, centroids, "__v")
-        rows = (
-            assigned.select("list_id", F.posexplode("__v").alias("pos", "val"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
-            .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("c"))
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v")).persist()
+    try:
+        seeds = (
+            vecs.orderBy(hash_unit(F.col(id_col), "ivf-seed"), F.col(id_col))
+            .limit(n_lists)
             .collect()
         )
-        updated = {r.list_id: list(r.c) for r in rows}
-        centroids = [updated.get(i, centroids[i]) for i in range(n_lists)]
+        centroids = [list(r["__v"]) for r in seeds]
+        n_lists = len(centroids)  # corpus smaller than requested lists
+        if not centroids:
+            raise ValueError("cannot build an IVF index over an empty corpus")
+        # Mean via exact scaled-integer sums (1e-6 quantized values), not
+        # F.avg: double summation order varies with partitioning, and
+        # ulp-level centroid drift flips boundary vectors between lists —
+        # breaking the promised build reproducibility.
+        q = F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long")
+        for _ in range(iters):
+            assigned = _assign(vecs, centroids, "__v")
+            rows = (
+                assigned.select("list_id", F.posexplode("__v").alias("pos", "val"))
+                .groupBy("list_id", "pos")
+                .agg((F.sum(q) / F.lit(1000000.0) / F.count(F.lit(1))).alias("m"))
+                .groupBy("list_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+                .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("c"))
+                .collect()
+            )
+            updated = {r.list_id: list(r.c) for r in rows}
+            centroids = [updated.get(i, centroids[i]) for i in range(n_lists)]
 
-    final = _assign(df.withColumn("__v", F.col(vec_col).cast("array<double>")), centroids, "__v")
-    (
-        final.drop("__v")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(f"{path}/{VECTORS_DIR}")
-    )
+        final = _assign(
+            df.withColumn("__v", F.col(vec_col).cast("array<double>")), centroids, "__v"
+        )
+        (
+            final.drop("__v")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(f"{path}/{VECTORS_DIR}")
+        )
+    finally:
+        vecs.unpersist()
     spark = df.sparkSession
     cent_structs = [
         F.struct(

@@ -38,6 +38,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _partition_columns(files: list[tuple[str, int]], base: str) -> list[str]:
+    """Hive partition columns inferred from the data-file paths (in
+    directory order), e.g. .../list_id=3/part-0.parquet -> ["list_id"]."""
+    if not files:
+        return []
+    rel = files[0][0].split(base.rstrip("/") + "/", 1)[-1]
+    return [seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg]
+
+
 def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) for every parquet data file under `path` (recursive).
 
@@ -79,7 +88,10 @@ def plan_compaction(
     when the table already has that few files (re-running is a no-op, so
     a scheduled compactor can fire unconditionally).
     """
-    files = _list_data_files(spark, path)
+    return _plan_from(_list_data_files(spark, path), target_file_bytes)
+
+
+def _plan_from(files: list[tuple[str, int]], target_file_bytes: int) -> CompactionPlan:
     n = len(files)
     total = sum(b for _, b in files)
     target = max(1, math.ceil(total / target_file_bytes))
@@ -100,13 +112,23 @@ def compact_files(
     non-atomic window is rename-swap only; readers never see partial data
     files because the temp write is complete before the first rename.
     """
-    plan = plan_compaction(spark, path, target_file_bytes)
+    files = _list_data_files(spark, path)
+    plan = _plan_from(files, target_file_bytes)
     if plan.skipped:
         return plan
-    df = spark.read.parquet(path)
     base = path.rstrip("/")
+    parts = _partition_columns(files, base)
+    df = spark.read.parquet(path)
     tmp, bak = base + ".__compact_tmp__", base + ".__compact_bak__"
-    df.repartition(plan.target_files).write.mode("overwrite").parquet(tmp)
+    if parts:
+        # Hive-partitioned layout: preserve it. Hashing the shuffle on the
+        # partition columns lands each partition value in one task, so the
+        # rewrite yields one file per value (per-value sub-splitting is the
+        # table format's job at finer granularity).
+        w = df.repartition(plan.target_files, *[F.col(c) for c in parts]).write
+        w.mode("overwrite").partitionBy(*parts).parquet(tmp)
+    else:
+        df.repartition(plan.target_files).write.mode("overwrite").parquet(tmp)
     fs, jpath = _hadoop_fs(spark, base)
     mk = spark._jvm.org.apache.hadoop.fs.Path
     fs.delete(mk(bak), True)
@@ -157,8 +179,16 @@ def normalize_to_bits(c: Column, lo: int, hi: int, bits: int = 16) -> Column:
     Integer division is done as (n - n % d) / d: the numerator becomes an
     exact multiple of d, so the one double division is exact — matching
     SQL `//` bit-for-bit (plain floor(a/b) on doubles can be off by one
-    at cell boundaries). Exact while (hi-lo+1) * 2**bits < 2**53."""
+    at cell boundaries). Exact while (hi-lo+1) * 2**bits < 2**53; wider
+    ranges are rejected rather than silently degrading (int64 wrap would
+    clamp most rows into cell 0 and clustering would quietly vanish) —
+    pre-bucket such columns (e.g. epoch-nanos -> epoch-seconds) first."""
     span = hi - lo + 1
+    if span * (1 << bits) >= 1 << 53:
+        raise ValueError(
+            f"column range {span} x 2^{bits} cells exceeds exact-arithmetic bounds; "
+            "coarsen the column (pre-bucket) before z-ordering"
+        )
     num = (c.cast("long") - F.lit(lo)) * F.lit(1 << bits)
     cell = ((num - num % F.lit(span)) / F.lit(span)).cast("long")
     return F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), cell)).cast("long")
@@ -191,6 +221,11 @@ def zorder_write(
         *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
         *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
     ).collect()[0]
+    if any(stats[f"lo_{c}"] is None for c in cols):
+        # empty input or an all-null clustered column: nothing to cluster
+        # by — write through unchanged rather than dying mid-schedule
+        df.write.mode("overwrite").parquet(path)
+        return
     key = zorder_key(
         [
             normalize_to_bits(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits)

@@ -94,6 +94,15 @@ def ensure_shipped(spark: SparkSession) -> None:
     spark._op_etl_shipped = True
 
 
+def session_cache(spark: SparkSession, attr: str) -> dict:
+    """A dict cached on the session object (dies with the session)."""
+    cache = getattr(spark, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, attr, cache)
+    return cache
+
+
 def read_events(spark: SparkSession, sf_dir: str):
     """Read the events table, tolerating TIMESTAMP(NANOS) parquet files.
 
@@ -105,10 +114,7 @@ def read_events(spark: SparkSession, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    cache = getattr(spark, "_op_etl_events_cache", None)
-    if cache is None:
-        cache = {}
-        spark._op_etl_events_cache = cache
+    cache = session_cache(spark, "_op_etl_events_cache")
     df = cache.get(sf_dir)
     if df is not None:
         return df

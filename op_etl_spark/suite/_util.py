@@ -34,10 +34,9 @@ def read_table(spark, sf_dir: str, name: str, fan: bool = False) -> DataFrame:
     the benchmark tables are immutable; the cache key includes the fan_out
     decision, and the cache lives on the session object so it dies with
     the session."""
-    cache = getattr(spark, "_op_etl_table_cache", None)
-    if cache is None:
-        cache = {}
-        spark._op_etl_table_cache = cache
+    from op_etl_spark.session import session_cache
+
+    cache = session_cache(spark, "_op_etl_table_cache")
     key = (sf_dir, name, fan)
     df = cache.get(key)
     if df is None:

@@ -67,32 +67,18 @@ def _shingles(d: DataFrame) -> DataFrame:
 
 
 def _hashed_shingle_arrays(d: DataFrame) -> DataFrame:
-    """(doc_id, shingles: array<long>) — distinct 64-bit shingle IDs.
-
-    xxhash64 applied INSIDE the transform, before array_distinct/explode:
-    everything downstream (dedup, shuffle keys, posting lists) moves 8-byte
-    longs instead of ~25-byte strings. This is the standard trick at scale
-    (Spark MLlib's MinHashLSH likewise hashes terms to ints first); the
-    string-side oracle still matches because the final pair output only
-    depends on set equality, and 64-bit collisions at ~2^22 distinct
-    shingles (~1e-6, deterministic) don't occur in these corpora.
-    """
-    d = d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
-    words = F.col("words")
-    n = F.size(words)
-    zipped = F.arrays_zip(
-        F.slice(words, 1, n - 2), F.slice(words, 2, n - 2), F.slice(words, 3, n - 2)
+    """(doc_id, shingles: array<long>) — the same distinct shingle sets as
+    `_shingle_arrays`, as 64-bit xxhash64 IDs: everything downstream
+    (shuffle keys, posting lists) moves 8-byte longs instead of ~25-byte
+    strings — the standard trick at scale (Spark MLlib's MinHashLSH
+    likewise hashes terms to ints first). The string-side oracle still
+    matches because the final pair output only depends on set equality,
+    and 64-bit collisions at ~2^22 distinct shingles (~1e-6,
+    deterministic) don't occur in these corpora."""
+    arrs = _shingle_arrays(d)
+    return arrs.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles")
     )
-    sh = F.when(
-        n >= 3,
-        F.array_distinct(
-            F.transform(
-                zipped,
-                lambda s: F.xxhash64(F.concat_ws(" ", s["0"], s["1"], s["2"])),
-            )
-        ),
-    ).otherwise(F.array(F.xxhash64(F.array_join(words, " "))))
-    return d.select("doc_id", sh.alias("shingles"))
 
 
 def _posting_pairs(posts: DataFrame, member_col: str = "m") -> DataFrame:

@@ -90,3 +90,17 @@ def test_partial_probe_recall(spark, index, query_vec):
     # modest but deterministic; the self-match (vec_id 0) must survive
     assert 0 in got
     assert len(got & truth) >= 3
+
+
+def test_small_corpus_clamps_n_lists(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(F.col("vec_id") < 5)
+    cents = build_ivf_index(emb, str(tmp_path / "tiny"), n_lists=16, iters=1)
+    assert 0 < len(cents) <= 5
+    vecs = spark.read.parquet(str(tmp_path / "tiny") + "/vectors")
+    assert vecs.count() == 5
+
+
+def test_build_stable_under_repartition(spark, index, tmp_path):
+    path, centroids, emb = index
+    again = build_ivf_index(emb.repartition(13), str(tmp_path / "idx3"), n_lists=N_LISTS, iters=2)
+    assert again == centroids

@@ -130,3 +130,49 @@ class TestZorder:
             spans.append(row.s)
         # clustered files each cover a fraction of the custkey range
         assert sum(spans) / len(spans) < 0.6 * glob_span
+
+
+class TestReviewRegressions:
+    def test_compact_preserves_hive_partitioning(self, spark, tmp_path):
+        path = str(tmp_path / "part_tbl")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        (
+            orders.withColumn("status", F.col("o_orderstatus"))
+            .repartition(12)
+            .write.partitionBy("status")
+            .parquet(path)
+        )
+        n_before = spark.read.parquet(path).count()
+        files_before = len(_data_files(path))
+
+        plan = compact_files(spark, path, target_file_bytes=1 << 30)
+        assert not plan.skipped
+
+        import glob as g
+
+        part_dirs = g.glob(os.path.join(path, "status=*"))
+        assert len(part_dirs) >= 2  # layout survived
+        after = spark.read.parquet(path)
+        assert after.count() == n_before
+        assert "status" in after.columns
+        assert len(_data_files(path)) < files_before
+        # pruning still works on the compacted table
+        plan_txt = (
+            after.filter(F.col("status") == "F")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan_txt
+
+    def test_zorder_empty_input_writes_through(self, spark, tmp_path):
+        path = str(tmp_path / "empty_z")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter("o_orderkey < 0")
+        zorder_write(orders, path, ["o_custkey", "o_orderkey"], bits=8)
+        assert spark.read.parquet(path).count() == 0
+
+    def test_normalize_rejects_wide_ranges(self, spark):
+        import pytest as pt
+
+        with pt.raises(ValueError):
+            normalize_to_bits(F.col("x"), 0, 1 << 45, 16)
