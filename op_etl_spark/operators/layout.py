@@ -119,7 +119,7 @@ def compact_files(
     base = path.rstrip("/")
     parts = _partition_columns(files, base)
     df = spark.read.parquet(path)
-    tmp, bak = base + ".__compact_tmp__", base + ".__compact_bak__"
+    tmp = base + ".__compact_tmp__"
     if parts:
         # Hive-partitioned layout: preserve it. Hashing the shuffle on the
         # partition columns lands each partition value in one task, so the
@@ -129,16 +129,23 @@ def compact_files(
         w.mode("overwrite").partitionBy(*parts).parquet(tmp)
     else:
         df.repartition(plan.target_files).write.mode("overwrite").parquet(tmp)
+    swap_directory(spark, base, tmp)
+    return plan
+
+
+def swap_directory(spark: SparkSession, base: str, tmp: str) -> None:
+    """Replace directory `base` with `tmp` via two FS renames (+ rollback
+    if the second fails). Atomic on HDFS/posix rename semantics."""
     fs, jpath = _hadoop_fs(spark, base)
     mk = spark._jvm.org.apache.hadoop.fs.Path
+    bak = base + ".__swap_bak__"
     fs.delete(mk(bak), True)
-    if not fs.rename(jpath, mk(bak)):
-        raise IOError(f"compaction swap failed: could not move {base} aside")
+    if fs.exists(jpath) and not fs.rename(jpath, mk(bak)):
+        raise IOError(f"swap failed: could not move {base} aside")
     if not fs.rename(mk(tmp), jpath):
         fs.rename(mk(bak), jpath)  # roll back
-        raise IOError(f"compaction swap failed: could not move {tmp} into place")
+        raise IOError(f"swap failed: could not move {tmp} into place")
     fs.delete(mk(bak), True)
-    return plan
 
 
 # --- Z-order clustering ---

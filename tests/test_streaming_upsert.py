@@ -1,0 +1,120 @@
+"""Keyed upsert sink: latest-wins merge semantics, bounded bucket
+rewrites, retry idempotence, and the streaming end-to-end path."""
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from op_etl_spark.streaming.upsert import (
+    BUCKET_COL,
+    latest_per_key,
+    merge_upsert_batch,
+    read_upsert_target,
+    start_upsert_stream,
+)
+
+KEYS = ["k"]
+SEQ = "seq"
+N_BUCKETS = 8
+
+
+def _updates(spark, rows):
+    structs = [
+        F.struct(F.lit(k).alias("k"), F.lit(s).alias("seq"), F.lit(v).alias("val"))
+        for k, s, v in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.k", "r.seq", "r.val")
+    )
+
+
+def _state(spark, target):
+    return {
+        r.k: (r.seq, r.val)
+        for r in read_upsert_target(spark, target).collect()
+    }
+
+
+def test_merge_semantics(spark, tmp_path):
+    target = str(tmp_path / "t")
+    merge_upsert_batch(
+        _updates(spark, [(1, 10, "a"), (2, 10, "b")]), target, KEYS, SEQ, N_BUCKETS
+    )
+    assert _state(spark, target) == {1: (10, "a"), 2: (10, "b")}
+
+    # newer seq wins, older (late) loses, new key inserts
+    merge_upsert_batch(
+        _updates(spark, [(1, 11, "a2"), (2, 9, "late"), (3, 10, "c")]),
+        target, KEYS, SEQ, N_BUCKETS,
+    )
+    assert _state(spark, target) == {1: (11, "a2"), 2: (10, "b"), 3: (10, "c")}
+
+
+def test_retry_idempotent(spark, tmp_path):
+    target = str(tmp_path / "t")
+    b1 = _updates(spark, [(1, 10, "a"), (2, 10, "b")])
+    merge_upsert_batch(b1, target, KEYS, SEQ, N_BUCKETS)
+    before = _state(spark, target)
+    merge_upsert_batch(b1, target, KEYS, SEQ, N_BUCKETS)  # redelivery
+    assert _state(spark, target) == before
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    target = str(tmp_path / "t")
+    # seed many keys so several buckets exist
+    merge_upsert_batch(
+        _updates(spark, [(k, 1, f"v{k}") for k in range(40)]),
+        target, KEYS, SEQ, N_BUCKETS,
+    )
+    all_dirs = sorted(glob.glob(os.path.join(target, f"{BUCKET_COL}=*")))
+    assert len(all_dirs) > 2
+
+    # find the bucket of key 0 and update only that key
+    bucket_of_0 = (
+        _updates(spark, [(0, 2, "v0b")])
+        .select(F.pmod(F.xxhash64("k"), F.lit(N_BUCKETS)).cast("int").alias("b"))
+        .collect()[0]
+        .b
+    )
+    untouched = [d for d in all_dirs if d != os.path.join(target, f"{BUCKET_COL}={bucket_of_0}")]
+    sig_before = {d: sorted(os.listdir(d)) for d in untouched}
+
+    merge_upsert_batch(_updates(spark, [(0, 2, "v0b")]), target, KEYS, SEQ, N_BUCKETS)
+
+    assert _state(spark, target)[0] == (2, "v0b")
+    for d in untouched:
+        assert sorted(os.listdir(d)) == sig_before[d]  # bytes untouched
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [{"k": 1, "seq": 10, "val": "a"}, {"k": 2, "seq": 10, "val": "b"}]
+    rows2 = [{"k": 1, "seq": 11, "val": "a2"}, {"k": 3, "seq": 10, "val": "c"}]
+    for i, rows in enumerate([rows1, rows2]):
+        with open(src / f"{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("k long, seq long, val string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    target = str(tmp_path / "t")
+    q = start_upsert_stream(
+        stream, target, str(tmp_path / "ckpt"), KEYS, SEQ, N_BUCKETS,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert _state(spark, target) == {1: (11, "a2"), 2: (10, "b"), 3: (10, "c")}
+
+
+def test_latest_per_key_deterministic_on_ties(spark):
+    df = _updates(spark, [(1, 10, "x"), (1, 10, "y")])
+    got = latest_per_key(df, KEYS, SEQ).collect()
+    assert len(got) == 1 and got[0].val == "y"  # struct-desc tiebreak
