@@ -21,6 +21,7 @@ from . import (
     geo,
     layout,
     multimodal,
+    profile,
     relational,
     sampling,
     similarity,
@@ -40,6 +41,7 @@ _MODULES = [
     multimodal,
     layout,
     sampling,
+    profile,
 ]
 
 

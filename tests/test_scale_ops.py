@@ -102,3 +102,23 @@ class TestSaltedAgg:
         salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(16))
         n_groups = skewed.select("k", salt.alias("s")).distinct().count()
         assert n_groups == 16  # one hot key fans into 16 partial groups
+
+def test_profile_approx_mode_one_pass(spark):
+    """HLL profile: same shape as exact, cardinalities within sketch error,
+    and no EXPAND in the plan (the thing exact multi-distinct pays for)."""
+    from op_etl_spark.operators.profile import profile_columns
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "lang"]
+    exact = {r.column: r for r in profile_columns(df, cols, exact=True).collect()}
+    approx_df = profile_columns(df, cols, exact=False)
+    approx = {r.column: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for c in cols:
+        assert approx[c].n_rows == exact[c].n_rows
+        assert approx[c].min_value == exact[c].min_value
+        assert abs(approx[c].n_distinct - exact[c].n_distinct) <= max(
+            2, 0.1 * exact[c].n_distinct
+        )
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
