@@ -138,3 +138,68 @@ class TestCodegen:
         with contextlib.redirect_stdout(buf):
             df.explain("codegen")
         assert "WholeStageCodegen" in buf.getvalue()
+
+
+class TestTpchExtraPlans:
+    """Plan shapes for the second TPC-H batch (suite/tpch_extra.py)."""
+
+    def test_q6_all_predicates_pushed_to_scan(self, spark):
+        from op_etl_spark.suite.tpch_extra import q6_forecast_revenue
+
+        p = plan(q6_forecast_revenue(spark, SF_DIR))
+        for pushed in (
+            "GreaterThanOrEqual(l_shipdate",
+            "LessThan(l_shipdate",
+            "GreaterThanOrEqual(l_discount,0.04)",
+            "LessThanOrEqual(l_discount,0.06)",
+            "LessThan(l_quantity,24",
+        ):
+            assert pushed in p, pushed
+        # 4-column projection out of 11
+        read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+        assert "l_orderkey" not in read and "l_partkey" not in read
+
+    def test_q4_semi_join_not_inner_plus_distinct(self, spark):
+        from op_etl_spark.suite.tpch_extra import q4_late_ship_orders
+
+        p = plan(q4_late_ship_orders(spark, SF_DIR))
+        assert "LeftSemi" in tree(p)
+        assert n_nodes(p, "HashAggregate") <= 4  # no dedup aggregate sneaked in
+
+    def test_q7_nation_dims_broadcast(self, spark):
+        from op_etl_spark.suite.tpch_extra import q7_volume_shipping
+
+        p = plan(q7_volume_shipping(spark, SF_DIR))
+        assert n_nodes(p, "BroadcastHashJoin") >= 2
+        # the disjunctive pair filter must not force a nested loop
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_q18_inner_aggregate_broadcast_to_orders(self, spark):
+        from op_etl_spark.suite.tpch_extra import q18_large_volume_customers
+
+        p = plan(q18_large_volume_customers(spark, SF_DIR))
+        assert n_nodes(p, "BroadcastHashJoin") >= 1
+        assert "TakeOrderedAndProject" in tree(p)  # top-100, no global sort
+
+    def test_q19_stays_hash_join_despite_disjunction(self, spark):
+        from op_etl_spark.suite.tpch_extra import q19_disjunctive_revenue
+
+        p = plan(q19_disjunctive_revenue(spark, SF_DIR))
+        t = tree(p)
+        assert "BroadcastNestedLoopJoin" not in t and "CartesianProduct" not in t
+
+    def test_q21_single_pass_over_lineitem(self, spark):
+        from op_etl_spark.suite.tpch_extra import q21_waiting_suppliers
+
+        p = plan(q21_waiting_suppliers(spark, SF_DIR))
+        # the EXISTS/NOT-EXISTS rewrite must not re-scan lineitem 3x
+        assert tree(p).count("lineitem.parquet") <= 1
+        assert p.count("lineitem.parquet") <= 2  # one scan node in detail
+
+    def test_q22_anti_join_on_pruned_orders(self, spark):
+        from op_etl_spark.suite.tpch_extra import q22_idle_rich_customers
+
+        p = plan(q22_idle_rich_customers(spark, SF_DIR))
+        assert "LeftAnti" in tree(p)
+        read = [l for l in p.splitlines() if "ReadSchema" in l and "o_custkey" in l]
+        assert any(l.count(",") == 0 for l in read)  # orders scan: one column
