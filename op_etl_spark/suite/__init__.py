@@ -21,6 +21,7 @@ from . import (
     geo,
     layout,
     multimodal,
+    packing,
     profile,
     relational,
     sampling,
@@ -42,6 +43,7 @@ _MODULES = [
     layout,
     sampling,
     profile,
+    packing,
 ]
 
 
