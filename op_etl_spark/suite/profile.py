@@ -20,5 +20,49 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOCUMENTS_PROFILE = profile_sql("documents", PROFILE_COLS)
 
-QUERIES = {"documents_profile": documents_profile}
-ORACLE = {"documents_profile": ORACLE_DOCUMENTS_PROFILE}
+
+def quartile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of integer-valued measures, bit-identical across
+    engines: at q in {.25,.5,.75} the interpolation fraction is an exact
+    quarter, so a + (b-a)*f is exact double arithmetic on integer inputs
+    — Spark `percentile` == DuckDB `quantile_cont` with no rounding
+    helper needed. (Arbitrary q or non-integer inputs lose this; see
+    bench notes.) One pass per table, two tables unioned."""
+    from pyspark.sql import functions as F
+
+    def quarts(df: DataFrame, table: str, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column"),
+            F.expr(f"percentile({col}, 0.25)").alias("q25"),
+            F.expr(f"percentile({col}, 0.5)").alias("q50"),
+            F.expr(f"percentile({col}, 0.75)").alias("q75"),
+        )
+
+    docs = quarts(read_table(spark, sf_dir, "documents"), "documents", "n_chars")
+    li = quarts(read_table(spark, sf_dir, "lineitem"), "lineitem", "l_quantity")
+    return docs.unionByName(li)
+
+
+ORACLE_QUARTILES = """
+SELECT 'documents' AS table_name, 'n_chars' AS column,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5) AS q50,
+       quantile_cont(n_chars, 0.75) AS q75
+FROM documents
+UNION ALL
+SELECT 'lineitem', 'l_quantity',
+       quantile_cont(l_quantity, 0.25),
+       quantile_cont(l_quantity, 0.5),
+       quantile_cont(l_quantity, 0.75)
+FROM lineitem
+"""
+
+QUERIES = {
+    "documents_profile": documents_profile,
+    "quartile_profile": quartile_profile,
+}
+ORACLE = {
+    "documents_profile": ORACLE_DOCUMENTS_PROFILE,
+    "quartile_profile": ORACLE_QUARTILES,
+}

@@ -230,7 +230,50 @@ FROM documents
 """
 
 
+# --- within-doc repetition (boilerplate) scoring ---
+
+def boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio per document: 1 - distinct/total 3-grams.
+    High ratio = templated/boilerplate text (the standard within-doc
+    repetition filter, complementing the cross-doc dedup suite). Narrow
+    single pass — shingling and both counts happen inside array
+    expressions, no explode, no shuffle except the final projection."""
+    from .dedup import _shingle_arrays
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    total = F.greatest(F.size(words) - 2, F.lit(1))
+    arrs = _shingle_arrays(d)  # distinct 3-gram shingles per doc
+    joined = d.select("doc_id", total.alias("n_total")).join(
+        arrs.select("doc_id", F.size("shingles").alias("n_distinct")), "doc_id"
+    )
+    from ._util import fround
+
+    return joined.select(
+        "doc_id",
+        "n_total",
+        "n_distinct",
+        fround(1 - F.col("n_distinct") / F.col("n_total"), 4).alias("rep_ratio"),
+    )
+
+
+ORACLE_BOILERPLATE = """
+WITH t AS (
+  SELECT doc_id,
+         greatest(len(string_split(text,' ')) - 2, 1) AS n_total,
+         len(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                              for i in range(1, len(string_split(text,' ')) - 1)])
+             ELSE [text] END) AS n_distinct
+  FROM documents)
+SELECT doc_id, n_total, n_distinct,
+       floor((1 - n_distinct::DOUBLE / n_total) * 10000 + 0.5) / 10000.0 AS rep_ratio
+FROM t
+"""
+
+
 QUERIES = {
+    "boilerplate_scores": boilerplate_scores,
     "bpe_token_stats": bpe_token_stats,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
@@ -241,6 +284,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "boilerplate_scores": ORACLE_BOILERPLATE,
     "bpe_token_stats": ORACLE_BPE,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "quality_scores": ORACLE_QUALITY,
