@@ -13,42 +13,92 @@ micro-batch then
   2. reads back ONLY the buckets the batch touches — a partition filter,
      so untouched buckets are never listed or read,
   3. re-merges latest-wins inside those buckets, and
-  4. rewrites exactly those bucket directories via dynamic partition
-     overwrite (`spark.sql.sources.partitionOverwriteMode=dynamic`).
+  4. rewrites exactly those bucket directories (per-write dynamic
+     partition overwrite — a writer option, so concurrent writes in the
+     same session can't race a session-wide conf flip).
 Work per batch scales with |touched buckets| ~ |batch keys|, not with
 target size. Retries are idempotent: merging the same batch twice is a
 no-op (max-by-sequence is associative/commutative/idempotent), which is
 exactly the foreachBatch redelivery contract.
+
+The bucket count is part of the target's physical identity: it's pinned
+in a `_n_buckets` marker on first write and later merges must match —
+silently re-bucketing would strand stale rows in buckets the new formula
+never touches (duplicate keys with no error).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 BUCKET_COL = "__bucket"
 DEFAULT_BUCKETS = 64
+_MARKER = "_n_buckets"
 
 
 def _bucket(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def _orderable(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def latest_per_key(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
     """One row per key: the highest-sequence version. Ties broken by the
-    remaining columns' struct order so the reduction is deterministic even
-    on replayed duplicates."""
-    others = [c for c in df.columns if c not in key_cols]
+    remaining ORDERABLE columns' descending order so the reduction is
+    deterministic on replayed duplicates (maps can't be sort keys; rows
+    differing only in an unorderable column tie-break arbitrarily but
+    stably within a run)."""
+    types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
+    others = [
+        c
+        for c in df.columns
+        if c not in key_cols and c != seq_col and _orderable(types[c])
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(seq_col), *[F.desc(c) for c in others if c != seq_col]
+        F.desc(seq_col), *[F.desc(c) for c in others]
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _read_marker(spark: SparkSession, target_dir: str) -> int | None:
+    fs, jpath = _fs(spark, f"{target_dir}/{_MARKER}")
+    if not fs.exists(jpath):
+        return None
+    jvm = spark._jvm
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(jpath)))
+    try:
+        return int(reader.readLine().strip())
+    finally:
+        reader.close()
+
+
+def _write_marker(spark: SparkSession, target_dir: str, n_buckets: int) -> None:
+    fs, jpath = _fs(spark, f"{target_dir}/{_MARKER}")
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(f"{n_buckets}\n".encode())
+    finally:
+        stream.close()
 
 
 def merge_upsert_batch(
@@ -61,33 +111,43 @@ def merge_upsert_batch(
     """Merge one batch of updates into the bucketed parquet target."""
     spark = batch_df.sparkSession
     cols = batch_df.columns
-    latest = latest_per_key(batch_df, key_cols, seq_col).withColumn(
-        BUCKET_COL, _bucket(key_cols, n_buckets)
+    existing = _read_marker(spark, target_dir)
+    if existing is not None and existing != n_buckets:
+        raise ValueError(
+            f"target {target_dir} was bucketed with n_buckets={existing}; "
+            f"merging with {n_buckets} would strand stale rows — rebuild the "
+            "target to re-bucket"
+        )
+    latest = (
+        latest_per_key(batch_df, key_cols, seq_col)
+        .withColumn(BUCKET_COL, _bucket(key_cols, n_buckets))
+        .persist()
     )
     try:
-        current = spark.read.parquet(target_dir)
-        touched = [r[0] for r in latest.select(BUCKET_COL).distinct().collect()]
-        current = current.filter(F.col(BUCKET_COL).isin(touched))
-        merged = latest_per_key(
-            current.select(*cols, BUCKET_COL).unionByName(
-                latest.select(*cols, BUCKET_COL)
-            ),
-            key_cols,
-            seq_col,
-        )
-    except AnalysisException:  # first batch: target doesn't exist yet
-        merged = latest
-
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+        if existing is None:
+            merged = latest
+        else:
+            touched = [r[0] for r in latest.select(BUCKET_COL).distinct().collect()]
+            current = spark.read.parquet(target_dir).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
+            merged = latest_per_key(
+                current.select(*cols, BUCKET_COL).unionByName(
+                    latest.select(*cols, BUCKET_COL)
+                ),
+                key_cols,
+                seq_col,
+            )
         (
             merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(target_dir)
         )
+        if existing is None:
+            _write_marker(spark, target_dir, n_buckets)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        latest.unpersist()
 
 
 def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -235,25 +235,35 @@ FROM documents
 def boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-3-gram ratio per document: 1 - distinct/total 3-grams.
     High ratio = templated/boilerplate text (the standard within-doc
-    repetition filter, complementing the cross-doc dedup suite). Narrow
-    single pass — shingling and both counts happen inside array
-    expressions, no explode, no shuffle except the final projection."""
-    from .dedup import _shingle_arrays
-
-    d = _docs(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
-    total = F.greatest(F.size(words) - 2, F.lit(1))
-    arrs = _shingle_arrays(d)  # distinct 3-gram shingles per doc
-    joined = d.select("doc_id", total.alias("n_total")).join(
-        arrs.select("doc_id", F.size("shingles").alias("n_distinct")), "doc_id"
-    )
+    repetition filter, complementing the cross-doc dedup suite). ONE
+    narrow projection: the words array is materialized once per row and
+    both counts (total slots, distinct shingles) are array expressions
+    over it — one scan, one split, no join, no shuffle."""
     from ._util import fround
 
-    return joined.select(
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    words = F.col("words")
+    n = F.size(words)
+    zipped = F.arrays_zip(
+        F.slice(words, 1, n - 2), F.slice(words, 2, n - 2), F.slice(words, 3, n - 2)
+    )
+    distinct_shingles = F.when(
+        n >= 3,
+        F.size(
+            F.array_distinct(
+                F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+            )
+        ),
+    ).otherwise(F.lit(1))
+    return d.select(
         "doc_id",
-        "n_total",
-        "n_distinct",
-        fround(1 - F.col("n_distinct") / F.col("n_total"), 4).alias("rep_ratio"),
+        F.greatest(n - 2, F.lit(1)).alias("n_total"),
+        distinct_shingles.alias("n_distinct"),
+        fround(
+            1 - distinct_shingles / F.greatest(n - 2, F.lit(1)), 4
+        ).alias("rep_ratio"),
     )
 
 

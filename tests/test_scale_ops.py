@@ -108,7 +108,7 @@ def test_profile_approx_mode_one_pass(spark):
     and no EXPAND in the plan (the thing exact multi-distinct pays for)."""
     from op_etl_spark.operators.profile import profile_columns
 
-    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     cols = ["doc_id", "lang"]
     exact = {r.column: r for r in profile_columns(df, cols, exact=True).collect()}
     approx_df = profile_columns(df, cols, exact=False)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from op_etl_spark.streaming.upsert import (
     BUCKET_COL,
+    _bucket,
     latest_per_key,
     merge_upsert_batch,
     read_upsert_target,
@@ -76,7 +77,7 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     # find the bucket of key 0 and update only that key
     bucket_of_0 = (
         _updates(spark, [(0, 2, "v0b")])
-        .select(F.pmod(F.xxhash64("k"), F.lit(N_BUCKETS)).cast("int").alias("b"))
+        .select(_bucket(KEYS, N_BUCKETS).alias("b"))
         .collect()[0]
         .b
     )
@@ -110,7 +111,7 @@ def test_streaming_end_to_end(spark, tmp_path):
         stream, target, str(tmp_path / "ckpt"), KEYS, SEQ, N_BUCKETS,
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert _state(spark, target) == {1: (11, "a2"), 2: (10, "b"), 3: (10, "c")}
 
 
@@ -118,3 +119,35 @@ def test_latest_per_key_deterministic_on_ties(spark):
     df = _updates(spark, [(1, 10, "x"), (1, 10, "y")])
     got = latest_per_key(df, KEYS, SEQ).collect()
     assert len(got) == 1 and got[0].val == "y"  # struct-desc tiebreak
+
+
+def test_mismatched_buckets_rejected(spark, tmp_path):
+    target = str(tmp_path / "t")
+    merge_upsert_batch(_updates(spark, [(1, 1, "a")]), target, KEYS, SEQ, 8)
+    import pytest as pt
+
+    with pt.raises(ValueError, match="n_buckets=8"):
+        merge_upsert_batch(_updates(spark, [(1, 2, "b")]), target, KEYS, SEQ, 4)
+
+
+def test_schema_drift_raises_not_data_loss(spark, tmp_path):
+    target = str(tmp_path / "t")
+    merge_upsert_batch(
+        _updates(spark, [(k, 1, f"v{k}") for k in range(10)]), target, KEYS, SEQ, N_BUCKETS
+    )
+    widened = _updates(spark, [(0, 2, "x")]).withColumn("extra", F.lit(1))
+    import pytest as pt
+
+    with pt.raises(Exception):  # surfaces instead of silently dropping rows
+        merge_upsert_batch(widened, target, KEYS, SEQ, N_BUCKETS)
+    assert len(_state(spark, target)) == 10  # nothing lost
+
+
+def test_unorderable_payload_column_accepted(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df = _updates(spark, [(1, 1, "a"), (1, 2, "b")]).withColumn(
+        "meta", F.create_map(F.lit("k"), F.col("val"))
+    )
+    merge_upsert_batch(df, target, KEYS, SEQ, N_BUCKETS)
+    got = read_upsert_target(spark, target).collect()
+    assert len(got) == 1 and got[0].seq == 2
