@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ._util import cents, fround, money_avg, money_sum, read_table
+from ._util import cents, fround, money_avg, money_sum, read_table, sql_money_sum
 
 from op_etl_spark.session import read_events
 
@@ -729,6 +729,37 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+
+# --- ntile: equal-depth bucketing over a total order ---
+
+def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders bucketed into 4 equal-depth tiles by total price (ties
+    broken by key for a total order — ntile over a partial order is
+    nondeterministic on both engines). Per-tile count and exact-cents
+    revenue. One global sort window; at scale you'd partition the window
+    by a coarse key or use approx quantiles (order_value_quantiles)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("tile")
+    )
+
+
+ORACLE_NTILE = f"""
+SELECT tile, count(*) AS n_orders, {sql_money_sum('o_totalprice', 2)} AS revenue
+FROM (SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM orders)
+GROUP BY tile
+ORDER BY tile
+"""
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -753,6 +784,7 @@ QUERIES = {
     "cube_status_priority": cube_status_priority,
     "order_value_quantiles": order_value_quantiles,
     "corr_qty_price": corr_qty_price,
+    "ntile_order_quartiles": ntile_order_quartiles,
 }
 
 ORACLE = {
@@ -779,4 +811,5 @@ ORACLE = {
     "cube_status_priority": ORACLE_CUBE,
     "order_value_quantiles": ORACLE_QUANTILES,
     "corr_qty_price": ORACLE_CORR,
+    "ntile_order_quartiles": ORACLE_NTILE,
 }
