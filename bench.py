@@ -23,11 +23,18 @@ from op_etl_spark.session import get_spark  # noqa: E402
 from op_etl_spark import suite  # noqa: E402
 
 # Headline set: spans full-scan agg, multi-joins, windows, sessionization,
-# text analysis, dedup (exact + MinHash-LSH + SimHash), similarity search.
+# text analysis, dedup (exact + MinHash-LSH + SimHash), similarity search,
+# sampling/splits, sequence packing, profiling, and the z-order curve.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "split_cohort_counts",
+    "packed_sequence_stats",
+    "documents_profile",
+    "zorder_cell_histogram",
     "w_top3_orders_per_customer",
     "dedup_keep_newest_event",
     "metrics_rollup",
