@@ -83,6 +83,38 @@ def stratified_sample(
     return df.filter(hash_unit(F.col(key), salt) < thr)
 
 
+def negative_pairs(
+    df: DataFrame, key: str, k: int, salt: str = "neg"
+) -> DataFrame:
+    """K deterministic pseudo-random negative partners per row — the
+    contrastive-training pairing op (anchor, negative_1..k).
+
+    Each (key, j) hashes to a uniform index into the keyspace; the index
+    resolves to a partner key through a row_number index table. One
+    explode (k rows per anchor) and one shuffle (the index join);
+    self-pairs are dropped, so a row yields k or occasionally k-1
+    partners. Deterministic in (salt, key, j): resampling, repartitioning,
+    and re-runs produce the same pairs. The global row_number is a single-
+    partition window — at real scale substitute a precomputed dense id
+    column and skip that step."""
+    n = df.count()
+    idx = df.select(
+        F.col(key).alias("__neg_key"),
+        (F.row_number().over(Window.orderBy(key)) - 1).alias("__idx"),
+    )
+    anchors = df.select(key).withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+    u = hash_unit(
+        F.concat(F.col(key).cast("string"), F.lit("#"), F.col("j").cast("string")),
+        salt,
+    )
+    cand = anchors.withColumn("__idx", F.floor(u * F.lit(float(n))).cast("long"))
+    return (
+        cand.join(idx, "__idx")
+        .filter(F.col("__neg_key") != F.col(key))
+        .select(key, "j", F.col("__neg_key").alias("neg_" + key))
+    )
+
+
 def group_topk_sample(
     df: DataFrame, group_cols: list[str], key: str, k: int, salt: str = ""
 ) -> DataFrame:

@@ -15,6 +15,7 @@ from ..operators.sampling import (
     deterministic_sample,
     group_topk_sample,
     hash_unit_sql,
+    negative_pairs,
     stratified_sample,
     train_test_split,
 )
@@ -104,14 +105,50 @@ FROM (
 WHERE rn <= {GROUP_K}
 """
 
+NEG_K = 3
+
+
+def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negatives for a deterministic anchor subset: 3 hash-
+    chosen partners per anchor, self-pairs dropped. The anchor filter
+    keeps the output compact while still pinning the index arithmetic."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 25 == 0)
+    anchors = negative_pairs(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", NEG_K
+    )
+    return anchors.join(d.select("doc_id"), "doc_id", "left_semi")
+
+
+_U_NEG = hash_unit_sql("doc_id || '#' || j", "neg")
+
+ORACLE_NEG_PAIRS = f"""
+WITH idx AS (
+  SELECT doc_id AS neg_key,
+         row_number() OVER (ORDER BY doc_id) - 1 AS i
+  FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id, j.j,
+         CAST(floor({_U_NEG} * n.n) AS BIGINT) AS i
+  FROM documents d
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+  CROSS JOIN n)
+SELECT c.doc_id, c.j, idx.neg_key AS neg_doc_id
+FROM cand c
+JOIN idx ON c.i = idx.i
+WHERE idx.neg_key != c.doc_id AND c.doc_id % 25 = 0
+"""
+
 QUERIES = {
     "split_cohort_counts": split_cohort_counts,
     "stratified_lang_sample": stratified_lang_sample,
     "source_topk_sample": source_topk_sample,
+    "negative_pair_sample": negative_pair_sample,
 }
 
 ORACLE = {
     "split_cohort_counts": ORACLE_SPLIT,
     "stratified_lang_sample": ORACLE_STRATIFIED,
     "source_topk_sample": ORACLE_TOPK,
+    "negative_pair_sample": ORACLE_NEG_PAIRS,
 }
