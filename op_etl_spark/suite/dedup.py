@@ -150,7 +150,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
     )
-    posts = sh.groupBy("shingle").agg(F.collect_list("m").alias("m"))
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") >= 2)  # singleton lists yield no pairs
+    )
     common = (
         _posting_pairs(posts)
         .groupBy(
