@@ -84,30 +84,43 @@ def stratified_sample(
 
 
 def negative_pairs(
-    df: DataFrame, key: str, k: int, salt: str = "neg"
+    df: DataFrame, key: str, k: int, salt: str = "neg", anchors: DataFrame | None = None
 ) -> DataFrame:
-    """K deterministic pseudo-random negative partners per row — the
-    contrastive-training pairing op (anchor, negative_1..k).
+    """K deterministic pseudo-random negative partners per anchor — the
+    contrastive-training pairing op (anchor, negative_1..k). Partners are
+    drawn from ALL of `df`; `anchors` (default: every row) restricts only
+    who gets partners, so a subset's pairs equal the full run's subset.
 
     Each (key, j) hashes to a uniform index into the keyspace; the index
-    resolves to a partner key through a row_number index table. One
-    explode (k rows per anchor) and one shuffle (the index join);
-    self-pairs are dropped, so a row yields k or occasionally k-1
-    partners. Deterministic in (salt, key, j): resampling, repartitioning,
-    and re-runs produce the same pairs. The global row_number is a single-
-    partition window — at real scale substitute a precomputed dense id
-    column and skip that step."""
-    n = df.count()
+    resolves to a partner key through a row_number index table. Fully
+    lazy (the corpus size enters as a broadcast 1-row aggregate, not a
+    driver-side count); one explode (k rows per anchor) and one shuffle
+    (the index join); self-pairs are dropped, so a row yields k or
+    occasionally k-1 partners. Deterministic in (salt, key, j). The
+    global row_number is a single-partition window — at real scale
+    substitute a precomputed dense id column and skip that step."""
     idx = df.select(
         F.col(key).alias("__neg_key"),
         (F.row_number().over(Window.orderBy(key)) - 1).alias("__idx"),
     )
-    anchors = df.select(key).withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k))))
-    u = hash_unit(
-        F.concat(F.col(key).cast("string"), F.lit("#"), F.col("j").cast("string")),
-        salt,
+    n1 = df.agg(F.count(F.lit(1)).alias("__n"))
+    a = (anchors if anchors is not None else df).select(key)
+    cand = (
+        a.withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "__idx",
+            F.floor(
+                hash_unit(
+                    F.concat(
+                        F.col(key).cast("string"), F.lit("#"), F.col("j").cast("string")
+                    ),
+                    salt,
+                )
+                * F.col("__n")
+            ).cast("long"),
+        )
     )
-    cand = anchors.withColumn("__idx", F.floor(u * F.lit(float(n))).cast("long"))
     return (
         cand.join(idx, "__idx")
         .filter(F.col("__neg_key") != F.col(key))

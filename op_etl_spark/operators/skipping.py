@@ -56,11 +56,14 @@ def prune_files(
 ) -> list[str]:
     """Files whose stats intersect every requested [lo, hi] range.
     `ranges` maps column -> (lo, hi); either bound may be None for
-    open-ended. Files with null stats for a column are kept (conservative
-    — an all-null or unindexed column can't disqualify a file)."""
+    open-ended. Files with null or missing stats for a column are kept
+    (conservative — an all-null or unindexed column can't disqualify a
+    file)."""
     manifest = spark.read.parquet(index_path)
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
+        if f"min_{c}" not in manifest.columns:
+            continue  # column not indexed: cannot disqualify anything
         keep = F.lit(True)
         if hi is not None:
             keep = keep & (F.col(f"min_{c}") <= F.lit(hi))
@@ -82,8 +85,10 @@ def pruned_read(
     excluded files entirely."""
     index_path = index_path or path.rstrip("/") + MANIFEST_DIR_SUFFIX
     files = prune_files(spark, index_path, ranges)
+    # basePath keeps Hive partition columns resolvable when reading leaf
+    # files directly, so the pruned schema always equals the unpruned one
     df = (
-        spark.read.parquet(*files)
+        spark.read.option("basePath", path).parquet(*files)
         if files
         else spark.read.parquet(path).limit(0)
     )

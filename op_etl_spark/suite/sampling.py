@@ -110,16 +110,16 @@ NEG_K = 3
 
 def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive negatives for a deterministic anchor subset: 3 hash-
-    chosen partners per anchor, self-pairs dropped. The anchor filter
-    keeps the output compact while still pinning the index arithmetic."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 25 == 0)
-    anchors = negative_pairs(
-        _docs(spark, sf_dir).select("doc_id"), "doc_id", NEG_K
-    )
-    return anchors.join(d.select("doc_id"), "doc_id", "left_semi")
+    chosen partners per anchor drawn from the FULL corpus, self-pairs
+    dropped. Anchors are pre-filtered (partners don't depend on which
+    rows are anchors, so the subset's pairs equal the full run's)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    anchors = docs.filter(F.col("doc_id") % 25 == 0)
+    return negative_pairs(docs, "doc_id", NEG_K, anchors=anchors)
 
 
 _U_NEG = hash_unit_sql("doc_id || '#' || j", "neg")
+_J_LIST = list(range(1, NEG_K + 1))
 
 ORACLE_NEG_PAIRS = f"""
 WITH idx AS (
@@ -131,12 +131,13 @@ cand AS (
   SELECT d.doc_id, j.j,
          CAST(floor({_U_NEG} * n.n) AS BIGINT) AS i
   FROM documents d
-  CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
-  CROSS JOIN n)
+  CROSS JOIN (SELECT unnest({_J_LIST}) AS j) j
+  CROSS JOIN n
+  WHERE d.doc_id % 25 = 0)
 SELECT c.doc_id, c.j, idx.neg_key AS neg_doc_id
 FROM cand c
 JOIN idx ON c.i = idx.i
-WHERE idx.neg_key != c.doc_id AND c.doc_id % 25 = 0
+WHERE idx.neg_key != c.doc_id
 """
 
 QUERIES = {

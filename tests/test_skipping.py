@@ -65,3 +65,27 @@ def test_open_ended_ranges(spark, tmp_path):
     assert hi_only.count() == orders.filter(F.col("o_custkey") <= 100).count()
     lo_only = pruned_read(spark, path, {"o_custkey": (100, None)})
     assert lo_only.count() == orders.filter(F.col("o_custkey") >= 100).count()
+
+
+def test_partitioned_table_keeps_partition_columns(spark, tmp_path):
+    path = str(tmp_path / "orders_part")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    (
+        orders.withColumn("status", F.col("o_orderstatus"))
+        .write.partitionBy("status")
+        .parquet(path)
+    )
+    idx = build_stats_index(spark, path, ["o_custkey"])
+    got = pruned_read(spark, path, {"o_custkey": (50, 200)})
+    assert "status" in got.columns  # partition column survives leaf-file read
+    want = spark.read.parquet(path).filter(
+        (F.col("o_custkey") >= 50) & (F.col("o_custkey") <= 200)
+    )
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(want.columns)
+
+
+def test_unindexed_range_column_is_conservative(spark, tmp_path):
+    path, idx, orders = _setup(spark, tmp_path)
+    kept = prune_files(spark, idx, {"o_totalprice": (0, 1)})  # not indexed
+    assert len(kept) == spark.read.parquet(idx).count()  # keeps everything
