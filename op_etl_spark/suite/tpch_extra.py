@@ -11,6 +11,9 @@ relational batch didn't exercise.
  - disjunctive multi-attribute join predicate (q19 shape)
  - double-correlated EXISTS / NOT EXISTS (q21 shape)
  - scalar-subquery threshold + anti join (q22 shape)
+ - outer-join count distribution (q13 shape)
+ - scalar-max over an aggregated view (q15 shape)
+ - correlated per-group average threshold (q17 shape)
 
 The driver's tables are trimmed TPC-H (no partsupp, no l_shipmode /
 l_commitdate / l_receiptdate / c_phone), so predicates are adapted to the
@@ -496,6 +499,131 @@ ORDER BY cohort
 """
 
 
+# --- q13 shape: outer-join count distribution ---
+
+def q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer INCLUDING zero-order customers
+    — the left-outer-join + double-aggregation shape. First aggregate
+    shuffles on c_custkey (orders side pre-projected to one column);
+    second is a tiny histogram. Counting o_orderkey (not *) keeps the
+    null rows from the outer join at count 0."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q15 shape: top-supplier via scalar-max over an aggregated view ---
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose revenue equals the global max of per-supplier
+    revenue in one ship quarter. The revenue view aggregates once (exact
+    cents); the scalar max is a 1-row aggregate cross-joined back
+    (broadcast) — the view is computed ONCE and reused for both sides
+    via self-reference, not recomputed."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+            "rev_cents"
+        )
+    )
+    mx = revenue.agg(F.max("rev_cents").alias("max_cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, rev_cents / 10000.0 AS total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- q17 shape: correlated per-group average threshold ---
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems below 50%% of their part's average quantity,
+    for one brand. The correlated scalar subquery becomes a per-part
+    aggregate joined back to the fact — computed once, co-partitioned on
+    l_partkey with the fact join (one shuffle each side, no recompute
+    per row). The brand filter prunes the part side BEFORE both joins.
+    Exact-cents threshold comparison: avg = exact sum / count, halved."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+    avg_q = li_brand.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.sum(cents("l_quantity")) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_brand.join(avg_q, li_brand.l_partkey == avg_q.ak)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            money_sum("l_extendedprice").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q17 = f"""
+WITH li_brand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')),
+avg_q AS (
+  SELECT l_partkey AS ak,
+         sum({sql_cents('l_quantity', 2)}) / 100.0 / count(*) AS avg_qty
+  FROM li_brand GROUP BY 1)
+SELECT {sql_money_sum('l_extendedprice', 2)} AS small_qty_revenue,
+       count(*) AS n_items
+FROM li_brand JOIN avg_q ON l_partkey = ak
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
 QUERIES = {
     "q4_late_ship_orders": q4_late_ship_orders,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -507,6 +635,9 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q13_customer_order_histogram": q13_customer_order_histogram,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
 }
 
 ORACLE = {
@@ -520,4 +651,7 @@ ORACLE = {
     "q19_disjunctive_revenue": ORACLE_Q19,
     "q21_waiting_suppliers": ORACLE_Q21,
     "q22_idle_rich_customers": ORACLE_Q22,
+    "q13_customer_order_histogram": ORACLE_Q13,
+    "q15_top_supplier": ORACLE_Q15,
+    "q17_small_quantity_revenue": ORACLE_Q17,
 }
