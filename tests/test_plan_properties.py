@@ -203,3 +203,42 @@ class TestTpchExtraPlans:
         assert "LeftAnti" in tree(p)
         read = [l for l in p.splitlines() if "ReadSchema" in l and "o_custkey" in l]
         assert any(l.count(",") == 0 for l in read)  # orders scan: one column
+
+
+class TestNoBroadcastFallback:
+    """At 100 TB the build sides stop fitting in broadcast; the same query
+    graphs must degrade to shuffle joins, never to nested loops. Simulated
+    by disabling the broadcast threshold in a scoped session conf."""
+
+    @pytest.fixture()
+    def no_broadcast(self, spark):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        yield spark
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    def test_q12_degrades_to_sort_merge(self, no_broadcast):
+        from op_etl_spark.suite.tpch_extra import q12_priority_lines
+
+        p = plan(q12_priority_lines(no_broadcast, SF_DIR))
+        assert n_nodes(p, "SortMergeJoin") >= 1
+        assert "BroadcastNestedLoopJoin" not in tree(p)
+        # results identical either way
+        assert q12_priority_lines(no_broadcast, SF_DIR).count() > 0
+
+    def test_q13_outer_join_degrades_cleanly(self, no_broadcast):
+        from op_etl_spark.suite.tpch_extra import q13_customer_order_histogram
+
+        p = plan(q13_customer_order_histogram(no_broadcast, SF_DIR))
+        assert n_nodes(p, "SortMergeJoin") >= 1
+        assert "CartesianProduct" not in tree(p)
+
+    def test_explicit_broadcast_hints_survive(self, no_broadcast):
+        # dimension lookups we explicitly hint stay broadcast even with
+        # the threshold off — intent is encoded in the plan, not the conf
+        from op_etl_spark.suite.tpch_extra import q18_large_volume_customers
+
+        p = plan(q18_large_volume_customers(no_broadcast, SF_DIR))
+        assert n_nodes(p, "BroadcastHashJoin") >= 1
