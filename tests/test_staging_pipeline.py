@@ -175,3 +175,38 @@ def test_align_to_template_no_test_semantics(spark):
     assert [f.name for f in aligned.schema.fields] == ["id", "v", "missing"]
     row = aligned.first()
     assert row.id == 1 and row.v == 2.5 and row.missing is None
+
+
+def test_schema_evolution_merge_and_align(spark, tmp_path):
+    """A staging dir whose later runs add a column: mergeSchema surfaces
+    the union schema (older files null-fill), and align_to_template
+    projects any run's frame back onto the original target contract —
+    the NO_TEST load path under schema drift."""
+    from op_etl_spark.sinks.load import align_to_template
+
+    from pyspark.sql import functions as F
+
+    staged = str(tmp_path / "staged")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("name"))
+    v1.write.parquet(staged + "/run=1")
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("name"), F.lit(9.5).alias("score")
+    )
+    v2.write.parquet(staged + "/run=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(staged)
+    assert set(merged.columns) == {"id", "name", "score", "run"}
+    assert merged.count() == 8
+    # old rows null-fill the new column
+    assert merged.filter("run = 1 AND score IS NULL").count() == 5
+
+    # loading back into the v1 contract drops the drifted column
+    aligned = align_to_template(merged, v1)
+    assert aligned.columns == v1.columns
+    assert aligned.count() == 8
+
+    # and widening the contract null-fills for old data, positionally
+    template_v3 = v2.limit(0).withColumn("extra", F.lit(None).cast("string"))
+    widened = align_to_template(merged, template_v3)
+    assert widened.columns == ["id", "name", "score", "extra"]
+    assert widened.filter("extra IS NOT NULL").count() == 0
