@@ -535,10 +535,15 @@ ORDER BY custdist DESC, c_count DESC
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers whose revenue equals the global max of per-supplier
-    revenue in one ship quarter. The revenue view aggregates once (exact
-    cents); the scalar max is a 1-row aggregate cross-joined back
-    (broadcast) — the view is computed ONCE and reused for both sides
-    via self-reference, not recomputed."""
+    revenue in one ship quarter. The scalar max is a GLOBAL WINDOW over
+    the aggregated view, not a separate aggregate joined back — a
+    cross-joined 1-row max would recompute the whole revenue subtree
+    (Catalyst doesn't dedupe self-referenced subplans here; verified in
+    the executed plan), doubling the fact scan. The window funnels only
+    the already-aggregated per-supplier rows (tiny relative to the fact)
+    through one partition."""
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -548,10 +553,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    mx = revenue.agg(F.max("rev_cents").alias("max_cents"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.crossJoin(F.broadcast(mx))
+        revenue.withColumn("max_cents", F.max("rev_cents").over(W.partitionBy()))
         .filter(F.col("rev_cents") == F.col("max_cents"))
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(

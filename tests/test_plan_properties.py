@@ -242,3 +242,13 @@ class TestNoBroadcastFallback:
 
         p = plan(q18_large_volume_customers(no_broadcast, SF_DIR))
         assert n_nodes(p, "BroadcastHashJoin") >= 1
+
+
+class TestQ15SingleScan:
+    def test_revenue_view_computed_once(self, spark):
+        from op_etl_spark.suite.tpch_extra import q15_top_supplier
+
+        p = plan(q15_top_supplier(spark, SF_DIR))
+        # window-max formulation: one lineitem scan (a cross-joined scalar
+        # max would recompute the revenue subtree and scan twice)
+        assert p.count("lineitem.parquet") <= 2  # tree + detail mention
