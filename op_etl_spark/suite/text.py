@@ -12,7 +12,7 @@ separated, lowercase).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ._util import fround, read_table
@@ -282,8 +282,39 @@ FROM t
 """
 
 
+# --- vocabulary construction (token -> id, frequency cutoff) ---
+
+VOCAB_MIN_COUNT = 20
+
+
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: tokens above a frequency cutoff, ids assigned
+    by (count desc, token) dense rank — the deterministic token->id map a
+    tokenizer build step produces. One explode + one groupBy (map-side
+    combined); the ranking window runs over the already-aggregated
+    vocabulary, which is orders of magnitude smaller than the corpus."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    kept = counts.filter(F.col("n") >= VOCAB_MIN_COUNT)
+    w = W.orderBy(F.desc("n"), "tok")
+    return kept.select(
+        "tok", "n", (F.row_number().over(w) - 1).alias("token_id")
+    )
+
+
+ORACLE_VOCAB = f"""
+SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+FROM (SELECT tok, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok)
+WHERE n >= {VOCAB_MIN_COUNT}
+"""
+
+
 QUERIES = {
     "boilerplate_scores": boilerplate_scores,
+    "vocab_build": vocab_build,
     "bpe_token_stats": bpe_token_stats,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
@@ -295,6 +326,7 @@ QUERIES = {
 
 ORACLE = {
     "boilerplate_scores": ORACLE_BOILERPLATE,
+    "vocab_build": ORACLE_VOCAB,
     "bpe_token_stats": ORACLE_BPE,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "quality_scores": ORACLE_QUALITY,
