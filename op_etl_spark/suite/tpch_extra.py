@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import cents, fround, money_sum, read_table, sql_cents, sql_money_sum
+from ._util import cents, fround, money_sum, read_table, sql_cents, sql_money_avg, sql_money_sum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -586,12 +586,15 @@ ORDER BY s_suppkey
 # --- q17 shape: correlated per-group average threshold ---
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue from lineitems below 50%% of their part's average quantity,
+    """Revenue from lineitems below 50% of their part's average quantity,
     for one brand. The correlated scalar subquery becomes a per-part
-    aggregate joined back to the fact — computed once, co-partitioned on
-    l_partkey with the fact join (one shuffle each side, no recompute
-    per row). The brand filter prunes the part side BEFORE both joins.
+    WINDOW average over the single brand-filtered fact stream — one scan,
+    one shuffle on l_partkey, no self-join (a groupBy-then-join-back
+    would scan and semi-join the fact twice; same lesson as q15). The
+    brand filter prunes via broadcast semi join before the shuffle.
     Exact-cents threshold comparison: avg = exact sum / count, halved."""
+    from pyspark.sql import Window as W
+
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select(
         "p_partkey"
     )
@@ -599,11 +602,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
-    avg_q = li_brand.groupBy(F.col("l_partkey").alias("ak")).agg(
-        (F.sum(cents("l_quantity")) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty")
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(cents("l_quantity")).over(w) / F.lit(100.0) / F.count(F.lit(1)).over(w)
     )
     return (
-        li_brand.join(avg_q, li_brand.l_partkey == avg_q.ak)
+        li_brand.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             money_sum("l_extendedprice").alias("small_qty_revenue"),
@@ -618,8 +622,7 @@ WITH li_brand AS (
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')),
 avg_q AS (
-  SELECT l_partkey AS ak,
-         sum({sql_cents('l_quantity', 2)}) / 100.0 / count(*) AS avg_qty
+  SELECT l_partkey AS ak, {sql_money_avg('l_quantity', 2)} AS avg_qty
   FROM li_brand GROUP BY 1)
 SELECT {sql_money_sum('l_extendedprice', 2)} AS small_qty_revenue,
        count(*) AS n_items

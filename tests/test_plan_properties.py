@@ -249,6 +249,12 @@ class TestQ15SingleScan:
         from op_etl_spark.suite.tpch_extra import q15_top_supplier
 
         p = plan(q15_top_supplier(spark, SF_DIR))
-        # window-max formulation: one lineitem scan (a cross-joined scalar
-        # max would recompute the revenue subtree and scan twice)
-        assert p.count("lineitem.parquet") <= 2  # tree + detail mention
+        # window-max formulation: exactly one lineitem scan node (the
+        # cross-joined scalar-max regression produces two Location lines)
+        assert p.count("lineitem.parquet") == 1
+
+    def test_q17_single_fact_scan(self, spark):
+        from op_etl_spark.suite.tpch_extra import q17_small_quantity_revenue
+
+        p = plan(q17_small_quantity_revenue(spark, SF_DIR))
+        assert p.count("lineitem.parquet") == 1  # window avg, no join-back

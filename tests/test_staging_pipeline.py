@@ -182,10 +182,6 @@ def test_schema_evolution_merge_and_align(spark, tmp_path):
     the union schema (older files null-fill), and align_to_template
     projects any run's frame back onto the original target contract —
     the NO_TEST load path under schema drift."""
-    from op_etl_spark.sinks.load import align_to_template
-
-    from pyspark.sql import functions as F
-
     staged = str(tmp_path / "staged")
     v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("name"))
     v1.write.parquet(staged + "/run=1")
@@ -205,7 +201,7 @@ def test_schema_evolution_merge_and_align(spark, tmp_path):
     assert aligned.columns == v1.columns
     assert aligned.count() == 8
 
-    # and widening the contract null-fills for old data, positionally
+    # widening the contract null-fills missing columns, matched by NAME
     template_v3 = v2.limit(0).withColumn("extra", F.lit(None).cast("string"))
     widened = align_to_template(merged, template_v3)
     assert widened.columns == ["id", "name", "score", "extra"]
