@@ -17,6 +17,7 @@ non-SQL-expressible operators).
 from __future__ import annotations
 
 from . import (
+    clustering,
     dedup,
     geo,
     layout,
@@ -28,12 +29,15 @@ from . import (
     similarity,
     stream_windows,
     text,
+    tpch_batch3,
     tpch_extra,
 )
 
 _MODULES = [
     relational,
     tpch_extra,
+    tpch_batch3,
+    clustering,
     text,
     dedup,
     similarity,

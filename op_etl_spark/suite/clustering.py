@@ -1,0 +1,156 @@
+"""Near-duplicate CLUSTERING: connected components over the candidate-pair
+graph, assigning every document a canonical cluster id (the minimum doc_id
+reachable through near-dup edges).
+
+Pair generation alone (dedup.py) is not enough for a real dedup pipeline:
+if A~B and B~C, all three must land in ONE cluster even when A~C was never
+emitted as a pair — that transitivity is exactly connected components, and
+"keep one doc per component" is the standard corpus-dedup step (the same
+shape the reference's stem-dedup applies per file-stem group,
+stage_files.py:280-295, lifted from per-group distinct to a graph closure).
+
+Spark-side: iterative min-label propagation to a fixpoint — the classic
+Pregel-style CC. Each round is one join (labels onto the symmetric edge
+list) + one min-aggregate, i.e. two shuffles over data proportional to
+|edges|; `localCheckpoint` truncates the growing lineage each round.
+Convergence is detected with a single scalar aggregate (labels only ever
+decrease, so the label-sum is a monotone potential — when it stops
+falling, the assignment is a fixpoint; no row-level diff join needed).
+Rounds needed = graph diameter; at 100 TB you'd switch the round body to
+alternating large-star/small-star (O(log n) rounds, same join/agg
+primitives) and keep everything else — the oracle and output contract
+don't change.
+
+Oracle-side: DuckDB WITH RECURSIVE reachability + min-per-node — tractable
+because near-dup components are tiny (bounded by LSH bucket sizes), which
+is also what keeps the Spark fixpoint loop short.
+
+Edges: document pairs sharing >= 6 distinct word trigrams (the same
+inverted-index posting-pair plan as dedup.ngram_jaccard_pairs — one corpus
+scan, two shuffles, no self-join; the count threshold replaces the jaccard
+ratio so the recursive oracle stays simple).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import read_table
+from .dedup import _DUCK_SHINGLES, _docs, _hashed_shingle_arrays, _posting_pairs
+
+MIN_COMMON_TRIGRAMS = 6
+MAX_ROUNDS = 15
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric near-dup edge list (src, dst), both directions."""
+    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
+    sh = arrs.select(
+        F.struct(F.col("doc_id")).alias("m"),
+        F.explode("shingles").alias("shingle"),
+    )
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pairs = (
+        _posting_pairs(posts)
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= MIN_COMMON_TRIGRAMS)
+        .select("a", "b")
+    )
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def dedup_cc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document: cluster_id = min doc_id in
+    the document's connected component (singletons map to themselves)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _edges(spark, sf_dir).localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
+    for _ in range(MAX_ROUNDS):
+        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionAll(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+ORACLE_CC_ASSIGN = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+comp(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT c.id, e.b FROM comp c JOIN edges e ON e.a = c.m
+)
+SELECT id AS doc_id, min(m) AS cluster_id
+FROM comp GROUP BY id ORDER BY doc_id
+"""
+
+
+def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision itself: one canonical survivor per cluster (the
+    min doc_id) with the number of near-dup documents it absorbs. The
+    'drop' set is everything assign() maps to a different cluster_id —
+    this query materializes the keep-list a training pipeline would
+    semi-join against the corpus. Derived from the same fixpoint labels;
+    one extra aggregate on the (tiny) assignment table."""
+    assign = dedup_cc_assign(spark, sf_dir)
+    return (
+        assign.groupBy(F.col("cluster_id").alias("survivor_doc_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("survivor_doc_id")
+    )
+
+
+ORACLE_CC_SURVIVORS = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+comp(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT c.id, e.b FROM comp c JOIN edges e ON e.a = c.m
+),
+assign AS (SELECT id AS doc_id, min(m) AS cluster_id FROM comp GROUP BY id)
+SELECT cluster_id AS survivor_doc_id, count(*) AS cluster_size
+FROM assign GROUP BY 1 HAVING count(*) >= 2 ORDER BY survivor_doc_id
+"""
+
+
+QUERIES = {
+    "dedup_cc_assign": dedup_cc_assign,
+    "dedup_cc_survivors": dedup_cc_survivors,
+}
+
+ORACLE = {
+    "dedup_cc_assign": ORACLE_CC_ASSIGN,
+    "dedup_cc_survivors": ORACLE_CC_SURVIVORS,
+}

@@ -58,11 +58,46 @@ SELECT 'lineitem', 'l_quantity',
 FROM lineitem
 """
 
+def lang_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPWISE exact quartiles: document-length quartiles per language
+    (the per-slice length profile a corpus-balance report needs). Same
+    bit-exactness argument as `quartile_profile` (quarter-fraction
+    interpolation on integer inputs), now under a groupBy: Spark runs
+    `percentile` as a typed imperative aggregate with partial merge, so
+    the plan is a single two-phase aggregation — per-group state is the
+    value multiset, bounded by group size; at 100 TB you'd cap state with
+    `approx_percentile` at the cost of the oracle's exactness."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n_chars, 0.25)").alias("q25"),
+            F.expr("percentile(n_chars, 0.5)").alias("q50"),
+            F.expr("percentile(n_chars, 0.75)").alias("q75"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_QUARTILES = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5) AS q50,
+       quantile_cont(n_chars, 0.75) AS q75
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "documents_profile": documents_profile,
     "quartile_profile": quartile_profile,
+    "lang_quartiles": lang_quartiles,
 }
 ORACLE = {
     "documents_profile": ORACLE_DOCUMENTS_PROFILE,
     "quartile_profile": ORACLE_QUARTILES,
+    "lang_quartiles": ORACLE_LANG_QUARTILES,
 }

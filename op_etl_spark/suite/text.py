@@ -312,7 +312,149 @@ WHERE n >= {VOCAB_MIN_COUNT}
 """
 
 
+# --- Gopher-style repetition signals (mode concentration) ---
+
+def rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals in the Gopher/C4 quality-filter
+    family, complementing `boilerplate_scores` (distinct-ratio) with MODE
+    CONCENTRATION: what fraction of the document is its single most
+    frequent unigram / bigram, plus the duplicate-word fraction.
+
+    Plan: the scalar counts (n_words, n_distinct) are array expressions on
+    the base scan (no shuffle); the two mode counts are explode →
+    two-phase groupBy( doc_id, gram ) → max per doc — partial aggregation
+    makes the shuffled volume ~|distinct grams per doc|, and the final
+    joins are on doc_id (skew-free, co-partitioned after the aggs). At
+    100 TB every stage is linear in corpus size with bounded per-key
+    state; nothing global."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    words = F.col("words")
+    n = F.size(words)
+    base = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    uni_top = (
+        d.select("doc_id", F.explode("words").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_cnt"))
+    )
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(words, 1, n - 1), F.slice(words, 2, n - 1)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    bi_top = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    nw = F.col("n_words")
+    return (
+        base.join(uni_top, "doc_id", "left")
+        .join(bi_top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            fround((nw - F.col("n_distinct")) / nw, 4).alias("dup_word_frac"),
+            fround(F.col("top_word_cnt") / nw, 4).alias("top_word_frac"),
+            fround(
+                F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+                / F.greatest(nw - 1, F.lit(1)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_REP_SIGNALS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct FROM d),
+ut AS (SELECT doc_id, max(c) AS tc FROM (
+         SELECT doc_id, g, count(*) AS c
+         FROM (SELECT doc_id, unnest(ws) AS g FROM d) GROUP BY 1, 2)
+       GROUP BY 1),
+bt AS (SELECT doc_id, max(c) AS tbc FROM (
+         SELECT doc_id, g, count(*) AS c
+         FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+               FROM d WHERE len(ws) >= 2) GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT base.doc_id, n_words,
+       floor(((n_words - n_distinct)::DOUBLE / n_words) * 10000 + 0.5) / 10000.0 AS dup_word_frac,
+       floor((tc::DOUBLE / n_words) * 10000 + 0.5) / 10000.0 AS top_word_frac,
+       floor((coalesce(tbc, 0)::DOUBLE / greatest(n_words - 1, 1)) * 10000 + 0.5) / 10000.0 AS top_bigram_frac
+FROM base LEFT JOIN ut ON ut.doc_id = base.doc_id
+          LEFT JOIN bt ON bt.doc_id = base.doc_id
+"""
+
+
+# --- cross-corpus duplicated n-gram fraction (contamination signal) ---
+
+def dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's trigram POSITIONS whose trigram occurs
+    in at least one OTHER document — the cross-corpus contamination /
+    near-dup pressure signal (what fraction of this doc is shared
+    content), counted with multiplicity so a doc that repeats a shared
+    phrase is scored accordingly.
+
+    Plan: one corpus scan explodes trigrams (hashed to 64-bit ids so both
+    shuffles move longs); doc-frequency is a two-phase distinct-count per
+    gram; the join back to positions is on the gram id. At 100 TB you'd
+    additionally drop grams with df=1 before the join (they only
+    contribute zeros to the numerator) — kept here because the
+    denominator needs every position, carried via the left join's nulls."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    words = F.col("words")
+    n = F.size(words)
+    tris = F.transform(
+        F.arrays_zip(
+            F.slice(words, 1, n - 2), F.slice(words, 2, n - 2), F.slice(words, 3, n - 2)
+        ),
+        lambda s: F.xxhash64(F.concat_ws(" ", s["0"], s["1"], s["2"])),
+    )
+    pos = d.filter(n >= 3).select("doc_id", F.explode(tris).alias("g"))
+    df_ = (
+        pos.select("doc_id", "g").distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    return (
+        pos.join(df_, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_shared",
+            fround(F.col("n_shared") / F.col("n_grams"), 4).alias("shared_frac"),
+        )
+    )
+
+
+ORACLE_DUP_NGRAM = """
+WITH g AS (
+  SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 3),
+df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       floor((CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / count(*)) * 10000 + 0.5) / 10000.0 AS shared_frac
+FROM g JOIN df USING (g)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "rep_signals": rep_signals,
+    "dup_ngram_frac": dup_ngram_frac,
     "boilerplate_scores": boilerplate_scores,
     "vocab_build": vocab_build,
     "bpe_token_stats": bpe_token_stats,
@@ -325,6 +467,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rep_signals": ORACLE_REP_SIGNALS,
+    "dup_ngram_frac": ORACLE_DUP_NGRAM,
     "boilerplate_scores": ORACLE_BOILERPLATE,
     "vocab_build": ORACLE_VOCAB,
     "bpe_token_stats": ORACLE_BPE,
