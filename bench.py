@@ -66,37 +66,53 @@ def main() -> None:
     spark = get_spark("op_etl_spark-bench")
     queries = suite.all_queries()
 
+    # A single broken query must never zero out the whole bench run:
+    # record the error per-query, keep going, and still print the JSON line.
+    errors: dict[str, str] = {}
+
+    def run_one(name: str) -> float | None:
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return None
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            return f"{type(e).__name__}: {str(e)[:300]}"
+
     # Warm-up pass (untimed): JIT/codegen compilation, parquet footers,
     # Python worker pools. The timed pass then measures steady-state
     # engine throughput — first-run JVM compilation noise swamps the
     # actual plan execution time at this data scale and varies ±40%
     # run-to-run, which would make round-over-round comparison meaningless.
     for name in HEADLINE:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        err = run_one(name)
+        if err:
+            errors[name] = err
 
     # min of two timed passes per query: the host is bursty and a single
     # pass can absorb an unrelated CPU spike; the min is the engine time.
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
-            fn = queries[name]
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            err = run_one(name)
             dt = round(time.perf_counter() - t0, 3)
+            if err:
+                errors[name] = err
+                continue
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

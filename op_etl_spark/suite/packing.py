@@ -39,8 +39,8 @@ c AS (
          sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
                          ROWS UNBOUNDED PRECEDING) - toks AS seq_offset
   FROM t)
-SELECT lang, seq_offset // {TARGET_TOKENS} AS seq_id,
-       count(*) AS n_docs, sum(toks) AS sum_toks,
+SELECT lang, CAST(seq_offset // {TARGET_TOKENS} AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c
 GROUP BY 1, 2

@@ -437,10 +437,13 @@ FROM events GROUP BY 1, 2
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct cast to double; hop through TIMESTAMP
+    # (exact under the session's UTC timezone) to get epoch seconds.
+    epoch_s = F.col("ts").cast("timestamp").cast("double")
     with_gap = ev.withColumn(
         "new_sess",
         F.when(
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w) > 1800,
+            epoch_s - F.lag(epoch_s).over(w) > 1800,
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(
@@ -459,7 +462,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SESSIONIZE = """
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
 FROM (
   SELECT user_id, ts, event_id,

@@ -50,7 +50,7 @@ SELECT CASE WHEN {_U_SPLIT} < {TEST_FRACTION} THEN 'test'
             ELSE 'train' END AS split,
        lang,
        count(*) AS n_docs,
-       sum(doc_id) AS id_sum
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents
 GROUP BY 1, 2
 """
@@ -77,7 +77,7 @@ _THR = (
 )
 
 ORACLE_STRATIFIED = f"""
-SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum, sum(n_chars) AS chars_kept
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum, CAST(sum(n_chars) AS BIGINT) AS chars_kept
 FROM documents
 WHERE {_U} < {_THR}
 GROUP BY lang

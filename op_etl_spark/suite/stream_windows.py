@@ -132,7 +132,7 @@ def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # identical session semantics to the batch suite's sessionize_events
 ORACLE_STATEFUL_SESSIONIZE = """
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
 FROM (
   SELECT user_id, ts, event_id,

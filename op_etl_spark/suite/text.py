@@ -73,7 +73,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BPE = """
 SELECT doc_id,
        len(pieces) AS n_pieces,
-       n_subwords,
+       CAST(n_subwords AS BIGINT) AS n_subwords,
        floor((length(text)::DOUBLE / n_subwords) * 10000 + 0.5) / 10000.0 AS chars_per_subword
 FROM (
   SELECT doc_id, text, pieces,
@@ -209,7 +209,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CORPUS_STATS = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        floor((avg(n_chars)) * 10000 + 0.5) / 10000.0 AS avg_chars,
        floor((avg(len(string_split(text, ' ')))) * 10000 + 0.5) / 10000.0 AS avg_tokens
 FROM documents GROUP BY source, lang

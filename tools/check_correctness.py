@@ -86,12 +86,24 @@ def main():
         try:
             rel = con.execute(oracles[name])
             duck_cols = [d[0] for d in rel.description]
-            duck_rows = rel.fetchall()
+            # fetch through Arrow like the driver does: HUGEINT/DECIMAL
+            # surface as decimal128 here, not as clean Python ints
+            atbl = rel.fetch_arrow_table()
+            duck_rows = [tuple(d[c] for c in duck_cols) for d in atbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = []
+        import pyarrow.types as pat
+        bad_types = [
+            f"{f.name}:{f.type}" for f in atbl.schema
+            if pat.is_decimal(f.type)
+        ]
+        if bad_types:
+            problems.append(
+                f"oracle exports decimal128 (HUGEINT sum?) — cast to BIGINT: {bad_types}"
+            )
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):
