@@ -17,6 +17,7 @@ non-SQL-expressible operators).
 from __future__ import annotations
 
 from . import (
+    advanced,
     clustering,
     dedup,
     geo,
@@ -35,6 +36,7 @@ from . import (
 
 _MODULES = [
     relational,
+    advanced,
     tpch_extra,
     tpch_batch3,
     clustering,

@@ -1,0 +1,259 @@
+"""Advanced relational surface, round 2: grouping sets, range-frame
+windows, ordered string aggregation, calendar gap-fill, skew-salted
+aggregation, and an HLL accuracy gate.
+
+Scale notes per query:
+ - grouping sets: one shuffle; Spark expands grouping sets map-side, the
+   partial aggregate still combines before exchange.
+ - 7-day trailing window: pre-aggregate to one row per day FIRST (big
+   shuffle shrinks to |days| rows), then the window runs over the tiny
+   daily relation — never a per-row range scan over the fact table.
+ - salted aggregation: the two-phase groupBy((key, salt)) -> groupBy(key)
+   pattern that bounds any one reducer's input when a key is hot. The
+   final result is identical to the direct groupBy (oracle-checked).
+ - calendar fill: `sequence()` generates the date dimension engine-side —
+   no driver loop, no collected min/max.
+ - HLL gate: approx_count_distinct's estimate is asserted within 5% of
+   the exact count inside the query; the oracle only has to agree on the
+   exact count and the (true) flag, making the probabilistic sketch
+   testable under an exact-hash harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._util import fround, money_sum, read_table, sql_money_sum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --- GROUPING SETS with grouping_id (finer control than cube/rollup) ---
+
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (status), (priority), (status, priority) —
+    cube minus the grand total. SURVEY §2.5 notes cube/rollup are Spark
+    built-ins; grouping sets is the general form both engines share."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("adv_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST({sql_money_sum('o_totalprice')} AS DOUBLE) AS total_price,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+                 AS grp_id
+        FROM adv_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       {sql_money_sum('o_totalprice')} AS total_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS grp_id
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+# --- 7-day trailing revenue: RANGE frame over a pre-aggregated daily series ---
+
+def moving_avg_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day order revenue. The fact table collapses to one row
+    per day before the window (shuffle output = |days| rows); the RANGE
+    frame then runs on epoch-day integers so sparse calendars still get
+    true 7-day windows, not 7-row windows."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(money_sum("o_totalprice").alias("day_rev"))
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
+        .withColumn("day_rev_c", F.floor(F.col("day_rev") * 100 + 0.5).cast("long"))
+    )
+    w = W.orderBy("epoch_day").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_rev"),
+        fround(F.sum("day_rev_c").over(w) / F.lit(100.0) / F.count(F.lit(1)).over(w), 4)
+            .alias("avg_7d"),
+        F.sum("day_rev_c").over(w).alias("sum_7d_cents"),
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_rev_c,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+  FROM orders GROUP BY 1, 3
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       day_rev_c / 100.0 AS day_rev,
+       floor((sum(day_rev_c) OVER w / 100.0 / count(*) OVER w) * 10000 + 0.5) / 10000.0
+         AS avg_7d,
+       CAST(sum(day_rev_c) OVER w AS BIGINT) AS sum_7d_cents
+FROM daily
+WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- ordered string aggregation (deterministic collect_list) ---
+
+def string_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order status: 'priority:count' pairs joined in sorted order.
+    collect_list is unordered in a distributed engine — sort_array after
+    collection is what makes the result plan-independent."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.concat_ws(":", "o_orderpriority", "n"))
+            ),
+            ",",
+        ).alias("priority_counts"),
+        F.sum("n").alias("n_orders"),
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT o_orderstatus,
+       string_agg(pair, ',' ORDER BY pair) AS priority_counts,
+       CAST(sum(n) AS BIGINT) AS n_orders
+FROM (
+  SELECT o_orderstatus, o_orderpriority || ':' || n AS pair, n
+  FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2))
+GROUP BY o_orderstatus
+"""
+
+
+# --- calendar gap-fill: generated date dimension, zero-filled counts ---
+
+def calendar_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts with missing days zero-filled. The calendar is
+    generated with `sequence()` from the min/max day — a one-row scalar
+    aggregate exploded engine-side, so no driver round-trip and the date
+    dimension broadcast-joins against the daily aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cal = (
+        daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_CALENDAR_FILL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+  FROM daily)
+SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+"""
+
+
+# --- skew-salted aggregation: two-phase groupBy, identical result ---
+
+N_SALTS = 16
+
+
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a LOW-cardinality hot key (event_type: a handful
+    of values over the whole corpus). Direct groupBy sends each key's
+    entire volume to one reducer; salting by hash(event_id) % 16 splits
+    every key across 16 reducers, then a second (tiny) aggregate merges
+    the partials. Counts and exact-integer sums re-merge losslessly, so
+    the result is bit-identical to the unsalted plan."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(N_SALTS)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        (F.sum("pv") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+ORACLE_SALTED = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- HLL accuracy gate: approximate distinct vs exact, bounded error ---
+
+def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=0.02) asserted within 5% of the
+    exact distinct count per order priority. The sketch value itself is
+    engine-specific, so the query EXPORTS the exact count plus the bounded
+    -error verdict — which an exact-SQL oracle can reproduce iff the
+    sketch really is inside the bound."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_approx"),
+    )
+    return per.select(
+        "o_orderpriority",
+        "n_exact",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) <= 0.05 * F.col("n_exact"))
+            .alias("within_5pct"),
+    )
+
+
+ORACLE_HLL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_exact,
+       true AS within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "grouping_sets_status_priority": grouping_sets_status_priority,
+    "moving_avg_7d_revenue": moving_avg_7d_revenue,
+    "string_agg_priorities": string_agg_priorities,
+    "calendar_fill_gaps": calendar_fill_gaps,
+    "salted_event_type_totals": salted_event_type_totals,
+    "hll_distinct_custkeys": hll_distinct_custkeys,
+}
+
+ORACLE = {
+    "grouping_sets_status_priority": ORACLE_GROUPING_SETS,
+    "moving_avg_7d_revenue": ORACLE_MOVING_AVG,
+    "string_agg_priorities": ORACLE_STRING_AGG,
+    "calendar_fill_gaps": ORACLE_CALENDAR_FILL,
+    "salted_event_type_totals": ORACLE_SALTED,
+    "hll_distinct_custkeys": ORACLE_HLL,
+}
