@@ -55,6 +55,10 @@ HEADLINE = [
     "range_join_price_bands",
     "q10_returned_customers",
     "media_byte_entropy",
+    "grouping_sets_status_priority",
+    "moving_avg_7d_revenue",
+    "salted_event_type_totals",
+    "calendar_fill_gaps",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Stream-stream and stream-static joins.
+
+The reference has no streaming surface (SURVEY.md §2.12); these are the
+extension operators a continuous ingest pipeline needs to correlate two
+live streams — e.g. attributing purchases to the click that preceded them.
+
+Stream-stream joins in Spark require (a) watermarks on both sides and
+(b) a time-range join condition, so the engine can bound the join state:
+each side buffers only rows younger than `watermark + interval`. Without
+the range condition state grows forever; with it, state size is
+O(rate × (watermark + attribution window)) per side regardless of total
+stream length — the property that makes this viable on an unbounded
+100 TB/day stream.
+
+Both builders accept streaming OR batch inputs (the join predicate is
+identical), which is how the tests pin stream == batch equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_WINDOW_SECONDS = 3600
+
+
+def attribute_purchases_to_clicks(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    click_watermark: str = "2 hours",
+    purchase_watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner interval join: every (click, purchase) pair for the same user
+    where the purchase lands within 1 hour AFTER the click.
+
+    The click side keeps the longer watermark: a click must stay in state
+    until any purchase inside its attribution window can still arrive
+    (purchase_watermark + attribution interval), while purchases can be
+    dropped as soon as their own watermark passes.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", click_watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", purchase_watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+def enrich_stream_with_dimension(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the (small,
+    broadcastable) dimension snapshot — re-resolved per batch, so a
+    refreshed dimension table is picked up without restarting the query."""
+    return stream.join(F.broadcast(dim), key, "left")

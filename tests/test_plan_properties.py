@@ -258,3 +258,47 @@ class TestQ15SingleScan:
 
         p = plan(q17_small_quantity_revenue(spark, SF_DIR))
         assert p.count("lineitem.parquet") == 1  # window avg, no join-back
+
+
+class TestAdvancedBatchPlans:
+    """Plan shapes for the round-2 advanced relational batch."""
+
+    def test_moving_avg_preaggregates_before_window(self, spark):
+        # the fact table must collapse to one row per day BEFORE the
+        # window runs — a Window directly over the fact scan would sort
+        # the whole table inside one partition
+        from op_etl_spark.suite.advanced import moving_avg_7d_revenue
+
+        p = plan(moving_avg_7d_revenue(spark, SF_DIR))
+        t = tree(p)
+        agg_pos = t.find("HashAggregate")
+        win_pos = t.find("Window")
+        assert agg_pos != -1 and win_pos != -1
+        # formatted explain prints downstream operators first: the Window
+        # node must appear ABOVE (before) the aggregate feeding it
+        assert win_pos < agg_pos
+        assert p.count("orders.parquet") == 1
+
+    def test_grouping_sets_uses_expand_single_scan(self, spark):
+        from op_etl_spark.suite.advanced import grouping_sets_status_priority
+
+        p = plan(grouping_sets_status_priority(spark, SF_DIR))
+        assert n_nodes(p, "Expand") == 1
+        assert p.count("orders.parquet") == 1
+
+    def test_salted_agg_two_exchanges_no_join(self, spark):
+        from op_etl_spark.suite.advanced import salted_event_type_totals
+
+        p = plan(salted_event_type_totals(spark, SF_DIR))
+        t = tree(p)
+        assert n_nodes(p, "Exchange") == 2  # (key, salt) then key
+        assert "Join" not in t
+
+    def test_calendar_fill_generates_dates_engine_side(self, spark):
+        from op_etl_spark.suite.advanced import calendar_fill_gaps
+
+        p = plan(calendar_fill_gaps(spark, SF_DIR))
+        assert n_nodes(p, "Generate") == 1
+        assert "explode(sequence(" in p  # date dimension generated engine-side
+        # the daily aggregate broadcasts; the calendar is never shuffled
+        assert n_nodes(p, "BroadcastHashJoin") == 1

@@ -262,3 +262,108 @@ class TestFileIngest:
             for r in tumbling_hourly_events(spark, SF_DIR).collect()
         }
         assert got == want
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, event_stream_dir):
+        from op_etl_spark.streaming import joins
+
+        def split(df):
+            return (
+                df.filter(F.col("event_type") == "click"),
+                df.filter(F.col("event_type") == "purchase"),
+            )
+
+        sc, sp = split(_read_event_stream(spark, event_stream_dir, max_files=2))
+        q = _run_to_memory(
+            joins.attribute_purchases_to_clicks(sc, sp), "ss_join", "append"
+        )
+        got = {tuple(r) for r in spark.table("ss_join").collect()}
+
+        bc, bp = split(read_events(spark, SF_DIR))
+        want = {
+            tuple(r)
+            for r in joins.attribute_purchases_to_clicks(bc, bp).collect()
+        }
+        q.stop()
+        assert len(want) > 0
+        assert got == want
+
+    def test_join_state_is_bounded_by_range_condition(self, spark, event_stream_dir):
+        # the interval condition must let Spark expire join state: assert
+        # the streaming plan carries watermarks on both sides (without
+        # them Spark rejects or buffers forever)
+        from op_etl_spark.streaming import joins
+
+        s = _read_event_stream(spark, event_stream_dir)
+        c = s.filter(F.col("event_type") == "click")
+        p = s.filter(F.col("event_type") == "purchase")
+        df = joins.attribute_purchases_to_clicks(c, p)
+        assert df.isStreaming
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert plan.count("EventTimeWatermark") == 2
+
+
+class TestLateDataDrop:
+    def test_events_later_than_watermark_are_dropped(self, spark, tmp_path):
+        """Feed two micro-batches where the second's events are older than
+        (max event time - watermark): the windowed aggregate must NOT
+        count them — the state for their window already closed."""
+        import json as _json
+
+        d = tmp_path / "late"
+        d.mkdir()
+        on_time = [
+            {"event_id": 1, "ts": "2024-01-01 10:05:00.000000", "user_id": 1,
+             "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 13:00:00.000000", "user_id": 1,
+             "event_type": "click", "value": 1.0},
+        ]
+        late = [
+            # 10:xx window, but watermark has advanced to 13:00 - 2h = 11:00
+            {"event_id": 3, "ts": "2024-01-01 10:10:00.000000", "user_id": 1,
+             "event_type": "click", "value": 1.0},
+        ]
+        with open(d / "b0.json", "w") as f:
+            for r in on_time:
+                f.write(_json.dumps(r) + "\n")
+
+        from op_etl_spark.streaming import windows as W_
+
+        stream = _read_event_stream(spark, str(d), max_files=1)
+        agg = W_.hourly_event_rollup(stream, watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_drop")
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            import time as _time
+
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if q.lastProgress and q.lastProgress["numInputRows"] == 0 \
+                        and q.recentProgress and sum(p["numInputRows"] for p in q.recentProgress) >= 2:
+                    break
+                _time.sleep(1)
+            with open(d / "b1.json", "w") as f:
+                for r in late:
+                    f.write(_json.dumps(r) + "\n")
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                done = sum(p["numInputRows"] for p in (q.recentProgress or []))
+                if done >= 3:
+                    break
+                _time.sleep(1)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = {(r["hour_start"], r["n"]) for r in spark.table("late_drop").collect()}
+        # the 10:00 window closed with exactly 1 event: the late event_id=3
+        # arrived after the watermark passed 11:00 and was dropped
+        assert ("2024-01-01 10:00:00", 1) in rows
+        assert ("2024-01-01 10:00:00", 2) not in rows
