@@ -19,6 +19,7 @@ from __future__ import annotations
 from . import (
     advanced,
     clustering,
+    incremental,
     dedup,
     geo,
     layout,
@@ -37,6 +38,7 @@ from . import (
 _MODULES = [
     relational,
     advanced,
+    incremental,
     tpch_extra,
     tpch_batch3,
     clustering,

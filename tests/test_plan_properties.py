@@ -302,3 +302,55 @@ class TestAdvancedBatchPlans:
         assert "explode(sequence(" in p  # date dimension generated engine-side
         # the daily aggregate broadcasts; the calendar is never shuffled
         assert n_nodes(p, "BroadcastHashJoin") == 1
+
+    def test_incremental_merge_no_join_two_scans(self, spark):
+        # partial rollups union + re-aggregate: no join anywhere, and the
+        # delta side is an independent scan (its shuffle sized by the delta)
+        from op_etl_spark.suite.incremental import incremental_rollup_merge
+
+        p = plan(incremental_rollup_merge(spark, SF_DIR))
+        t = tree(p)
+        assert "Join" not in t
+        assert p.count("orders.parquet") == 2
+        assert "Union" in t
+
+
+class TestRuntimeBloomFilter:
+    """When a selective dimension filter joins a huge fact and broadcast
+    is off (the 100 TB shuffle-join regime), Catalyst injects a runtime
+    Bloom filter from the dimension side into the fact scan — rows that
+    can't match are dropped BEFORE the shuffle. Thresholds are lowered to
+    make the optimization fire on test-sized inputs; the assertion is
+    that the engine's plans carry it, so a production conf gets it free."""
+
+    @pytest.fixture()
+    def bloom_session(self, spark):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        yield spark
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+
+    def test_selective_dim_injects_bloom_into_fact_scan(self, bloom_session):
+        import pyspark.sql.functions as F
+
+        spark = bloom_session
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        p = plan(j)
+        assert "might_contain" in p  # bloom probe on the fact side
+        assert "BloomFilterAggregate" in p or "bloomfilter" in p.lower()
