@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from . import (
     advanced,
+    chunking,
     clustering,
     incremental,
     dedup,
@@ -39,6 +40,7 @@ _MODULES = [
     relational,
     advanced,
     incremental,
+    chunking,
     tpch_extra,
     tpch_batch3,
     clustering,
