@@ -59,6 +59,11 @@ HEADLINE = [
     "moving_avg_7d_revenue",
     "salted_event_type_totals",
     "calendar_fill_gaps",
+    "incremental_rollup_merge",
+    "doc_chunks",
+    "label_centroids",
+    "unpivot_lineitem_measures",
+    "order_price_histogram",
 ]
 
 

@@ -240,7 +240,81 @@ GROUP BY o_orderpriority
 """
 
 
+# --- unpivot/melt: wide measures -> (measure, value) rows ---
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the four lineitem measures into (measure, value) rows and
+    profile each: the wide->long reshape every metrics store needs.
+    `unpivot` is a Generate (no shuffle, no UDF); the aggregate after it
+    is an ordinary map-side-combinable groupBy. Exact-cents sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")) / F.lit(10000.0))
+            .alias("total"),
+        fround(F.min("value"), 4).alias("min_v"),
+        fround(F.max("value"), 4).alias("max_v"),
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT measure, count(*) AS n,
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total,
+       floor(min(value) * 10000 + 0.5) / 10000.0 AS min_v,
+       floor(max(value) * 10000 + 0.5) / 10000.0 AS max_v
+FROM (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+GROUP BY measure
+"""
+
+
+# --- width_bucket histogram: equal-width binning of a measure ---
+
+N_BUCKETS = 20
+HIST_LO, HIST_HI = 0.0, 600_000.0
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals: width_bucket assigns bins
+    in the scan projection (codegen'd arithmetic), one groupBy shuffles
+    only (bucket, partial_count) pairs. The fixed [lo, hi) domain makes
+    bucket ids stable across loads — histograms from different days
+    merge by addition (same algebraic-merge property as
+    incremental_rollup_merge)."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.width_bucket(
+        F.col("o_totalprice"), F.lit(HIST_LO), F.lit(HIST_HI), F.lit(N_BUCKETS)
+    )
+    return (
+        o.select(b.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+SELECT CAST(CASE WHEN o_totalprice < {HIST_LO} THEN 0
+            WHEN o_totalprice >= {HIST_HI} THEN {N_BUCKETS} + 1
+            ELSE floor((o_totalprice - {HIST_LO}) / ({HIST_HI} - {HIST_LO}) * {N_BUCKETS}) + 1
+       END AS INT) AS bucket,
+       count(*) AS n_orders
+FROM orders
+GROUP BY bucket
+"""
+
+
 QUERIES = {
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "order_price_histogram": order_price_histogram,
     "grouping_sets_status_priority": grouping_sets_status_priority,
     "moving_avg_7d_revenue": moving_avg_7d_revenue,
     "string_agg_priorities": string_agg_priorities,
@@ -250,6 +324,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "unpivot_lineitem_measures": ORACLE_UNPIVOT,
+    "order_price_histogram": ORACLE_HISTOGRAM,
     "grouping_sets_status_priority": ORACLE_GROUPING_SETS,
     "moving_avg_7d_revenue": ORACLE_MOVING_AVG,
     "string_agg_priorities": ORACLE_STRING_AGG,
