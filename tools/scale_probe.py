@@ -1,0 +1,125 @@
+"""Scale probe: measure how query time grows when the fact tables grow Kx.
+
+Materializes a Kx copy of the sf0.1 fact tables (orders, lineitem,
+events — keys shifted per copy so join fan-out stays realistic; dims
+stay fixed, as they do in production), then times representative
+queries at 1x and Kx through the exact same suite code paths.
+
+ratio = t(Kx) / t(1x). With fixed parallelism, linear work scales at
+ratio ~= K; a plan that degrades superlinearly (ratio >> K: quadratic
+join blow-up, driver bottleneck, broadcast flip) fails the probe. The
+point is catching operators whose cost CURVE is wrong before they meet
+a real cluster — absolute seconds here are local-mode noise.
+
+Usage: python tools/scale_probe.py [K] [base_sf_dir]
+Writes one JSON line; also saved by the caller to SCALE_PROBE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+PROBE_QUERIES = [
+    # full-scan agg, selective agg, broadcast-dim join, agg-join-agg,
+    # window, sessionization, as-of, exact dedup
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q5_nation_revenue",
+    "q18_large_volume_customers",
+    "w_top3_orders_per_customer",
+    "sessionize_events",
+    "asof_join_events",
+    "dedup_keep_newest_event",
+    "tumbling_hourly_events",
+    "moving_avg_7d_revenue",
+]
+
+KEY_SHIFT = 10_000_000
+
+
+def materialize_scaled(spark, base: str, out: str, k: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    # dims: symlink-equivalent copy (small)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"]:
+        src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+    def fan(df, shift_cols):
+        copies = []
+        for i in range(k):
+            c = df
+            for col in shift_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * KEY_SHIFT))
+            copies.append(c)
+        out_df = copies[0]
+        for c in copies[1:]:
+            out_df = out_df.unionByName(c)
+        return out_df
+
+    orders = spark.read.parquet(f"{base}/orders.parquet")
+    fan(orders, ["o_orderkey"]).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    fan(li, ["l_orderkey"]).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    ev_raw = spark.read.parquet(f"{base}/events.parquet")
+    fan(ev_raw, ["event_id"]).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+
+def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
+    times = {}
+    for name in PROBE_QUERIES:
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+    return times
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    scaled = f"/tmp/scale_probe_x{k}"
+
+    from op_etl_spark.session import get_spark
+    from op_etl_spark import suite
+
+    spark = get_spark("scale-probe")
+    materialize_scaled(spark, base, scaled, k)
+    queries = suite.all_queries()
+
+    t1 = time_queries(spark, queries, base)
+    tk = time_queries(spark, queries, scaled)
+    report = {
+        "k": k,
+        "base": base,
+        "queries": {
+            name: {
+                "t_1x": t1[name],
+                "t_kx": tk[name],
+                "ratio": round(tk[name] / t1[name], 2) if t1[name] else None,
+            }
+            for name in PROBE_QUERIES
+        },
+    }
+    ratios = [v["ratio"] for v in report["queries"].values() if v["ratio"]]
+    report["median_ratio"] = sorted(ratios)[len(ratios) // 2]
+    report["verdict"] = "sublinear" if report["median_ratio"] <= k else "SUPERLINEAR"
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
