@@ -312,7 +312,45 @@ GROUP BY bucket
 """
 
 
+# --- SCD Type-2 history build: change events -> validity intervals ---
+
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change stream:
+    each user's events become validity intervals [valid_from, valid_to)
+    with the next change's timestamp closing the previous interval and
+    the latest row left open (is_current). One window over (user_id, ts)
+    — a single shuffle on the natural partition key; this is the standard
+    warehouse pattern for reconstructing point-in-time state from CDC
+    feeds, and composes with the as-of join for time-travel lookups."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_id,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
+    "scd2_user_value_history": scd2_user_value_history,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "order_price_histogram": order_price_histogram,
     "grouping_sets_status_priority": grouping_sets_status_priority,
@@ -324,6 +362,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scd2_user_value_history": ORACLE_SCD2,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "order_price_histogram": ORACLE_HISTOGRAM,
     "grouping_sets_status_priority": ORACLE_GROUPING_SETS,
