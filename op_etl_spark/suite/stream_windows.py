@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from op_etl_spark.session import read_events
+from op_etl_spark.streaming.joins import (
+    ATTRIBUTION_WINDOW_SECONDS,
+    attribute_purchases_to_clicks,
+)
 from op_etl_spark.streaming.windows import session_window_rollup, sliding_event_rate
 
 
@@ -147,14 +151,44 @@ FROM (
 GROUP BY user_id, session_id
 """
 
+
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join (streaming/joins.py) in batch mode:
+    every (click, purchase) pair for the same user within the 1-hour
+    attribution window. Streaming bounds its state with the same interval
+    condition the oracle checks here."""
+    ev = read_events(spark, sf_dir)
+    return attribute_purchases_to_clicks(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+ORACLE_CLICK_ATTRIBUTION = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS
+"""
+
+
 QUERIES = {
     "session_windows": session_windows,
     "sliding_windows": sliding_windows,
     "stateful_sessionize_stream": stateful_sessionize_stream,
+    "click_attribution": click_attribution,
 }
 
 ORACLE = {
     "session_windows": ORACLE_SESSION_WINDOWS,
     "sliding_windows": ORACLE_SLIDING_WINDOWS,
     "stateful_sessionize_stream": ORACLE_STATEFUL_SESSIONIZE,
+    "click_attribution": ORACLE_CLICK_ATTRIBUTION,
 }
