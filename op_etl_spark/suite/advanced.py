@@ -349,7 +349,80 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- conversion funnel: ordered-step user progression in one aggregate ---
+
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click -> purchase conversion funnel with latency buckets: per user,
+    the first click and the first purchase AFTER that click, rolled up by
+    how fast the conversion happened (<=1h, <=1d, later, none). One
+    groupBy(user) computes both step timestamps with conditional
+    aggregates — no join, no window over the fact stream; the sequenced
+    condition (purchase strictly after the user's first click) is what
+    distinguishes a funnel from two independent counts."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.struct("ts")).otherwise(None)
+        ).alias("purchases"),
+    )
+    first_conv = F.array_min(
+        F.filter(
+            F.col("purchases"),
+            lambda x: x["ts"] >= F.col("first_click"),
+        )
+    )["ts"]
+    gap_s = (
+        first_conv.cast("timestamp").cast("double")
+        - F.col("first_click").cast("timestamp").cast("double")
+    )
+    latency = (
+        F.when(F.col("first_click").isNull(), "no_click")
+        .when(first_conv.isNull(), "none")
+        .when(gap_s <= 3600, "within_1h")
+        .when(gap_s <= 86400, "within_1d")
+        .otherwise("later")
+    )
+    return (
+        per_user.select(latency.alias("latency"))
+        .groupBy("latency")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_FUNNEL = """
+WITH fc AS (
+  SELECT user_id, min(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+conv AS (
+  SELECT e.user_id, min(e.ts) AS first_conv
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+  GROUP BY 1),
+users AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('click', 'purchase'))
+SELECT latency, count(*) AS n_users
+FROM (
+  SELECT u.user_id,
+         CASE WHEN fc.first_click IS NULL THEN 'no_click'
+              WHEN conv.first_conv IS NULL THEN 'none'
+              WHEN epoch(conv.first_conv) - epoch(fc.first_click) <= 3600 THEN 'within_1h'
+              WHEN epoch(conv.first_conv) - epoch(fc.first_click) <= 86400 THEN 'within_1d'
+              ELSE 'later' END AS latency
+  FROM users u
+  LEFT JOIN fc ON u.user_id = fc.user_id
+  LEFT JOIN conv ON u.user_id = conv.user_id)
+GROUP BY latency
+"""
+
+
 QUERIES = {
+    "funnel_click_purchase": funnel_click_purchase,
     "scd2_user_value_history": scd2_user_value_history,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "order_price_histogram": order_price_histogram,
@@ -362,6 +435,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "funnel_click_purchase": ORACLE_FUNNEL,
     "scd2_user_value_history": ORACLE_SCD2,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "order_price_histogram": ORACLE_HISTOGRAM,
