@@ -64,6 +64,9 @@ HEADLINE = [
     "label_centroids",
     "unpivot_lineitem_measures",
     "order_price_histogram",
+    "scd2_user_value_history",
+    "funnel_click_purchase",
+    "click_attribution",
 ]
 
 
