@@ -421,7 +421,47 @@ GROUP BY latency
 """
 
 
+# --- cohort retention: first-seen week x weeks-since activity matrix ---
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users cohorted by first-active ISO week,
+    counted in each later week they were active. Pipeline: distinct
+    (user, week) pairs (one shuffle, heavy fan-in), per-user cohort week
+    via a window min over those SMALL distinct pairs (not the raw
+    stream), then a (cohort, weeks_since) count. Weeks are epoch-floored
+    integers — no calendar edge cases in the cross-engine hash."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    week = F.floor(F.col("ts").cast("timestamp").cast("double") / F.lit(604800)).cast("long")
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    w = W.partitionBy("user_id")
+    cohorted = uw.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_COHORT = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events),
+c AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM uw)
+SELECT cohort_week, week - cohort_week AS weeks_since, count(*) AS n_users
+FROM c
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "cohort_weekly_retention": cohort_weekly_retention,
     "funnel_click_purchase": funnel_click_purchase,
     "scd2_user_value_history": scd2_user_value_history,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -435,6 +475,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cohort_weekly_retention": ORACLE_COHORT,
     "funnel_click_purchase": ORACLE_FUNNEL,
     "scd2_user_value_history": ORACLE_SCD2,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
