@@ -460,7 +460,63 @@ GROUP BY 1, 2
 """
 
 
+# --- grouped linear regression: slope/intercept from algebraic sums ---
+
+def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag, the least-squares fit of extendedprice on
+    quantity, computed from the five algebraic sums (n, Sx, Sy, Sxy,
+    Sxx) over cent-scaled integers — one map-side-combinable aggregate,
+    exact up to the final two fp divisions, deterministic under any
+    partitioning (the same reason regr_slope/regr_* built-ins aren't
+    used: their double accumulation is order-dependent cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731 — identical IEEE754 ops on both engines
+    n, sx, sy = d(F.col("n")), d(F.col("sx")), d(F.col("sy"))
+    sxy, sxx = d(F.col("sxy")), d(F.col("sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / F.lit(100.0)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        fround(slope, 6).alias("slope"),
+        fround(intercept, 4).alias("intercept"),
+    )
+
+
+ORACLE_REGRESSION = """
+SELECT l_returnflag, n,
+       floor(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+              / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * 1000000 + 0.5) / 1000000.0
+         AS slope,
+       floor(((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+              / n::DOUBLE / 100.0) * 10000 + 0.5) / 10000.0 AS intercept
+FROM (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM (SELECT l_returnflag,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag)
+"""
+
+
 QUERIES = {
+    "price_qty_regression": price_qty_regression,
     "cohort_weekly_retention": cohort_weekly_retention,
     "funnel_click_purchase": funnel_click_purchase,
     "scd2_user_value_history": scd2_user_value_history,
@@ -475,6 +531,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "price_qty_regression": ORACLE_REGRESSION,
     "cohort_weekly_retention": ORACLE_COHORT,
     "funnel_click_purchase": ORACLE_FUNNEL,
     "scd2_user_value_history": ORACLE_SCD2,
