@@ -354,3 +354,44 @@ class TestRuntimeBloomFilter:
         p = plan(j)
         assert "might_contain" in p  # bloom probe on the fact side
         assert "BloomFilterAggregate" in p or "bloomfilter" in p.lower()
+
+
+class TestAnalyticsBatchPlans:
+    """Plan shapes for the round-2 analytics batch: each query's scale
+    story is a structural property of its plan, pinned here."""
+
+    def test_funnel_has_no_join(self, spark):
+        # both funnel steps come out of ONE conditional aggregate over
+        # the event stream — a join-based funnel would shuffle twice
+        from op_etl_spark.suite.advanced import funnel_click_purchase
+
+        p = plan(funnel_click_purchase(spark, SF_DIR))
+        assert "Join" not in tree(p)
+        assert p.count("events.parquet") == 1
+
+    def test_cohort_windows_over_distinct_pairs(self, spark):
+        # the window min must run over the distinct (user, week) relation,
+        # not the raw stream: HashAggregate (distinct) sits below Window
+        from op_etl_spark.suite.advanced import cohort_weekly_retention
+
+        p = plan(cohort_weekly_retention(spark, SF_DIR))
+        t = tree(p)
+        assert t.find("Window") < t.rfind("HashAggregate")  # agg deeper than window
+        assert "Join" not in t
+
+    def test_regression_single_aggregate_no_join(self, spark):
+        from op_etl_spark.suite.advanced import price_qty_regression
+
+        p = plan(price_qty_regression(spark, SF_DIR))
+        t = tree(p)
+        assert "Join" not in t
+        assert n_nodes(p, "Exchange") == 1  # one shuffle of 5-sum partials
+        assert p.count("lineitem.parquet") == 1
+
+    def test_scd2_one_exchange_one_scan(self, spark):
+        from op_etl_spark.suite.advanced import scd2_user_value_history
+
+        p = plan(scd2_user_value_history(spark, SF_DIR))
+        assert n_nodes(p, "Exchange") == 1  # shuffle on user_id only
+        assert p.count("events.parquet") == 1
+        assert "In(event_type, [purchase])" in p or "EqualTo(event_type,purchase)" in p
