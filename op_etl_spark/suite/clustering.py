@@ -145,12 +145,87 @@ FROM assign GROUP BY 1 HAVING count(*) >= 2 ORDER BY survivor_doc_id
 """
 
 
+# --- deterministic integer PageRank over the near-dup graph ---
+
+PR_ITER = 3
+PR_SCALE = 1_000_000  # rank unit: micro-ranks
+PR_BASE = 150_000     # (1 - d) * SCALE with damping d = 0.85
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority score for survivor selection: 3 damped power-iteration
+    rounds over the symmetric near-dup graph, ENTIRELY in int64
+    micro-ranks — each contribution is (r * 85) div (100 * deg), integer
+    floor division, so per-node sums are order-independent and the result
+    is bit-identical on any engine or partitioning (fp PageRank differs
+    in the last ulps between engines; integer PageRank doesn't).
+
+    Per round: one join of ranks onto edges (shuffle on doc_id — the
+    SAME key every round, so a real deployment co-partitions edges and
+    ranks once and the join is shuffle-free), one map-side-combinable
+    sum. Fixed iteration count (not convergence detection) keeps the
+    oracle expressible as unrolled SQL and the job DAG static."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = docs.select("doc_id", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITER):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr(f"(r * 85) div (100 * deg)").cast("long").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        ranks = docs.join(sums, "doc_id", "left").select(
+            "doc_id",
+            (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
+        )
+    return ranks.select("doc_id", F.col("r").alias("microrank"))
+
+
+def _pr_oracle() -> str:
+    iters = []
+    for i in range(PR_ITER):
+        prev = f"r{i}"
+        iters.append(f"""
+c{i + 1} AS (
+  SELECT e.b AS doc_id,
+         sum((r.r * 85) // (100 * g.deg)) AS s
+  FROM edges e
+  JOIN {prev} r ON e.a = r.doc_id
+  JOIN deg g ON g.doc_id = e.a
+  GROUP BY e.b),
+r{i + 1} AS (
+  SELECT d.doc_id, CAST({PR_BASE} + coalesce(c{i + 1}.s, 0) AS BIGINT) AS r
+  FROM documents d LEFT JOIN c{i + 1} USING (doc_id))""")
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS r FROM documents),{",".join(iters)}
+SELECT doc_id, r AS microrank FROM r{PR_ITER}
+"""
+
+
+ORACLE_PAGERANK = _pr_oracle()
+
+
 QUERIES = {
+    "dedup_pagerank": dedup_pagerank,
     "dedup_cc_assign": dedup_cc_assign,
     "dedup_cc_survivors": dedup_cc_survivors,
 }
 
 ORACLE = {
+    "dedup_pagerank": ORACLE_PAGERANK,
     "dedup_cc_assign": ORACLE_CC_ASSIGN,
     "dedup_cc_survivors": ORACLE_CC_SURVIVORS,
 }
