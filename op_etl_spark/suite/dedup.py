@@ -398,6 +398,59 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 )
 
 
+# --- entity resolution: block (SimHash band) -> verify (edit distance) ---
+
+ER_PREFIX_LEN = 48
+ER_MAX_EDITS = 12
+
+
+def editdist_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage entity-resolution pipeline: cheap BLOCKING
+    (SimHash high-byte bands — same plan as simhash_near_pairs) proposes
+    candidates, then an exact VERIFY stage scores each candidate with
+    Levenshtein distance over a fixed-length text prefix and keeps real
+    matches. The prefix rides inside the posting struct, so the verify
+    stage needs NO join back to the corpus — edit distance (quadratic
+    per pair) runs only on |candidates|, never |corpus|^2, and only on
+    bounded 48-char strings."""
+    d = _docs(spark, sf_dir)
+    fps = _simhash(d).join(
+        d.select("doc_id", F.substring("text", 1, ER_PREFIX_LEN).alias("prefix")),
+        "doc_id",
+    )
+    posts = (
+        fps.select(
+            F.floor(F.col("simhash") / 256).alias("bucket"),
+            F.struct(F.col("doc_id"), F.col("simhash"), F.col("prefix")).alias("m"),
+        )
+        .groupBy("bucket")
+        .agg(F.collect_list("m").alias("m"))
+    )
+    cand = _posting_pairs(posts).withColumn(
+        "edits", F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    )
+    return cand.filter(F.col("edits") <= ER_MAX_EDITS).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        "edits",
+    )
+
+
+ORACLE_EDITDIST_PAIRS = (
+    _duck_simhash_core()
+    + f"""
+, pref AS (
+  SELECT f.doc_id, f.simhash, substr(d.text, 1, {ER_PREFIX_LEN}) AS prefix
+  FROM fps f JOIN documents d USING (doc_id))
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       levenshtein(a.prefix, b.prefix) AS edits
+FROM pref a
+JOIN pref b ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {ER_MAX_EDITS}
+"""
+)
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -405,6 +458,7 @@ QUERIES = {
     "minhash_signature_sample": minhash_signature_sample,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
+    "editdist_verified_pairs": editdist_verified_pairs,
 }
 
 ORACLE = {
@@ -414,4 +468,5 @@ ORACLE = {
     "minhash_signature_sample": ORACLE_MINHASH_SAMPLE,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "simhash_near_pairs": ORACLE_SIMHASH_PAIRS,
+    "editdist_verified_pairs": ORACLE_EDITDIST_PAIRS,
 }
