@@ -452,7 +452,63 @@ GROUP BY doc_id
 """
 
 
+
+# --- TF-IDF: top terms per document (the IR feature-extraction staple) ---
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf. Shape: one explode ->
+    (doc, term) counts [shuffle 1] -> doc-frequency aggregate over terms
+    [shuffle 2, output = |vocab| rows, broadcastable] -> score + per-doc
+    top-k window [shuffle 3 on doc_id]. Scoring uses integer-exact
+    tf * log2(N/df) with the log2 in double (identical IEEE op both
+    engines); ties break on the term string so top-k is total-ordered.
+    At 100 TB the df table is the only global state and it's vocab-sized."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar; at scale a cached one-row aggregate
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf",
+        fround(F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM terms WHERE term != '' GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor((tf.tf * log2(n.n_docs::DOUBLE / df.df)) * 1000000 + 0.5) / 1000000.0
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
     "rep_signals": rep_signals,
     "dup_ngram_frac": dup_ngram_frac,
     "boilerplate_scores": boilerplate_scores,
@@ -467,6 +523,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tfidf_top_terms": ORACLE_TFIDF,
     "rep_signals": ORACLE_REP_SIGNALS,
     "dup_ngram_frac": ORACLE_DUP_NGRAM,
     "boilerplate_scores": ORACLE_BOILERPLATE,
