@@ -515,7 +515,52 @@ FROM (
 """
 
 
+# --- the full ranking-function family in one deterministic window ---
+
+def ranking_functions_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist over each status's
+    price ordering, restricted to the top-20 ranks per status. Price ties
+    are REAL here (ties are the whole point of rank vs dense_rank), so
+    the window orders by price alone and the output is restricted to
+    rank-level granularity: one row per (status, price) with its four
+    rank values and the tie count — total-ordered, plan-independent."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("price_c"))
+    ranked = orders.select("o_orderstatus", cents.alias("price_c")).select(
+        "o_orderstatus",
+        "price_c",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        fround(F.percent_rank().over(w), 6).alias("prnk"),
+        fround(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 20)
+        .groupBy("o_orderstatus", "price_c", "rnk", "drnk", "prnk", "cdist")
+        .agg(F.count(F.lit(1)).alias("n_tied"))
+    )
+
+
+ORACLE_RANKING = """
+SELECT o_orderstatus, price_c, rnk, drnk, prnk, cdist, count(*) AS n_tied
+FROM (
+  SELECT o_orderstatus, price_c,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS prnk,
+         floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cdist
+  FROM (SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders)
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY price_c DESC))
+WHERE rnk <= 20
+GROUP BY o_orderstatus, price_c, rnk, drnk, prnk, cdist
+"""
+
+
 QUERIES = {
+    "ranking_functions_sample": ranking_functions_sample,
     "price_qty_regression": price_qty_regression,
     "cohort_weekly_retention": cohort_weekly_retention,
     "funnel_click_purchase": funnel_click_purchase,
@@ -531,6 +576,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ranking_functions_sample": ORACLE_RANKING,
     "price_qty_regression": ORACLE_REGRESSION,
     "cohort_weekly_retention": ORACLE_COHORT,
     "funnel_click_purchase": ORACLE_FUNNEL,
