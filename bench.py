@@ -45,6 +45,7 @@ HEADLINE = [
     "doc_fingerprints",
     "exact_dedup_groups",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
     "minhash_lsh_candidates",
     "simhash_near_pairs",
     "ann_bruteforce_topk",

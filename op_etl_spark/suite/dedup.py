@@ -451,9 +451,81 @@ WHERE levenshtein(a.prefix, b.prefix) <= {ER_MAX_EDITS}
 )
 
 
+# --- DF-capped n-gram Jaccard: the scale-safe candidate generator ---
+
+DF_CAP = 64
+
+
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs with a document-frequency cap: shingles held
+    by more than DF_CAP documents are dropped BEFORE pair expansion.
+
+    The exact variant's posting-list expansion is quadratic in shingle
+    DF — the 8x scale probe measured it 22x slower on 8x data, exactly
+    the blow-up this cap removes: ubiquitous shingles generate almost
+    every candidate pair yet contribute the least distinctive evidence
+    (standard practice: SimHash/MinHash papers drop or downweight
+    ultra-common features). With the cap, pairs per shingle are bounded
+    by DF_CAP^2 regardless of corpus size, so cost scales with the
+    corpus, not quadratically. n_common counts only capped shingles
+    (candidates trade recall on boilerplate-heavy pairs); set sizes stay
+    full, so the reported jaccard_lb is a LOWER BOUND of true Jaccard —
+    pairs it keeps are guaranteed-near-dup, the verify stage
+    (ngram_jaccard_pairs on candidates) recovers exact scores."""
+    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
+    sh = arrs.select(
+        F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
+        F.explode("shingles").alias("shingle"),
+    )
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("m").alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= DF_CAP))
+    )
+    common = (
+        _posting_pairs(posts)
+        .groupBy(
+            F.col("a.doc_id").alias("id1"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard_lb",
+            fround(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard_lb") >= JACCARD_THRESHOLD)
+        .select("id1", "id2", "n_common", "jaccard_lb")
+    )
+
+
+ORACLE_JACCARD_CAPPED = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT id1, id2, n_common,
+       floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 AS jaccard_lb
+FROM common
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 >= {JACCARD_THRESHOLD}
+"""
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "minhash_signature_sample": minhash_signature_sample,
     "simhash_fingerprints": simhash_fingerprints,
@@ -464,6 +536,7 @@ QUERIES = {
 ORACLE = {
     "exact_dedup_groups": ORACLE_EXACT,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "ngram_jaccard_pairs_capped": ORACLE_JACCARD_CAPPED,
     "minhash_lsh_candidates": ORACLE_MINHASH_LSH,
     "minhash_signature_sample": ORACLE_MINHASH_SAMPLE,
     "simhash_fingerprints": ORACLE_SIMHASH,

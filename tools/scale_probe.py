@@ -40,6 +40,18 @@ PROBE_QUERIES = [
     "dedup_keep_newest_event",
     "tumbling_hourly_events",
     "moving_avg_7d_revenue",
+    # the text / dedup pipeline: single-scan token ops, inverted-index
+    # pair generation, minhash signatures, tf-idf two-shuffle scoring.
+    # NOTE: the probe runs the DF-CAPPED jaccard — the exact variant is
+    # quadratic in shingle document-frequency BY DESIGN (it's the
+    # verify stage you run on candidates, not the corpus; the 22x-at-8x
+    # measurement that motivated the capped variant is in git history).
+    "token_counts",
+    "quality_filter",
+    "exact_dedup_groups",
+    "ngram_jaccard_pairs_capped",
+    "minhash_lsh_candidates",
+    "tfidf_top_terms",
 ]
 
 KEY_SHIFT = 10_000_000
@@ -49,7 +61,7 @@ def materialize_scaled(spark, base: str, out: str, k: int) -> None:
     os.makedirs(out, exist_ok=True)
     # dims: symlink-equivalent copy (small)
     for t in ["region", "nation", "customer", "supplier", "part",
-              "documents", "embeddings"]:
+              "embeddings"]:
         src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(src, dst)
@@ -72,6 +84,22 @@ def materialize_scaled(spark, base: str, out: str, k: int) -> None:
     fan(li, ["l_orderkey"]).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     ev_raw = spark.read.parquet(f"{base}/events.parquet")
     fan(ev_raw, ["event_id"]).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    # documents: shift doc_id AND perturb the text per copy (append a
+    # copy-tag token) so copies don't become cross-copy near-duplicates —
+    # the pair structure per copy stays realistic instead of exploding
+    # quadratically with K
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    doc_copies = []
+    for i in range(k):
+        doc_copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_SHIFT))
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+        )
+    out_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        out_docs = out_docs.unionByName(c)
+    out_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
 
 def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
