@@ -211,11 +211,21 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
     return base.groupBy("doc_id").agg(*aggs)
 
 
+LSH_BUCKET_CAP = 32
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: bands exploded in ONE pass over the signature
     table (not a 4-way union re-reading it), bucketed directly on the
     (band_id, h..h) int 4-tuple — no band re-hash, no self-join; pairs
-    generated in-array."""
+    generated in-array.
+
+    Buckets larger than LSH_BUCKET_CAP are dropped before pair
+    expansion: a bucket that big means a boilerplate/exact-dup cluster
+    (handled upstream by exact_dedup_groups), and expanding it is the
+    same quadratic cost curve the scale probe caught in the exact
+    jaccard — the cap bounds pairs per bucket at CAP^2 at any corpus
+    size."""
     d = _docs(spark, sf_dir)
     sigs = _minhash_sigs(_shingles(d))
     n_bands = N_HASHES // BAND_ROWS
@@ -234,9 +244,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         F.struct(F.col("doc_id")).alias("m"), F.explode(band_structs).alias("band")
     )
-    posts = banded.groupBy(
-        "band.band_id", *[f"band.x{r}" for r in range(BAND_ROWS)]
-    ).agg(F.collect_list("m").alias("m"))
+    posts = (
+        banded.groupBy("band.band_id", *[f"band.x{r}" for r in range(BAND_ROWS)])
+        .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") <= LSH_BUCKET_CAP)
+    )
     return (
         _posting_pairs(posts)
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
@@ -277,14 +289,21 @@ banded AS (
 
 _BAND_EQ = " AND ".join(f"a.x{r} = b.x{r}" for r in range(BAND_ROWS))
 
+_BUCKET_KEY = ", ".join(f"x{r}" for r in range(BAND_ROWS))
+
 ORACLE_MINHASH_LSH = (
     _duck_minhash_core()
     + f"""
+, small AS (
+  SELECT band_id, {_BUCKET_KEY} FROM banded
+  GROUP BY band_id, {_BUCKET_KEY}
+  HAVING count(*) <= {{LSH_BUCKET_CAP}})
 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
 FROM banded a
 JOIN banded b ON a.band_id = b.band_id AND {_BAND_EQ}
             AND a.doc_id < b.doc_id
-"""
+JOIN small s ON s.band_id = a.band_id AND {" AND ".join(f"s.x{r} = a.x{r}" for r in range(BAND_ROWS))}
+""".replace("{LSH_BUCKET_CAP}", "32")
 )
 
 
