@@ -37,14 +37,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import read_table
-from .dedup import _DUCK_SHINGLES, _docs, _hashed_shingle_arrays, _posting_pairs
+from .dedup import (
+    DF_CAP,
+    _DUCK_SHINGLES,
+    _docs,
+    _hashed_shingle_arrays,
+    _posting_pairs,
+)
 
 MIN_COMMON_TRIGRAMS = 6
 MAX_ROUNDS = 15
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric near-dup edge list (src, dst), both directions."""
+    """Symmetric near-dup edge list (src, dst), both directions.
+
+    Shingles above DF_CAP are dropped before pair expansion — the same
+    bounded-pair-cost contract as ngram_jaccard_pairs_capped (the scale
+    probe measured the uncapped expansion quadratic in shingle DF); the
+    oracle applies the identical cap. Since near-dup pairs share many
+    LOW-frequency shingles, the >= MIN_COMMON_TRIGRAMS edge test is
+    insensitive to losing ubiquitous ones."""
     arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
     sh = arrs.select(
         F.struct(F.col("doc_id")).alias("m"),
@@ -53,7 +66,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = (
         sh.groupBy("shingle")
         .agg(F.collect_list("m").alias("m"))
-        .filter(F.size("m") >= 2)
+        .filter((F.size("m") >= 2) & (F.size("m") <= DF_CAP))
     )
     pairs = (
         _posting_pairs(posts)
@@ -94,9 +107,13 @@ def dedup_cc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CC_ASSIGN = f"""
 WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
 e0 AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
   GROUP BY 1, 2
   HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
 edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
@@ -128,9 +145,13 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CC_SURVIVORS = f"""
 WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
 e0 AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
   GROUP BY 1, 2
   HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
 edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
@@ -203,9 +224,13 @@ r{i + 1} AS (
   FROM documents d LEFT JOIN c{i + 1} USING (doc_id))""")
     return f"""
 WITH sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
 e0 AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
   GROUP BY 1, 2
   HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
 edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),

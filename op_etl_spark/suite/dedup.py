@@ -384,9 +384,20 @@ fps AS (
 ORACLE_SIMHASH = _duck_simhash_core() + "SELECT doc_id, simhash FROM fps"
 
 
+SIMHASH_BUCKET_CAP = 256
+
+
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3, bucketed by the high byte
-    (SimHash banding — trades recall for never doing all-pairs)."""
+    (SimHash banding — trades recall for never doing all-pairs).
+
+    Buckets above SIMHASH_BUCKET_CAP are dropped before pair expansion
+    (bounded pair cost, same contract as the capped jaccard/LSH
+    variants). Note the 16-bit fingerprint / 256-bucket banding is
+    corpus-size-limited by construction: at real scale you widen to a
+    64-bit simhash and multiple band tables, which is a constant change
+    here — the plan shape (bucket groupBy + in-array pairs) is the
+    scale-relevant part."""
     fps = _simhash(_docs(spark, sf_dir))
     posts = (
         fps.select(
@@ -395,6 +406,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") <= SIMHASH_BUCKET_CAP)
     )
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
@@ -412,6 +424,8 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM fps a
 JOIN fps b ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+JOIN (SELECT simhash // 256 AS bkt FROM fps GROUP BY 1
+      HAVING count(*) <= {SIMHASH_BUCKET_CAP}) ok ON ok.bkt = a.simhash // 256
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 )
@@ -444,6 +458,7 @@ def editdist_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") <= SIMHASH_BUCKET_CAP)
     )
     cand = _posting_pairs(posts).withColumn(
         "edits", F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
@@ -465,6 +480,8 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
        levenshtein(a.prefix, b.prefix) AS edits
 FROM pref a
 JOIN pref b ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+JOIN (SELECT simhash // 256 AS bkt FROM pref GROUP BY 1
+      HAVING count(*) <= {SIMHASH_BUCKET_CAP}) ok ON ok.bkt = a.simhash // 256
 WHERE levenshtein(a.prefix, b.prefix) <= {ER_MAX_EDITS}
 """
 )
