@@ -1,0 +1,85 @@
+"""Bounded-pair-cost caps, exercised where they actually BITE.
+
+The oracle gate runs at sf0.01 where no posting list exceeds any cap, so
+it proves cap == no-op there. These tests build a degenerate corpus — a
+boilerplate cluster far above the caps plus a planted rare near-dup
+pair — and pin the caps' two contractual properties:
+
+ 1. the boilerplate cluster generates ZERO candidate pairs (its cost is
+    dropped, not paid);
+ 2. the planted pair, whose evidence is rare shingles, is still found.
+
+Exact dedup (uncapped, hash-groupBy) still catches the clones, which is
+the pipeline-order argument for why dropping them from near-dup
+candidate generation loses nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from op_etl_spark.suite import dedup
+
+
+N_CLONES = 200  # > DF_CAP (64), > LSH_BUCKET_CAP (32)
+
+
+def _mk_corpus(spark, tmp_path) -> str:
+    """documents.parquet: N_CLONES identical docs + 2 near-dup docs with
+    rare vocabulary + filler docs with disjoint vocabularies."""
+    clone_text = "common boilerplate sentence repeated across every clone document here"
+    near_a = "rare alpha beta gamma delta epsilon zeta eta theta iota kappa lambda shared"
+    near_b = "rare alpha beta gamma delta epsilon zeta eta theta iota kappa lambda extra"
+    rows = []
+    for i in range(N_CLONES):
+        rows.append((i, clone_text))
+    rows.append((1000, near_a))
+    rows.append((1001, near_b))
+    for i in range(40):
+        rows.append((2000 + i, f"filler{i} unique{i} words{i} only{i} appear{i} once{i} in{i} this{i} doc{i}"))
+    df = spark.createDataFrame(
+        [(d, t, "en", "synthetic", len(t)) for d, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "capcorpus")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    return _mk_corpus(spark, tmp_path_factory.mktemp("caps"))
+
+
+class TestJaccardDFCap:
+    def test_boilerplate_cluster_generates_no_pairs(self, spark, corpus):
+        pairs = dedup.ngram_jaccard_pairs_capped(spark, corpus).collect()
+        clone_pairs = [r for r in pairs if r.id1 < N_CLONES and r.id2 < N_CLONES]
+        assert clone_pairs == []  # the 200-clone cluster's k^2 was dropped
+
+    def test_planted_rare_pair_survives(self, spark, corpus):
+        pairs = dedup.ngram_jaccard_pairs_capped(spark, corpus).collect()
+        assert any({r.id1, r.id2} == {1000, 1001} for r in pairs)
+
+    def test_uncapped_would_pay_the_quadratic_cost(self, spark, corpus):
+        # the exact variant DOES emit the clone cluster's pairs — that's
+        # the 200*199/2 cost the cap exists to avoid
+        pairs = dedup.ngram_jaccard_pairs(spark, corpus).collect()
+        clone_pairs = [r for r in pairs if r.id1 < N_CLONES and r.id2 < N_CLONES]
+        assert len(clone_pairs) == N_CLONES * (N_CLONES - 1) // 2
+
+
+class TestLshBucketCap:
+    def test_clone_bucket_dropped_planted_pair_found(self, spark, corpus):
+        pairs = dedup.minhash_lsh_candidates(spark, corpus).collect()
+        clone_pairs = [r for r in pairs if r.id1 < N_CLONES and r.id2 < N_CLONES]
+        assert clone_pairs == []
+        assert any({r.id1, r.id2} == {1000, 1001} for r in pairs)
+
+
+class TestExactDedupStillCatchesClones:
+    def test_clones_collapse_via_exact_dedup(self, spark, corpus):
+        groups = dedup.exact_dedup_groups(spark, corpus).collect()
+        clone_group = [g for g in groups if g.n_copies == N_CLONES]
+        assert len(clone_group) == 1
+        assert clone_group[0].canonical_id == 0
