@@ -1,0 +1,120 @@
+"""Distributed order statistics — the scale-safe replacement for
+unpartitioned windows.
+
+`row_number() OVER (ORDER BY k)` funnels the whole input through ONE
+reducer; at 100 TB that is the single worst plan shape Spark can emit.
+Both ops here compute the same total-order semantics with bounded
+per-partition work:
+
+  1. `repartitionByRange` on the ordering columns — contiguous sorted
+     key ranges per partition (one balanced shuffle, the same cost a
+     global sort would pay for its range exchange);
+  2. per-partition row counts — a partition-count-sized collect (tens
+     of rows, pure metadata);
+  3. prefix-sum the counts into global offsets, then a window
+     PARTITIONED by `spark_partition_id()` adds `offset + local_rank`.
+
+The only windows used are partitioned — no single-reducer sort node
+anywhere in the plan (`tools/plan_audit.py` enforces this).
+
+The ranged intermediate is `localCheckpoint`'ed (lazy) so the count job
+and the rank job see the SAME range boundaries: RangePartitioner samples
+its bounds from the input, and two independent recomputations of the
+lineage are not guaranteed to draw identical samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ranged_with_offsets(
+    df: DataFrame, cols: list[str], num_parts: int | None = None
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Range-partition `df` by `cols`; return (keyed_df_with__pid,
+    {pid: global offset of its first row}, total_rows)."""
+    sp = df.sparkSession
+    n = num_parts or int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+    keyed = (
+        df.repartitionByRange(n, *[F.col(c) for c in cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return keyed, offsets, acc
+
+
+def global_row_index(
+    df: DataFrame, cols: str | list[str], out: str = "__idx"
+) -> DataFrame:
+    """0-based dense global index by the total order on `cols` — the
+    distributed twin of `row_number() OVER (ORDER BY cols) - 1`.
+
+    `cols` must form a total order (include a unique key) or the index
+    assignment within ties is partition-dependent."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    keyed, offsets, total = _ranged_with_offsets(df, cols)
+    if total == 0:
+        return keyed.drop("__pid").withColumn(out, F.lit(0).cast("long"))
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        keyed.withColumn(
+            out, (mapping[F.col("__pid")] + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__pid")
+    )
+
+
+def rows_at_ranks(
+    df: DataFrame, cols: list[str], ranks: list[int]
+) -> tuple[list[Row], int]:
+    """Exact order-statistic rows at the given 1-based global ranks, plus
+    the total row count: ([row_at_rank_r for r in ranks], n).
+
+    Only the partitions that actually contain a requested rank are
+    sorted (a partitioned window over <= len(ranks) range partitions) —
+    the distributed version of `ORDER BY ... OFFSET r LIMIT 1` without a
+    global sort or a driver-side table scan."""
+    cols = list(cols)
+    keyed, offsets, total = _ranged_with_offsets(df, cols)
+    for r in ranks:
+        if not 1 <= r <= total:
+            raise ValueError(f"rank {r} out of range 1..{total}")
+    pids = sorted(offsets)
+    sizes = {}
+    for i, pid in enumerate(pids):
+        nxt = offsets[pids[i + 1]] if i + 1 < len(pids) else total
+        sizes[pid] = nxt - offsets[pid]
+    want: set[tuple[int, int]] = set()
+    for r in ranks:
+        for pid in pids:
+            if offsets[pid] < r <= offsets[pid] + sizes[pid]:
+                want.add((pid, r - offsets[pid]))
+                break
+    hit_pids = sorted({p for p, _ in want})
+    cond = F.lit(False)
+    for p, lr in sorted(want):
+        cond = cond | ((F.col("__pid") == p) & (F.col("__lrn") == lr))
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    hits = (
+        keyed.filter(F.col("__pid").isin(hit_pids))
+        .withColumn("__lrn", F.row_number().over(w))
+        .filter(cond)
+        .collect()
+    )
+    by_rank = {}
+    for row in hits:
+        pid, lrn = row["__pid"], row["__lrn"]
+        by_rank[offsets[pid] + lrn] = row
+    return [by_rank[r] for r in ranks], total

@@ -92,16 +92,18 @@ def negative_pairs(
     who gets partners, so a subset's pairs equal the full run's subset.
 
     Each (key, j) hashes to a uniform index into the keyspace; the index
-    resolves to a partner key through a row_number index table. Fully
-    lazy (the corpus size enters as a broadcast 1-row aggregate, not a
-    driver-side count); one explode (k rows per anchor) and one shuffle
-    (the index join); self-pairs are dropped, so a row yields k or
-    occasionally k-1 partners. Deterministic in (salt, key, j). The
-    global row_number is a single-partition window — at real scale
-    substitute a precomputed dense id column and skip that step."""
-    idx = df.select(
-        F.col(key).alias("__neg_key"),
-        (F.row_number().over(Window.orderBy(key)) - 1).alias("__idx"),
+    resolves to a partner key through a dense key->index table built by
+    `operators.ranks.global_row_index` — distributed order statistics
+    (range partition + offset add), NOT a single-partition
+    `row_number() OVER (ORDER BY key)` window, so the index build stays
+    balanced at any corpus size. One explode (k rows per anchor) and two
+    shuffles (the range partition and the index join); self-pairs are
+    dropped, so a row yields k or occasionally k-1 partners.
+    Deterministic in (salt, key, j)."""
+    from .ranks import global_row_index
+
+    idx = global_row_index(
+        df.select(F.col(key).alias("__neg_key")), "__neg_key", out="__idx"
     )
     n1 = df.agg(F.count(F.lit(1)).alias("__n"))
     a = (anchors if anchors is not None else df).select(key)

@@ -739,12 +739,39 @@ def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders bucketed into 4 equal-depth tiles by total price (ties
     broken by key for a total order — ntile over a partial order is
     nondeterministic on both engines). Per-tile count and exact-cents
-    revenue. One global sort window; at scale you'd partition the window
-    by a coarse key or use approx quantiles (order_value_quantiles)."""
+    revenue.
+
+    Two-phase plan, NO global-sort window: (1) the three exact quartile
+    boundary tuples come from distributed order statistics
+    (`operators.ranks.rows_at_ranks`: range partition + per-partition
+    offsets — only the partitions containing a boundary get sorted);
+    (2) every row's tile is a comparison against the three boundary
+    literals — a narrow map stage. Bit-identical to `ntile(4) OVER
+    (ORDER BY price, key)` because ntile's tile sizes are computed from
+    the exact row count and the boundaries use the same composite tie
+    rule; unlike ntile, nothing funnels through one reducer."""
+    from op_etl_spark.operators.ranks import rows_at_ranks
+
     o = _t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    keyed = o.select("o_totalprice", "o_orderkey")
+    n = keyed.count()  # parquet footer metadata, not a scan
+    base, rem = divmod(n, 4)
+    sizes = [base + (1 if i < rem else 0) for i in range(4)]
+    cums, acc = [], 0
+    for s in sizes[:3]:
+        acc += s
+        if s:
+            cums.append(acc)
+    bounds, _ = rows_at_ranks(keyed, ["o_totalprice", "o_orderkey"], cums)
+    tile = F.lit(1)
+    for b in bounds:
+        gt = (F.col("o_totalprice") > F.lit(b["o_totalprice"])) | (
+            (F.col("o_totalprice") == F.lit(b["o_totalprice"]))
+            & (F.col("o_orderkey") > F.lit(b["o_orderkey"]))
+        )
+        tile = tile + F.when(gt, 1).otherwise(0)
     return (
-        o.withColumn("tile", F.ntile(4).over(w))
+        o.withColumn("tile", tile.cast("int"))
         .groupBy("tile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
