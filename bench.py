@@ -44,10 +44,13 @@ HEADLINE = [
     "quality_filter",
     "doc_fingerprints",
     "exact_dedup_groups",
-    "ngram_jaccard_pairs",
+    # flagship dedup path: LSH/capped candidates + exact verify — the
+    # corpus-quadratic exact ngram_jaccard_pairs stays OUT of the
+    # headline (it's the small-sf oracle baseline only)
+    "jaccard_verified_pairs",
     "ngram_jaccard_pairs_capped",
     "minhash_lsh_candidates",
-    "simhash_near_pairs",
+    "simhash64_near_pairs",
     "ann_bruteforce_topk",
     "embedding_neardup_pairs",
     "geometry_type_election",

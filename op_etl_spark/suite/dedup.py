@@ -291,19 +291,24 @@ _BAND_EQ = " AND ".join(f"a.x{r} = b.x{r}" for r in range(BAND_ROWS))
 
 _BUCKET_KEY = ", ".join(f"x{r}" for r in range(BAND_ROWS))
 
-ORACLE_MINHASH_LSH = (
-    _duck_minhash_core()
-    + f"""
+_SMALL_EQ = " AND ".join(f"s.x{r} = a.x{r}" for r in range(BAND_ROWS))
+
+# shared candidate-CTE tail: appended to _duck_minhash_core()
+_DUCK_LSH_CAND = f"""
 , small AS (
   SELECT band_id, {_BUCKET_KEY} FROM banded
   GROUP BY band_id, {_BUCKET_KEY}
-  HAVING count(*) <= {{LSH_BUCKET_CAP}})
-SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-FROM banded a
-JOIN banded b ON a.band_id = b.band_id AND {_BAND_EQ}
-            AND a.doc_id < b.doc_id
-JOIN small s ON s.band_id = a.band_id AND {" AND ".join(f"s.x{r} = a.x{r}" for r in range(BAND_ROWS))}
-""".replace("{LSH_BUCKET_CAP}", "32")
+  HAVING count(*) <= {LSH_BUCKET_CAP})
+, lsh AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND {_BAND_EQ}
+              AND a.doc_id < b.doc_id
+  JOIN small s ON s.band_id = a.band_id AND {_SMALL_EQ})
+"""
+
+ORACLE_MINHASH_LSH = (
+    _duck_minhash_core() + _DUCK_LSH_CAND + "SELECT id1, id2 FROM lsh"
 )
 
 
@@ -431,6 +436,169 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 )
 
 
+# --- 64-bit SimHash: 4 x 16-bit band tables (corpus-size-robust) ---
+#
+# The 16-bit/256-bucket variant above stops discriminating as the corpus
+# grows (every bucket fills up and gets cap-dropped). 64 fingerprint bits
+# are held as FOUR 16-bit band values b0..b3 — (a) no int64 overflow at
+# bit 63 on either engine, (b) the bands ARE the LSH tables: by
+# pigeonhole, hamming(fp) <= 3 over 64 bits guarantees at least one of
+# the 4 bands matches exactly, so banding loses NO recall at the
+# hamming-3 threshold (the 16-bit high-byte banding could).
+
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+
+
+def _simhash64(d: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): 64-bit SimHash as four 16-bit band fingerprints.
+    One md5 per token; band t's bits come from hex chars [1+4t, 4+4t];
+    bit i of band t = majority vote of token bit (ties -> 0), all tokens
+    voting with multiplicity — same contract as the 16-bit `_simhash`."""
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    hx = F.md5(F.col("tok").cast("binary"))
+    vcols = [
+        F.conv(F.substring(hx, 1 + 4 * t, 4), 16, 10).cast("long").alias(f"v{t}")
+        for t in range(SIMHASH64_BANDS)
+    ]
+    tv = toks.select("doc_id", *vcols)
+    votes = [
+        F.sum(
+            F.shiftright(F.col(f"v{t}"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{t}_{i}")
+        for t in range(SIMHASH64_BANDS)
+        for i in range(SIMHASH64_BAND_BITS)
+    ]
+    agg = tv.groupBy("doc_id").agg(*votes)
+    outs = []
+    for t in range(SIMHASH64_BANDS):
+        fp = None
+        for i in range(SIMHASH64_BAND_BITS):
+            bit = F.when(F.col(f"s{t}_{i}") > 0, 2**i).otherwise(0)
+            fp = bit if fp is None else fp + bit
+        outs.append(fp.cast("long").alias(f"b{t}"))
+    return agg.select("doc_id", *outs)
+
+
+def simhash64_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash64(_docs(spark, sf_dir))
+
+
+def _duck_simhash64_core() -> str:
+    votes = ",\n         ".join(
+        f"sum(((v{t} >> {i}) & 1) * 2 - 1) AS s{t}_{i}"
+        for t in range(SIMHASH64_BANDS)
+        for i in range(SIMHASH64_BAND_BITS)
+    )
+    vdefs = ",\n         ".join(
+        f"('0x' || substr(md5(tok), {1 + 4 * t}, 4))::BIGINT AS v{t}"
+        for t in range(SIMHASH64_BANDS)
+    )
+    fps = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{t}_{i} > 0 THEN {2**i} ELSE 0 END)"
+            for i in range(SIMHASH64_BAND_BITS)
+        )
+        + f" AS BIGINT) AS b{t}"
+        for t in range(SIMHASH64_BANDS)
+    )
+    return f"""
+WITH tv AS (
+  SELECT doc_id,
+         {vdefs}
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+agg AS (
+  SELECT doc_id,
+         {votes}
+  FROM tv GROUP BY doc_id),
+fps64 AS (
+  SELECT doc_id,
+         {fps}
+  FROM agg)
+"""
+
+
+ORACLE_SIMHASH64 = _duck_simhash64_core() + "SELECT doc_id, b0, b1, b2, b3 FROM fps64"
+
+
+def _simhash64_posts(fps: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Band-table posting lists for the 64-bit SimHash: one pass explodes
+    each doc into its 4 (band_id, band_value) keys; buckets above
+    SIMHASH_BUCKET_CAP are dropped before pair expansion (bounded-pair
+    contract, per band table)."""
+    member = F.struct(
+        F.col("doc_id"), *[F.col(c) for c in extra_cols]
+    ).alias("m")
+    bands = F.array(
+        *[
+            F.struct(F.lit(t).alias("band_id"), F.col(f"b{t}").alias("bval"))
+            for t in range(SIMHASH64_BANDS)
+        ]
+    )
+    return (
+        fps.select(member, F.explode(bands).alias("band"))
+        .groupBy("band.band_id", "band.bval")
+        .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") <= SIMHASH_BUCKET_CAP)
+    )
+
+
+def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 64-bit hamming <= 3 via the 4 band tables.
+    A pair surfacing in several bands is deduped AFTER the cheap hamming
+    filter; hamming is 4 xor+popcounts over the band columns riding in
+    the posting structs — no join back to the corpus."""
+    fps = _simhash64(_docs(spark, sf_dir))
+    posts = _simhash64_posts(fps, [f"b{t}" for t in range(SIMHASH64_BANDS)])
+    hamming = None
+    for t in range(SIMHASH64_BANDS):
+        h = F.bit_count(F.col(f"a.b{t}").bitwiseXOR(F.col(f"b.b{t}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        _posting_pairs(posts)
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"), "hamming"
+        )
+        .distinct()
+    )
+
+
+_SIMHASH64_HAMMING = " + ".join(
+    f"bit_count(xor(f1.b{t}, f2.b{t}))" for t in range(SIMHASH64_BANDS)
+)
+
+
+def _duck_simhash64_cand(src: str) -> str:
+    """UNION of the 4 band-table candidate joins over `src` (which must
+    expose doc_id and b0..b3), each with the per-band bucket cap."""
+    parts = []
+    for t in range(SIMHASH64_BANDS):
+        parts.append(
+            f"""SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM {src} a JOIN {src} b ON a.b{t} = b.b{t} AND a.doc_id < b.doc_id
+  JOIN (SELECT b{t} AS bv FROM {src} GROUP BY 1
+        HAVING count(*) <= {SIMHASH_BUCKET_CAP}) ok ON ok.bv = a.b{t}"""
+        )
+    return "\n  UNION\n  ".join(parts)
+
+
+ORACLE_SIMHASH64_PAIRS = (
+    _duck_simhash64_core()
+    + f"""
+, cand AS (
+  {_duck_simhash64_cand("fps64")})
+SELECT id1, id2, {_SIMHASH64_HAMMING} AS hamming
+FROM cand
+JOIN fps64 f1 ON f1.doc_id = id1
+JOIN fps64 f2 ON f2.doc_id = id2
+WHERE {_SIMHASH64_HAMMING} <= {SIMHASH_MAX_HAMMING}
+"""
+)
+
+
 # --- entity resolution: block (SimHash band) -> verify (edit distance) ---
 
 ER_PREFIX_LEN = 48
@@ -439,50 +607,50 @@ ER_MAX_EDITS = 12
 
 def editdist_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical two-stage entity-resolution pipeline: cheap BLOCKING
-    (SimHash high-byte bands — same plan as simhash_near_pairs) proposes
-    candidates, then an exact VERIFY stage scores each candidate with
-    Levenshtein distance over a fixed-length text prefix and keeps real
-    matches. The prefix rides inside the posting struct, so the verify
-    stage needs NO join back to the corpus — edit distance (quadratic
-    per pair) runs only on |candidates|, never |corpus|^2, and only on
-    bounded 48-char strings."""
+    proposes candidates, then an exact VERIFY stage scores each candidate
+    with Levenshtein distance over a fixed-length text prefix and keeps
+    real matches. Blocking uses the 64-bit SimHash band tables
+    (`_simhash64_posts`: 4 x 16-bit bands, per-band bucket cap) — unlike
+    the old 16-bit high-byte bucket this keeps discriminating as the
+    corpus grows, and hamming<=3 recall is pigeonhole-guaranteed. The
+    prefix rides inside the posting struct, so the verify stage needs NO
+    join back to the corpus — edit distance (quadratic per pair) runs
+    only on |candidates|, never |corpus|^2, and only on bounded 48-char
+    strings; a pair blocked by several bands is deduped after the verify
+    filter."""
     d = _docs(spark, sf_dir)
-    fps = _simhash(d).join(
+    fps = _simhash64(d).join(
         d.select("doc_id", F.substring("text", 1, ER_PREFIX_LEN).alias("prefix")),
         "doc_id",
     )
-    posts = (
-        fps.select(
-            F.floor(F.col("simhash") / 256).alias("bucket"),
-            F.struct(F.col("doc_id"), F.col("simhash"), F.col("prefix")).alias("m"),
-        )
-        .groupBy("bucket")
-        .agg(F.collect_list("m").alias("m"))
-        .filter(F.size("m") <= SIMHASH_BUCKET_CAP)
-    )
+    posts = _simhash64_posts(fps, ["prefix"])
     cand = _posting_pairs(posts).withColumn(
         "edits", F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
     )
-    return cand.filter(F.col("edits") <= ER_MAX_EDITS).select(
-        F.col("a.doc_id").alias("id1"),
-        F.col("b.doc_id").alias("id2"),
-        "edits",
+    return (
+        cand.filter(F.col("edits") <= ER_MAX_EDITS)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            "edits",
+        )
+        .distinct()
     )
 
 
 ORACLE_EDITDIST_PAIRS = (
-    _duck_simhash_core()
+    _duck_simhash64_core()
     + f"""
 , pref AS (
-  SELECT f.doc_id, f.simhash, substr(d.text, 1, {ER_PREFIX_LEN}) AS prefix
-  FROM fps f JOIN documents d USING (doc_id))
-SELECT a.doc_id AS id1, b.doc_id AS id2,
-       levenshtein(a.prefix, b.prefix) AS edits
-FROM pref a
-JOIN pref b ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
-JOIN (SELECT simhash // 256 AS bkt FROM pref GROUP BY 1
-      HAVING count(*) <= {SIMHASH_BUCKET_CAP}) ok ON ok.bkt = a.simhash // 256
-WHERE levenshtein(a.prefix, b.prefix) <= {ER_MAX_EDITS}
+  SELECT f.doc_id, f.b0, f.b1, f.b2, f.b3, substr(d.text, 1, {ER_PREFIX_LEN}) AS prefix
+  FROM fps64 f JOIN documents d USING (doc_id))
+, cand AS (
+  {_duck_simhash64_cand("pref")})
+SELECT DISTINCT c.id1, c.id2, levenshtein(p1.prefix, p2.prefix) AS edits
+FROM cand c
+JOIN pref p1 ON p1.doc_id = c.id1
+JOIN pref p2 ON p2.doc_id = c.id2
+WHERE levenshtein(p1.prefix, p2.prefix) <= {ER_MAX_EDITS}
 """
 )
 
@@ -558,6 +726,88 @@ WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) /
 """
 
 
+# --- flagship: two-stage candidates -> exact-verify Jaccard ---
+
+def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE near-dup dedup path for a real corpus: bounded-cost candidate
+    generation, then exact verification per candidate.
+
+    Stage 1 (candidates): MinHash-LSH band buckets UNION DF-capped
+    shingle pairs — both have the bounded-pair-cost contract (bucket cap
+    / document-frequency cap), so candidate count scales linearly with
+    the corpus, never quadratically.
+
+    Stage 2 (verify): exact Jaccard per candidate pair by intersecting
+    the two documents' distinct-shingle arrays (`array_intersect` on
+    64-bit shingle IDs) — two hash joins back to the shingle-array table,
+    cost O(|candidates| x shingles/doc). The corpus-wide posting-list
+    expansion of `ngram_jaccard_pairs` (the 22x-at-8x quadratic curve the
+    scale probe caught) never happens; that exact variant remains only as
+    the small-sf oracle baseline.
+
+    Output = every candidate pair whose TRUE Jaccard clears the
+    threshold: exact scores on a high-recall candidate set."""
+    cand = (
+        minhash_lsh_candidates(spark, sf_dir)
+        .union(ngram_jaccard_pairs_capped(spark, sf_dir).select("id1", "id2"))
+        .distinct()
+    )
+    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
+    a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            fround(
+                F.col("n_common")
+                / (F.size("sh1") + F.size("sh2") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id1", "id2", "n_common", "jaccard")
+    )
+
+
+ORACLE_JACCARD_VERIFIED = (
+    _duck_minhash_core()
+    + _DUCK_LSH_CAND
+    + f"""
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+, dfcap AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP})
+, ccommon AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfcap c ON c.shingle = a.shingle
+  GROUP BY 1, 2)
+, cpairs AS (
+  SELECT id1, id2 FROM ccommon
+  JOIN sizes sa ON sa.doc_id = id1
+  JOIN sizes sb ON sb.doc_id = id2
+  WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 >= {JACCARD_THRESHOLD})
+, cand AS (SELECT id1, id2 FROM lsh UNION SELECT id1, id2 FROM cpairs)
+, vcommon AS (
+  SELECT c.id1, c.id2, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT id1, id2, n_common,
+       floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 AS jaccard
+FROM vcommon
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 >= {JACCARD_THRESHOLD}
+"""
+)
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -566,7 +816,10 @@ QUERIES = {
     "minhash_signature_sample": minhash_signature_sample,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
+    "simhash64_fingerprints": simhash64_fingerprints,
+    "simhash64_near_pairs": simhash64_near_pairs,
     "editdist_verified_pairs": editdist_verified_pairs,
+    "jaccard_verified_pairs": jaccard_verified_pairs,
 }
 
 ORACLE = {
@@ -577,5 +830,8 @@ ORACLE = {
     "minhash_signature_sample": ORACLE_MINHASH_SAMPLE,
     "simhash_fingerprints": ORACLE_SIMHASH,
     "simhash_near_pairs": ORACLE_SIMHASH_PAIRS,
+    "simhash64_fingerprints": ORACLE_SIMHASH64,
+    "simhash64_near_pairs": ORACLE_SIMHASH64_PAIRS,
     "editdist_verified_pairs": ORACLE_EDITDIST_PAIRS,
+    "jaccard_verified_pairs": ORACLE_JACCARD_VERIFIED,
 }
