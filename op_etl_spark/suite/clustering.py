@@ -102,7 +102,10 @@ def dedup_cc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    # no final orderBy: the output is corpus-sized and the oracle compare
+    # is row-order-insensitive — a global sort here would be a pure
+    # single-reducer tax at scale
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 ORACLE_CC_ASSIGN = f"""
@@ -139,7 +142,6 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.groupBy(F.col("cluster_id").alias("survivor_doc_id"))
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .filter(F.col("cluster_size") >= 2)
-        .orderBy("survivor_doc_id")
     )
 
 

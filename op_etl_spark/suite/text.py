@@ -291,15 +291,20 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: tokens above a frequency cutoff, ids assigned
     by (count desc, token) dense rank — the deterministic token->id map a
     tokenizer build step produces. One explode + one groupBy (map-side
-    combined); the ranking window runs over the already-aggregated
-    vocabulary, which is orders of magnitude smaller than the corpus."""
+    combined); ids come from `global_row_index` (range partition +
+    per-partition offsets), so even a hundred-million-token vocabulary
+    never funnels through a single-reducer window."""
+    from ..operators.ranks import global_row_index
+
     d = _docs(spark, sf_dir)
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    kept = counts.filter(F.col("n") >= VOCAB_MIN_COUNT)
-    w = W.orderBy(F.desc("n"), "tok")
-    return kept.select(
-        "tok", "n", (F.row_number().over(w) - 1).alias("token_id")
+    kept = counts.filter(F.col("n") >= VOCAB_MIN_COUNT).withColumn(
+        "__negn", -F.col("n")
+    )
+    return (
+        global_row_index(kept, ["__negn", "tok"], out="token_id")
+        .select("tok", "n", F.col("token_id").cast("int").alias("token_id"))
     )
 
 

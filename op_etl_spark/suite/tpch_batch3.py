@@ -69,7 +69,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "s_name", "n_name", "s_acctbal",
             fround("price", 4).alias("unit_price"),
         )
+        # spec-conformant top-100 (classic q2 carries LIMIT 100): compiles
+        # to TakeOrderedAndProject — per-partition top-k, no global sort.
+        # (p_partkey, s_name) is a total order, so the cut is deterministic.
         .orderBy("p_partkey", "s_name")
+        .limit(100)
     )
 
 
@@ -88,6 +92,7 @@ SELECT p_partkey, s_name, n_name, s_acctbal,
 FROM (SELECT *, min(price) OVER (PARTITION BY p_partkey) AS mp FROM offers)
 WHERE price = mp
 ORDER BY p_partkey, s_name
+LIMIT 100
 """
 
 

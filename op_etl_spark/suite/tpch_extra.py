@@ -535,15 +535,13 @@ ORDER BY custdist DESC, c_count DESC
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers whose revenue equals the global max of per-supplier
-    revenue in one ship quarter. The scalar max is a GLOBAL WINDOW over
-    the aggregated view, not a separate aggregate joined back — a
-    cross-joined 1-row max would recompute the whole revenue subtree
-    (Catalyst doesn't dedupe self-referenced subplans here; verified in
-    the executed plan), doubling the fact scan. The window funnels only
-    the already-aggregated per-supplier rows (tiny relative to the fact)
-    through one partition."""
-    from pyspark.sql import Window as W
-
+    revenue in one ship quarter. The per-supplier aggregate is
+    localCheckpoint()ed so the revenue subtree materializes exactly once
+    (Catalyst doesn't dedupe self-referenced subplans here; a naive
+    max-subquery join would re-scan the fact), then the scalar max is a
+    one-row collect compared as a literal — no global window, no
+    single-partition funnel, no double scan. rev_cents is exact integer
+    ten-thousandths, so the literal equality is deterministic."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -552,11 +550,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
             "rev_cents"
         )
-    )
+    ).localCheckpoint()
+    max_cents = revenue.agg(F.max("rev_cents")).collect()[0][0]
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.withColumn("max_cents", F.max("rev_cents").over(W.partitionBy()))
-        .filter(F.col("rev_cents") == F.col("max_cents"))
+        revenue.filter(F.col("rev_cents") == F.lit(max_cents))
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",

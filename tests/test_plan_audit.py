@@ -1,0 +1,83 @@
+"""Unit tests for tools/plan_audit.py's structural smell classification.
+
+The audit sweeps every declared query's formatted physical plan; these
+tests pin the classifier itself on canned plan fragments so the rules
+can't silently regress (the full 115-query sweep runs via
+`python tools/plan_audit.py` / the slow CI gate).
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_audit import audit  # noqa: E402
+
+
+def _plan(*detail_blocks: str, tree: str = "AdaptiveSparkPlan (9)") -> str:
+    return tree + "\n\n" + "\n\n".join(detail_blocks)
+
+
+WIN_PART_ONLY = (
+    "(5) Window\n"
+    "Arguments: [max(id#0L) windowspecdefinition(k#1L, specifiedwindowframe(RowFrame, "
+    "unboundedpreceding$(), unboundedfollowing$())) AS m#2L], [k#1L]"
+)
+WIN_EMPTY = (
+    "(5) Window\n"
+    "Arguments: [max(id#0L) windowspecdefinition(specifiedwindowframe(RowFrame, "
+    "unboundedpreceding$(), unboundedfollowing$())) AS m#4L]"
+)
+WIN_ORDER_ONLY = (
+    "(5) Window\n"
+    "Arguments: [row_number() windowspecdefinition(id#0L ASC NULLS FIRST, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS m#6], "
+    "[id#0L ASC NULLS FIRST]"
+)
+WIN_PART_AND_ORDER = (
+    "(5) Window\n"
+    "Arguments: [row_number() windowspecdefinition(k#1L, id#0L ASC NULLS FIRST, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS m#8], "
+    "[k#1L], [id#0L ASC NULLS FIRST]"
+)
+SORT_LOCAL = "(4) Sort\nArguments: [k#1L ASC NULLS FIRST], false, 0"
+SORT_GLOBAL = "(4) Sort\nArguments: [k#1L ASC NULLS FIRST], true, 0"
+
+
+class TestWindowClassification:
+    def test_partition_only_window_is_fine(self):
+        assert audit("x", _plan(WIN_PART_ONLY))["smells"] == []
+
+    def test_partition_and_order_window_is_fine(self):
+        assert audit("x", _plan(WIN_PART_AND_ORDER))["smells"] == []
+
+    def test_empty_partition_window_flagged(self):
+        assert audit("x", _plan(WIN_EMPTY))["smells"] == ["WindowNoPartition"]
+
+    def test_order_only_window_flagged(self):
+        assert audit("x", _plan(WIN_ORDER_ONLY))["smells"] == ["WindowNoPartition"]
+
+
+class TestSortClassification:
+    def test_partition_local_sort_is_fine(self):
+        assert audit("x", _plan(SORT_LOCAL))["smells"] == []
+
+    def test_global_sort_flagged(self):
+        assert audit("x", _plan(SORT_GLOBAL))["smells"] == ["GlobalSortNoLimit"]
+
+    def test_global_sort_feeding_topk_is_fine(self):
+        p = _plan(SORT_GLOBAL, tree="TakeOrderedAndProject (9)")
+        assert audit("x", p)["smells"] == []
+
+    def test_global_sort_not_suppressed_by_unrelated_window(self):
+        # the old heuristic suppressed GlobalSortNoLimit whenever ANY
+        # window/SMJ appeared in the plan text — structural matching must
+        # still flag the unrelated global sort
+        p = _plan(WIN_PART_AND_ORDER, SORT_GLOBAL)
+        assert audit("x", p)["smells"] == ["GlobalSortNoLimit"]
+
+
+class TestAllowlist:
+    def test_allowed_smell_moves_to_allowed(self):
+        res = audit("moving_avg_7d_revenue", _plan(WIN_ORDER_ONLY))
+        assert res["smells"] == []
+        assert res["allowed"] == ["WindowNoPartition"]

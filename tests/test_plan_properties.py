@@ -249,9 +249,13 @@ class TestQ15SingleScan:
         from op_etl_spark.suite.tpch_extra import q15_top_supplier
 
         p = plan(q15_top_supplier(spark, SF_DIR))
-        # window-max formulation: exactly one lineitem scan node (the
-        # cross-joined scalar-max regression produces two Location lines)
-        assert p.count("lineitem.parquet") == 1
+        # localCheckpoint formulation: the revenue subtree materializes
+        # ONCE before the query plan; the returned plan reads the
+        # checkpointed aggregate (ExistingRDD), never re-scans the fact,
+        # and carries no global-max window (the scalar max is a literal)
+        assert p.count("lineitem.parquet") == 0
+        assert "ExistingRDD" in p
+        assert "Window" not in p
 
     def test_q17_single_fact_scan(self, spark):
         from op_etl_spark.suite.tpch_extra import q17_small_quantity_revenue
