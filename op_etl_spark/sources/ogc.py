@@ -63,7 +63,16 @@ def _walk_collection(
     bbox_crs: str | None,
     crs_param: str | None,
     limit: int,
+    delay_seconds: float = 0.0,
+    sleeper=None,
 ):
+    """`delay_seconds` paces sequential next-link requests WITHIN the
+    cursor (reference `ogc_api_delay`, etl/download_ogc.py:70, 320-322) —
+    `fetch_parallelism` caps concurrency ACROSS collections, but a single
+    collection's page walk would otherwise hit the service back-to-back."""
+    import time as _time
+
+    sleeper = sleeper or _time.sleep
     params: dict = {"f": "json", "limit": limit}
     if bbox:
         params["bbox"] = ",".join(str(v) for v in bbox)
@@ -75,6 +84,8 @@ def _walk_collection(
     url = f"{base_url}/collections/{collection_id}/items"
     fid = 0
     for _page in range(MAX_OGC_PAGES):
+        if _page > 0 and delay_seconds > 0:
+            sleeper(delay_seconds)
         doc = fetcher(url, params)
         declared = ((doc.get("crs") or {}) if isinstance(doc.get("crs"), dict) else {})
         crs_name = (declared.get("properties") or {}).get("name") if declared else doc.get("crs")
@@ -119,6 +130,7 @@ def read_collections(
     bbox_crs: str | None = None,
     supports_epsg_3006: bool = False,
     limit: int = 1000,
+    delay_seconds: float = 0.1,  # reference ogc_api_delay default (etl/download_ogc.py:70)
 ) -> DataFrame:
     """Fan collections out across executors; walk each cursor in-task."""
     from op_etl_spark.session import ensure_shipped
@@ -142,6 +154,7 @@ def read_collections(
             "bbox_crs": bbox_crs,
             "crs_param": crs_param,
             "limit": limit,
+            "delay_seconds": delay_seconds,
         }
     )
 
@@ -160,6 +173,7 @@ def read_collections(
                         c["authority"],
                         tuple(c["bbox"]) if c["bbox"] else None,
                         c["bbox_crs"], c["crs_param"], c["limit"],
+                        c["delay_seconds"],
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)

@@ -239,6 +239,51 @@ def count_sanity_check(
     }
 
 
+def diagnose_rest_response(
+    fetcher: Fetcher,
+    layer_url: str,
+    where: str = "1=1",
+    bbox: tuple | None = None,
+    in_sr: int = 3006,
+    min_ratio: float = 0.0,
+) -> dict:
+    """Operator-facing debug probe (etl/download_rest.py:106-132): one
+    returnCountOnly WITHOUT the bbox (layer total), one WITH it, and an
+    over-filtering classification:
+
+      - ``empty-layer``       total == 0: nothing to fetch at all
+      - ``no-bbox``           no bbox configured, total reported only
+      - ``bbox-excludes-all`` bbox count == 0 while the layer has rows —
+        the reference's warning case; almost always the bbox interpreted
+        in the wrong SR (the count_sanity_check A5 failure mode)
+      - ``bbox-over-filtering`` ratio below ``min_ratio`` (opt-in
+        stricter gate; 0.0 keeps reference behavior of only flagging 0)
+      - ``ok``                otherwise
+
+    Unlike `count_sanity_check` (two nested bboxes, automated gate), this
+    is the diagnostic a user points at ONE misbehaving layer config."""
+    total = probe_count(fetcher, layer_url, build_rest_params(where=where))
+    out: dict = {"total_count": total, "bbox_count": None, "ratio": None}
+    if total == 0:
+        out["classification"] = "empty-layer"
+        return out
+    if bbox is None:
+        out["classification"] = "no-bbox"
+        return out
+    n = probe_count(
+        fetcher, layer_url, build_rest_params(where=where, bbox=bbox, in_sr=in_sr)
+    )
+    ratio = n / total
+    out.update(bbox_count=n, ratio=ratio)
+    if n == 0:
+        out["classification"] = "bbox-excludes-all"
+    elif ratio < min_ratio:
+        out["classification"] = "bbox-over-filtering"
+    else:
+        out["classification"] = "ok"
+    return out
+
+
 def discover_layers(fetcher: Fetcher, base_url: str,
                     include: list[str] | None = None) -> list[dict]:
     """Layer discovery with fnmatch include patterns
