@@ -467,9 +467,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by tf-idf. Shape: one explode ->
     (doc, term) counts [shuffle 1] -> doc-frequency aggregate over terms
     [shuffle 2, output = |vocab| rows, broadcastable] -> score + per-doc
-    top-k window [shuffle 3 on doc_id]. Scoring uses integer-exact
-    tf * log2(N/df) with the log2 in double (identical IEEE op both
-    engines); ties break on the term string so top-k is total-ordered.
+    top-k window [shuffle 3 on doc_id]. Cross-engine determinism: Spark
+    computes log2 as log(x)/log(2) while DuckDB calls libm log2, so the
+    raw doubles can differ by an ulp; the score is therefore quantized to
+    3 decimals (an ulp flips the quantized value only within ~1e-13 of a
+    boundary) and the top-k window tie-breaks on the integer-exact
+    (tf DESC, df ASC, term) so rank order never depends on the float.
     At 100 TB the df table is the only global state and it's vocab-sized."""
     d = _docs(spark, sf_dir)
     n_docs = d.count()  # scalar; at scale a cached one-row aggregate
@@ -480,9 +483,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "term").withColumn(
         "tfidf",
-        fround(F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df")), 6),
+        fround(F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df")), 3),
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.desc("tf"), F.asc("df"), "term"
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_K)
@@ -499,14 +504,15 @@ tf AS (
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
-  SELECT tf.doc_id, tf.term,
-         floor((tf.tf * log2(n.n_docs::DOUBLE / df.df)) * 1000000 + 0.5) / 1000000.0
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         floor((tf.tf * log2(n.n_docs::DOUBLE / df.df)) * 1000 + 0.5) / 1000.0
            AS tfidf
   FROM tf JOIN df USING (term) CROSS JOIN n)
 SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
 FROM (
   SELECT doc_id, term, tfidf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tf DESC, df ASC, term) AS rank
   FROM scored)
 WHERE rank <= {TFIDF_TOP_K}
 """

@@ -6,13 +6,25 @@ stay fixed, as they do in production), then times representative
 queries at 1x and Kx through the exact same suite code paths.
 
 ratio = t(Kx) / t(1x). With fixed parallelism, linear work scales at
-ratio ~= K; a plan that degrades superlinearly (ratio >> K: quadratic
-join blow-up, driver bottleneck, broadcast flip) fails the probe. The
-point is catching operators whose cost CURVE is wrong before they meet
-a real cluster — absolute seconds here are local-mode noise.
+ratio ~= K. The verdict grades what is actually proven:
+  SUPERLINEAR  median_ratio > K      (worse than linear — plan is broken)
+  linear       K/2 < median_ratio <= K  (no headroom at fixed parallelism)
+  sublinear    median_ratio <= K/2   (per-core work grows slower than data)
+The point is catching operators whose cost CURVE is wrong before they
+meet a real cluster — absolute seconds here are local-mode noise.
 
-Usage: python tools/scale_probe.py [K] [base_sf_dir]
-Writes one JSON line; also saved by the caller to SCALE_PROBE.json.
+Two probe families:
+  main  (default) — relational/window/streaming-gate representatives, K=8
+  pairs           — the dedup/similarity/clustering pair family, meant to
+                    be run deeper (K=32): every capped pair-expansion path
+                    claims a bounded cost contract, and the caps are
+                    constants — so they must be measured at a second,
+                    farther point on the curve. Documents AND embeddings
+                    are fanned out (embeddings per-copy rotated so copies
+                    are near-orthogonal, not 32x cross-copy duplicates).
+
+Usage: python tools/scale_probe.py [K] [base_sf_dir] [main|pairs]
+Writes one JSON line; the caller merges it into SCALE_PROBE.json.
 """
 
 from __future__ import annotations
@@ -27,7 +39,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-PROBE_QUERIES = [
+MAIN_QUERIES = [
     # full-scan agg, selective agg, broadcast-dim join, agg-join-agg,
     # window, sessionization, as-of, exact dedup
     "q1_pricing_summary",
@@ -54,14 +66,36 @@ PROBE_QUERIES = [
     "tfidf_top_terms",
 ]
 
+# Every bounded-pair-cost contract in the dedup/similarity/clustering
+# family, probed at a deeper K than the main sweep. ann_bruteforce_topk
+# is deliberately included: it is the documented O(corpus) baseline and
+# its ratio SHOULD read ~K — publishing it keeps the report honest.
+PAIR_QUERIES = [
+    "exact_dedup_groups",
+    "doc_fingerprints",
+    "ngram_jaccard_pairs_capped",
+    "minhash_lsh_candidates",
+    "jaccard_verified_pairs",
+    "simhash64_fingerprints",
+    "simhash64_near_pairs",
+    "editdist_verified_pairs",
+    "dedup_cc_assign",
+    "dedup_pagerank",
+    "embedding_signlsh_neardup",
+    "embedding_neardup_pairs",
+    "ann_bruteforce_topk",
+]
+
 KEY_SHIFT = 10_000_000
 
 
-def materialize_scaled(spark, base: str, out: str, k: int) -> None:
+def materialize_scaled(spark, base: str, out: str, k: int,
+                       family: str) -> None:
     os.makedirs(out, exist_ok=True)
-    # dims: symlink-equivalent copy (small)
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "embeddings"]:
+    fixed_dims = ["region", "nation", "customer", "supplier", "part"]
+    if family != "pairs":
+        fixed_dims.append("embeddings")
+    for t in fixed_dims:
         src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(src, dst)
@@ -101,10 +135,37 @@ def materialize_scaled(spark, base: str, out: str, k: int) -> None:
         out_docs = out_docs.unionByName(c)
     out_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
+    if family == "pairs":
+        # embeddings: shift vec_id and ROTATE each copy's vector by i
+        # positions — rotation preserves the norm, and rotated random-ish
+        # vectors are near-orthogonal, so copies don't become a Kx
+        # cross-copy near-duplicate explosion (the same reason the text
+        # gets a copy tag).
+        emb = spark.read.parquet(f"{base}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        emb_copies = []
+        for i in range(k):
+            r = i % dim
+            if r == 0:
+                rotated = F.col("embedding")
+            else:
+                rotated = F.concat(
+                    F.slice(F.col("embedding"), r + 1, dim - r),
+                    F.slice(F.col("embedding"), 1, r),
+                )
+            emb_copies.append(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_SHIFT))
+                .withColumn("embedding", rotated)
+            )
+        out_emb = emb_copies[0]
+        for c in emb_copies[1:]:
+            out_emb = out_emb.unionByName(c)
+        out_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
-def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
+
+def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
     times = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         fn = queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         best = None
@@ -117,35 +178,47 @@ def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def grade(median_ratio: float, k: int) -> str:
+    if median_ratio > k:
+        return "SUPERLINEAR"
+    if median_ratio > k / 2:
+        return "linear"
+    return "sublinear"
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    scaled = f"/tmp/scale_probe_x{k}"
+    family = sys.argv[3] if len(sys.argv) > 3 else "main"
+    names = PAIR_QUERIES if family == "pairs" else MAIN_QUERIES
+    scaled = f"/tmp/scale_probe_{family}_x{k}"
 
     from op_etl_spark.session import get_spark
     from op_etl_spark import suite
 
     spark = get_spark("scale-probe")
-    materialize_scaled(spark, base, scaled, k)
+    materialize_scaled(spark, base, scaled, k, family)
     queries = suite.all_queries()
 
-    t1 = time_queries(spark, queries, base)
-    tk = time_queries(spark, queries, scaled)
+    t1 = time_queries(spark, queries, names, base)
+    tk = time_queries(spark, queries, names, scaled)
     report = {
         "k": k,
         "base": base,
+        "family": family,
         "queries": {
             name: {
                 "t_1x": t1[name],
                 "t_kx": tk[name],
                 "ratio": round(tk[name] / t1[name], 2) if t1[name] else None,
             }
-            for name in PROBE_QUERIES
+            for name in names
         },
     }
     ratios = [v["ratio"] for v in report["queries"].values() if v["ratio"]]
     report["median_ratio"] = sorted(ratios)[len(ratios) // 2]
-    report["verdict"] = "sublinear" if report["median_ratio"] <= k else "SUPERLINEAR"
+    report["max_ratio"] = max(ratios)
+    report["verdict"] = grade(report["median_ratio"], k)
     print(json.dumps(report))
 
 
