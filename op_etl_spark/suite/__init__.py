@@ -20,6 +20,7 @@ from . import (
     advanced,
     chunking,
     clustering,
+    contamination,
     incremental,
     dedup,
     geo,
@@ -52,6 +53,7 @@ _MODULES = [
     multimodal,
     layout,
     sampling,
+    contamination,
     profile,
     packing,
 ]

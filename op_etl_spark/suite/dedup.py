@@ -214,11 +214,11 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
 LSH_BUCKET_CAP = 32
 
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: bands exploded in ONE pass over the signature
-    table (not a 4-way union re-reading it), bucketed directly on the
-    (band_id, h..h) int 4-tuple — no band re-hash, no self-join; pairs
-    generated in-array.
+def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from an exploded (doc_id, shingle) stream:
+    bands exploded in ONE pass over the signature table (not a 4-way
+    union re-reading it), bucketed directly on the (band_id, h..h) int
+    4-tuple — no band re-hash, no self-join; pairs generated in-array.
 
     Buckets larger than LSH_BUCKET_CAP are dropped before pair
     expansion: a bucket that big means a boilerplate/exact-dup cluster
@@ -226,8 +226,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     same quadratic cost curve the scale probe caught in the exact
     jaccard — the cap bounds pairs per bucket at CAP^2 at any corpus
     size."""
-    d = _docs(spark, sf_dir)
-    sigs = _minhash_sigs(_shingles(d))
+    sigs = _minhash_sigs(sh)
     n_bands = N_HASHES // BAND_ROWS
     band_structs = F.array(
         *[
@@ -254,6 +253,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_candidate_pairs(_shingles(_docs(spark, sf_dir)))
 
 
 _DUCK_MINHASH_AB = """
@@ -676,7 +679,11 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     full, so the reported jaccard_lb is a LOWER BOUND of true Jaccard —
     pairs it keeps are guaranteed-near-dup, the verify stage
     (ngram_jaccard_pairs on candidates) recovers exact scores."""
-    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
+    return _capped_candidate_pairs(_hashed_shingle_arrays(_docs(spark, sf_dir)))
+
+
+def _capped_candidate_pairs(arrs: DataFrame) -> DataFrame:
+    """DF-capped candidate pairs from a hashed shingle-array table."""
     sh = arrs.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
@@ -746,15 +753,29 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small-sf oracle baseline.
 
     Output = every candidate pair whose TRUE Jaccard clears the
-    threshold: exact scores on a high-recall candidate set."""
+    threshold: exact scores on a high-recall candidate set.
+
+    The shingle-array table is computed ONCE and persisted — the LSH
+    branch, the DF-capped branch, and the verify joins all read the
+    cached blocks instead of re-scanning and re-shingling the corpus
+    (3x before). At 100 TB this persist is a materialized shingle table
+    on storage; locally MEMORY_AND_DISK is its analog."""
+    from pyspark import StorageLevel
+
+    arrs = _shingle_arrays(_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hashed = arrs.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles")
+    )
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     cand = (
-        minhash_lsh_candidates(spark, sf_dir)
-        .union(ngram_jaccard_pairs_capped(spark, sf_dir).select("id1", "id2"))
+        _lsh_candidate_pairs(sh)
+        .union(_capped_candidate_pairs(hashed).select("id1", "id2"))
         .distinct()
     )
-    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
-    a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
-    a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    a1 = hashed.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    a2 = hashed.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
     return (
         cand.join(a1, "id1")

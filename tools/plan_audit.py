@@ -45,6 +45,8 @@ ALLOW = {
     "ann_bruteforce_topk": {"BroadcastNestedLoopJoin"},  # probe vectors (k rows) broadcast over the corpus: brute-force ANN IS an all-pairs scan
     "ivf_centroid_rank": {"BroadcastNestedLoopJoin"},    # centroid table (n_lists rows) broadcast; corpus never shuffles
     "negative_pair_sample": {"BroadcastNestedLoopJoin"}, # 1-row corpus-size aggregate broadcast into the index math
+    "temperature_mix_sample": {"BroadcastNestedLoopJoin"},  # 1-row (ntot, Z) normalizer broadcast onto the |sources| rate table
+    "training_corpus_funnel": {"BroadcastNestedLoopJoin"},  # same 1-row mix normalizer inside the capstone funnel
     # Presentation ORDER BY over a group-bounded aggregate output: the
     # declared query semantics include the output order (oracle twins carry
     # the same ORDER BY); Spark executes it as a range-partitioned sort of
