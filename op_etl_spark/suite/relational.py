@@ -633,12 +633,24 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    return (
+    # Aggregate below the customer join: revenue reduces to one row per
+    # custkey BEFORE customer/nation attach (Catalyst doesn't push aggs
+    # through joins itself). The grouping shuffle moves (int key, long)
+    # pairs instead of carrying c_name/n_name strings through the
+    # aggregate, and the customer join input shrinks from |R-lineitems|
+    # to |customers with returns| — the difference between shuffling the
+    # fact table twice and once at 100 TB. c_custkey is unique, so
+    # grouping by it alone is equivalent to the (custkey, name, nation)
+    # grouping in the oracle.
+    per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy("o_custkey")
         .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )

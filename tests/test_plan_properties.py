@@ -399,3 +399,50 @@ class TestAnalyticsBatchPlans:
         assert n_nodes(p, "Exchange") == 1  # shuffle on user_id only
         assert p.count("events.parquet") == 1
         assert "In(event_type, [purchase])" in p or "EqualTo(event_type,purchase)" in p
+
+
+class TestHygienePlans:
+    def test_decontaminate_eval_ngrams_broadcast(self, spark):
+        # the eval split is benchmark-sized by construction: its n-gram
+        # table must arrive as a broadcast build side so the train side
+        # streams map-side (at 100 TB: bloom/broadcast, never a corpus
+        # shuffle join)
+        from op_etl_spark.suite.contamination import decontaminate_overlap
+
+        p = plan(decontaminate_overlap(spark, SF_DIR))
+        t = tree(p)
+        assert "BroadcastHashJoin" in t
+        assert "SortMergeJoin" not in t
+
+    def test_temperature_mix_rates_broadcast_onto_scan(self, spark):
+        # per-source rates (|sources| rows) join the corpus via broadcast;
+        # the only other join is the 1-row normalizer BNLJ
+        from op_etl_spark.suite.contamination import temperature_mix_sample
+
+        p = plan(temperature_mix_sample(spark, SF_DIR))
+        t = tree(p)
+        assert "BroadcastHashJoin" in t
+        assert "SortMergeJoin" not in t
+
+    def test_scrub_single_scan_no_join(self, spark):
+        from op_etl_spark.suite.contamination import scrub_events_props
+
+        p = plan(scrub_events_props(spark, SF_DIR))
+        t = tree(p)
+        assert "Join" not in t
+        assert p.count("events.parquet") == 1
+        assert "BatchEvalPython" not in p  # regexp ops stay codegen'd
+
+    def test_funnel_exact_dedup_window_is_partitioned(self, spark):
+        # the exact-dedup min-id window must be hash-partitioned on the
+        # content hash — never an unpartitioned global window
+        from op_etl_spark.suite.contamination import training_corpus_funnel
+
+        p = plan(training_corpus_funnel(spark, SF_DIR))
+        t = tree(p)
+        assert "Window" in t
+        # every Window's partition spec is non-empty (unpartitioned global
+        # windows are additionally a CI-failing plan_audit smell)
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", t):
+            assert m.group(1).strip() != ""
+        assert "BatchEvalPython" not in p

@@ -119,16 +119,28 @@ def materialize_scaled(spark, base: str, out: str, k: int,
     ev_raw = spark.read.parquet(f"{base}/events.parquet")
     fan(ev_raw, ["event_id"]).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    # documents: shift doc_id AND perturb the text per copy (append a
-    # copy-tag token) so copies don't become cross-copy near-duplicates —
-    # the pair structure per copy stays realistic instead of exploding
-    # quadratically with K
+    # documents: shift doc_id AND decorrelate the text per copy by
+    # suffixing EVERY word with a copy tag. An earlier version appended a
+    # single trailing copy-tag token, which left every other shingle
+    # IDENTICAL across the K copies — document frequency of every shingle
+    # inflated by K, and the capped pair expansion measured that artifact
+    # (~K^2 pairs per formerly-unique shingle) instead of the operator's
+    # real curve. Word-level suffixing makes each copy a fresh corpus
+    # slice: shingle universes are disjoint across copies, while the
+    # WITHIN-copy near-duplicate structure (what the dedup family
+    # actually processes) is preserved exactly.
     docs = spark.read.parquet(f"{base}/documents.parquet")
     doc_copies = []
     for i in range(k):
+        mangled = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(f"~{i}"))
+            ),
+            " ",
+        )
         doc_copies.append(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_SHIFT))
-            .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+            .withColumn("text", mangled)
         )
     out_docs = doc_copies[0]
     for c in doc_copies[1:]:
@@ -175,6 +187,7 @@ def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        print(f"  {sf_dir}: {name} {times[name]}s", file=sys.stderr, flush=True)
     return times
 
 
