@@ -48,6 +48,7 @@ HEADLINE = [
     # corpus-quadratic exact ngram_jaccard_pairs stays OUT of the
     # headline (it's the small-sf oracle baseline only)
     "jaccard_verified_pairs",
+    "incremental_lsh_dedup",
     "ngram_jaccard_pairs_capped",
     "minhash_lsh_candidates",
     "simhash64_near_pairs",

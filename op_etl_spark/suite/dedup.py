@@ -829,8 +829,138 @@ WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) /
 )
 
 
+# --- incremental dedup: new batch vs existing corpus, no corpus reshuffle ---
+
+INC_MOD = 10
+INC_REMAINDER = 3
+
+
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup the DELTA against the corpus — the production shape: a new
+    batch arrives (here the deterministic doc_id%10==3 slice) and must be
+    matched against everything already ingested WITHOUT re-pairing the
+    corpus with itself.
+
+    The batch's band keys are BROADCAST against the corpus band table
+    (at 100 TB that table is a persisted bucketed table partitioned by
+    band key; the nightly batch is MBs of signatures) — the corpus is
+    scanned, never reshuffled, and corpus-side buckets above
+    LSH_BUCKET_CAP are dropped exactly as in the self-join path. Each
+    candidate (new, old) pair is then exact-verified by shingle-array
+    intersection. Output per matched new doc: its match count, the
+    smallest matching corpus id (the canonical survivor it would attach
+    to), and that match's true Jaccard."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir)
+    arrs = _shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sigs = _minhash_sigs(sh)
+    n_bands = N_HASHES // BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                *[
+                    F.col(f"h{band * BAND_ROWS + r}").alias(f"x{r}")
+                    for r in range(BAND_ROWS)
+                ],
+            )
+            for band in range(n_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.*"
+    )
+    is_new = F.col("doc_id") % INC_MOD == INC_REMAINDER
+    key = ["band_id"] + [f"x{r}" for r in range(BAND_ROWS)]
+    posts_old = (
+        banded.filter(~is_new)
+        .groupBy(*key)
+        .agg(F.collect_list("doc_id").alias("olds"))
+        .filter(F.size("olds") <= LSH_BUCKET_CAP)
+    )
+    b_new = banded.filter(is_new).withColumnRenamed("doc_id", "new_id")
+    cand = (
+        posts_old.join(F.broadcast(b_new), key)
+        .select("new_id", F.explode("olds").alias("old_id"))
+        .distinct()
+    )
+    hashed = arrs.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles")
+    )
+    a_new = hashed.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("shn"))
+    a_old = hashed.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sho"))
+    n_common = F.size(F.array_intersect("shn", "sho"))
+    verified = (
+        cand.join(a_new, "new_id")
+        .join(a_old, "old_id")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            fround(
+                F.col("n_common") / (F.size("shn") + F.size("sho") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    best = F.min(
+        F.struct(F.col("old_id").alias("old_id"), F.col("jaccard").alias("jaccard"))
+    ).alias("b")
+    return (
+        verified.groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"), best)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            "n_matches",
+            F.col("b.old_id").alias("match_id"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )
+
+
+_INC_KEY = "band_id, " + ", ".join(f"x{r}" for r in range(BAND_ROWS))
+
+ORACLE_INCREMENTAL_LSH = (
+    _duck_minhash_core()
+    + f"""
+, bold AS (SELECT * FROM banded WHERE doc_id % {INC_MOD} != {INC_REMAINDER})
+, bnew AS (SELECT * FROM banded WHERE doc_id % {INC_MOD} = {INC_REMAINDER})
+, okb AS (
+  SELECT {_INC_KEY} FROM bold
+  GROUP BY {_INC_KEY}
+  HAVING count(*) <= {LSH_BUCKET_CAP})
+, cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bold o
+  JOIN okb USING ({_INC_KEY})
+  JOIN bnew n USING ({_INC_KEY}))
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+, common AS (
+  SELECT c.new_id, c.old_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.old_id
+  JOIN sh b ON b.doc_id = c.new_id AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+, v AS (
+  SELECT new_id, old_id,
+         floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 AS j
+  FROM common
+  JOIN sizes sa ON sa.doc_id = old_id
+  JOIN sizes sb ON sb.doc_id = new_id)
+SELECT new_id AS doc_id, count(*) AS n_matches,
+       min(old_id) AS match_id, arg_min(j, old_id) AS jaccard
+FROM v
+WHERE j >= {JACCARD_THRESHOLD}
+GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
+    "incremental_lsh_dedup": incremental_lsh_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
     "minhash_lsh_candidates": minhash_lsh_candidates,
@@ -845,6 +975,7 @@ QUERIES = {
 
 ORACLE = {
     "exact_dedup_groups": ORACLE_EXACT,
+    "incremental_lsh_dedup": ORACLE_INCREMENTAL_LSH,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "ngram_jaccard_pairs_capped": ORACLE_JACCARD_CAPPED,
     "minhash_lsh_candidates": ORACLE_MINHASH_LSH,

@@ -12,7 +12,7 @@ engine's, the inputs are just reproducible.
 from __future__ import annotations
 
 import pandas as pd  # noqa: F401 - resolves pandas_udf type hints (PEP 563)
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from op_etl_spark.session import read_events
@@ -177,15 +177,30 @@ def geometry_type_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     typed = li.select(F.col("l_suppkey").alias("file_id"), gt.alias("geom_type"))
     counts = typed.groupBy("file_id", "geom_type").agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.partitionBy("file_id").orderBy(F.desc("cnt"), "geom_type")
-    dominant = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("file_id", F.col("geom_type").alias("dominant_type"), F.col("cnt").alias("n_kept"))
+    # Election via struct-max over the per-type counts — ONE lineitem
+    # scan (totals fold out of the counts; previously a second scan + a
+    # join), and the tie rule (desc count, asc type name) is encoded as
+    # max(struct(cnt, -alphabetical_code)): both aggregates are full
+    # map-side-combine reductions, no window, no join.
+    code = (
+        F.when(F.col("geom_type") == "LineString", 0)
+        .when(F.col("geom_type") == "Point", 1)
+        .otherwise(2)
     )
-    totals = typed.groupBy("file_id").agg(F.count(F.lit(1)).alias("n_total"))
-    return dominant.join(totals, "file_id").select(
-        "file_id", "dominant_type", "n_kept", (F.col("n_total") - F.col("n_kept")).alias("n_dropped")
+    best = counts.groupBy("file_id").agg(
+        F.max(F.struct(F.col("cnt").alias("cnt"), (-code).alias("negcode"))).alias("b"),
+        F.sum("cnt").alias("n_total"),
+    )
+    dominant_type = (
+        F.when(F.col("b.negcode") == 0, "LineString")
+        .when(F.col("b.negcode") == -1, "Point")
+        .otherwise("Polygon")
+    )
+    return best.select(
+        "file_id",
+        dominant_type.alias("dominant_type"),
+        F.col("b.cnt").alias("n_kept"),
+        (F.col("n_total") - F.col("b.cnt")).alias("n_dropped"),
     )
 
 
