@@ -169,25 +169,54 @@ FROM ranked WHERE rk <= 2
 NEARDUP_THRESHOLD = 0.3
 SIGNLSH_THRESHOLD = 0.2
 SIGNLSH_BITS = 8
+SIGNLSH_BUCKET_CAP = 64
 
 def _pair_cosine(a_emb, b_emb):
     return _dot(a_emb, b_emb) / (_norm(a_emb) * _norm(b_emb))
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs within each label block (cosine >= 0.3).
+NEARDUP_SUB_BITS = 4  # sign-LSH sub-bits inside each label block
+EMB_BLOCK_CAP = 1024  # max block size before pair expansion
 
-    Label blocking = the 'dedup within cluster assignment' pattern: the
-    self-join is key-equi on `label`, so Spark co-partitions both sides
-    with ONE shuffle each and never builds all-pairs across blocks. At
-    100 TB the label comes from a coarse clusterer (e.g. IVF centroid
-    assignment, see ivf_centroid_rank); block sizes bound the quadratic
-    work per partition."""
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs within hierarchical (label, sign-bits) blocks
+    (cosine >= 0.3).
+
+    The first version blocked on `label` alone — and the 32x scale probe
+    measured it at 1925x the time on 32x the data (0.4s -> 782s): label
+    cardinality is FIXED, so block size grows with the corpus and the
+    within-block self-join is quadratic in corpus size. Production
+    hierarchy instead: a coarse cluster key (label / IVF list) PLUS
+    sign-LSH sub-bits inside it, with a hard block cap as the backstop —
+    near-identical vectors agree on sign bits with high probability, so
+    near-dup recall survives while block membership stays bounded.
+    The self-join is key-equi on (label, sbits): one co-partitioning
+    shuffle per side, pairs stream out of the join (never materialized
+    in-array — embedding structs are too wide for posting-list
+    expansion), and blocks above EMB_BLOCK_CAP are dropped before the
+    join via a broadcast of the |blocks|-row size table."""
     e = _emb(spark, sf_dir)
-    a = e.select("label", F.col("vec_id").alias("id1"), F.col("emb").alias("emb1"))
-    b = e.select("label", F.col("vec_id").alias("id2"), F.col("emb").alias("emb2"))
+    sbits = None
+    for i in range(NEARDUP_SUB_BITS):
+        bit = F.when(F.element_at("emb", i + 1) > 0, 2 ** i).otherwise(0)
+        sbits = bit if sbits is None else sbits + bit
+    e2 = e.withColumn("sbits", sbits)
+    ok = (
+        e2.groupBy("label", "sbits")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= EMB_BLOCK_CAP)
+        .select("label", "sbits")
+    )
+    e2 = e2.join(F.broadcast(ok), ["label", "sbits"])
+    a = e2.select(
+        "label", "sbits", F.col("vec_id").alias("id1"), F.col("emb").alias("emb1")
+    )
+    b = e2.select(
+        "label", "sbits", F.col("vec_id").alias("id2"), F.col("emb").alias("emb2")
+    )
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "sbits"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("cosine", _pair_cosine(F.col("emb1"), F.col("emb2")))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
@@ -195,13 +224,24 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_SBITS_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(NEARDUP_SUB_BITS)
+)
+
 ORACLE_NEARDUP = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+                  {_NEARDUP_SBITS_SQL} AS sbits
+           FROM embeddings),
+ok AS (SELECT label, sbits FROM e GROUP BY 1, 2
+       HAVING count(*) <= {EMB_BLOCK_CAP}),
 pairs AS (
   SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
          list_dot_product(a.emb, b.emb)
            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+  FROM e a
+  JOIN e b ON a.label = b.label AND a.sbits = b.sbits AND a.vec_id < b.vec_id
+  JOIN ok ON ok.label = a.label AND ok.sbits = a.sbits)
 SELECT label, id1, id2, floor((cosine) * 10000 + 0.5) / 10000.0 AS cosine
 FROM pairs WHERE cosine >= {NEARDUP_THRESHOLD}
 """
@@ -212,8 +252,12 @@ def embedding_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic random-hyperplane LSH with axis-aligned planes);
     candidate pairs generated in-bucket, then exact-cosine filtered.
     Never does all-pairs — the scale path when no block key exists.
-    Bucket posting lists stay tiny (16 max here), so pairs are generated
-    in-array with zero joins, like the MinHash-LSH text path."""
+    Buckets above SIGNLSH_BUCKET_CAP are dropped before pair expansion
+    (same bounded-pair contract as the text-LSH family; the 32x probe
+    measured the uncapped version at 26x on 32x data — 256 fixed buckets
+    mean occupancy, and so pair count, grows with the corpus). At real
+    scale you also widen the bit count with the corpus, exactly as the
+    16-bit SimHash grew to 64-bit band tables."""
     e = _emb(spark, sf_dir)
     bucket = None
     for i in range(SIGNLSH_BITS):
@@ -223,6 +267,7 @@ def embedding_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(bucket.alias("bucket"), F.struct("vec_id", "emb").alias("m"))
         .groupBy("bucket")
         .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") <= SIGNLSH_BUCKET_CAP)
     )
     xs = F.col("m")
     pairs = F.filter(
@@ -252,11 +297,13 @@ ORACLE_SIGNLSH = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, {_SIGN_BUCKET_SQL} AS bucket
   FROM embeddings),
+ok AS (SELECT bucket FROM e GROUP BY 1 HAVING count(*) <= {SIGNLSH_BUCKET_CAP}),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          list_dot_product(a.emb, b.emb)
            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN ok ON ok.bucket = a.bucket)
 SELECT id1, id2, floor((cosine) * 10000 + 0.5) / 10000.0 AS cosine
 FROM pairs WHERE cosine >= {SIGNLSH_THRESHOLD}
 """

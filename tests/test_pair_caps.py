@@ -83,3 +83,57 @@ class TestExactDedupStillCatchesClones:
         clone_group = [g for g in groups if g.n_copies == N_CLONES]
         assert len(clone_group) == 1
         assert clone_group[0].canonical_id == 0
+
+
+# --- embedding-family caps (added after the 32x probe caught the
+# label-only blocking at 1925x and uncapped sign-LSH at 26x) ---
+
+N_EMB_CLONES = 1200  # > EMB_BLOCK_CAP (1024), > SIGNLSH_BUCKET_CAP (64)
+
+
+def _mk_embeddings(spark, tmp_path) -> str:
+    """embeddings.parquet: a mega-cluster of N_EMB_CLONES near-identical
+    vectors in one (label, sign-bucket) block + a planted near-dup pair
+    in its own sparse block."""
+    rows = []
+    for i in range(N_EMB_CLONES):
+        # all-positive signs -> one block; tiny jitter via index
+        v = [1.0 + (i % 7) * 1e-3] * 8
+        rows.append((i, v, 1))
+    # planted pair: distinct sign pattern, tiny block, cosine ~ 1
+    rows.append((9000, [-1.0, 2.0, -3.0, 4.0, 1.0, 1.0, 1.0, 1.0], 2))
+    rows.append((9001, [-1.0, 2.0, -3.0, 4.0, 1.0, 1.0, 1.0, 1.001], 2))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "embcorpus")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark, tmp_path_factory):
+    return _mk_embeddings(spark, tmp_path_factory.mktemp("embcaps"))
+
+
+class TestEmbeddingBlockCap:
+    def test_mega_block_generates_no_pairs(self, spark, emb_corpus):
+        from op_etl_spark.suite.similarity import embedding_neardup_pairs
+
+        out = embedding_neardup_pairs(spark, emb_corpus)
+        ids = {r.id1 for r in out.collect()} | {r.id2 for r in out.collect()}
+        assert not any(i < N_EMB_CLONES for i in ids)
+
+    def test_planted_pair_survives_block_cap(self, spark, emb_corpus):
+        from op_etl_spark.suite.similarity import embedding_neardup_pairs
+
+        rows = embedding_neardup_pairs(spark, emb_corpus).collect()
+        assert any(r.id1 == 9000 and r.id2 == 9001 and r.cosine > 0.99 for r in rows)
+
+    def test_signlsh_bucket_cap_and_recall(self, spark, emb_corpus):
+        from op_etl_spark.suite.similarity import embedding_signlsh_neardup
+
+        rows = embedding_signlsh_neardup(spark, emb_corpus).collect()
+        ids = {r.id1 for r in rows} | {r.id2 for r in rows}
+        assert not any(i < N_EMB_CLONES for i in ids)  # mega bucket dropped
+        assert any(r.id1 == 9000 and r.id2 == 9001 for r in rows)  # pair found

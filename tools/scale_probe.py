@@ -233,6 +233,11 @@ def main() -> None:
     report["max_ratio"] = max(ratios)
     report["verdict"] = grade(report["median_ratio"], k)
     print(json.dumps(report))
+    # stdout shares a pipe with Spark's \r progress bars under 2>&1 —
+    # always leave a clean copy on disk too
+    out_path = os.environ.get("SCALE_PROBE_OUT", f"/tmp/scale_probe_{family}_x{k}.json")
+    with open(out_path, "w") as f:
+        f.write(json.dumps(report) + "\n")
 
 
 if __name__ == "__main__":
