@@ -195,7 +195,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per side, pairs stream out of the join (never materialized
     in-array — embedding structs are too wide for posting-list
     expansion), and blocks above EMB_BLOCK_CAP are dropped before the
-    join via a broadcast of the |blocks|-row size table."""
+    join via a broadcast of the |blocks|-row size table.
+
+    Re-probed after the fix: 31.8x at 32x data (down from 1925x) —
+    blocks BELOW the cap still grow quadratically because the synthetic
+    corpus keeps label cardinality fixed; the cap is the hard cost bound,
+    and in production the block key comes from the clusterer
+    (ivf_centroid_rank / operators/ann_index.py), whose list count
+    scales with the corpus so block sizes stay roughly constant."""
     e = _emb(spark, sf_dir)
     sbits = None
     for i in range(NEARDUP_SUB_BITS):
