@@ -78,6 +78,13 @@ HEADLINE = [
     "decontaminate_overlap",
     "temperature_mix_sample",
     "training_corpus_funnel",
+    # scale-pattern ops: MG-candidate exact heavy hitters (no
+    # full-cardinality shuffle), array-zip bigram LM table, heap-merge
+    # global top-k, terasort-style deterministic corpus shuffle
+    "heavy_hitter_users",
+    "bigram_next_token",
+    "global_topk_docs",
+    "shuffle_shard_manifest",
 ]
 
 

@@ -130,6 +130,35 @@ def negative_pairs(
     )
 
 
+def shuffle_shards(
+    df: DataFrame, key: str, n_shards: int, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic distributed corpus shuffle: assign every row a
+    (shard, pos) address that is a pure function of (salt, key) — the
+    op that turns a corpus into a globally pseudo-randomly ordered
+    training stream WITHOUT a global sort.
+
+    shard = floor(u_shard * n_shards) spreads rows uniformly over
+    n_shards output shards; pos = rank of u_order within the shard.
+    Reading shards 0..n-1 each in pos order yields a reproducible
+    permutation of the corpus. One shuffle (on shard) + a per-shard
+    sort whose size is |corpus|/n_shards — pick n_shards so a shard
+    fits an executor (100 TB / 100k shards = 1 GB sorts) and no
+    single-partition bottleneck exists; contrast with
+    `orderBy(rand())`, which is a full global range sort AND
+    non-reproducible. Stable under repartitioning and incremental
+    rebuilds; epoch re-shuffles are just a new salt."""
+    u_shard = hash_unit(F.col(key), f"{salt}|shard")
+    u_order = hash_unit(F.col(key), f"{salt}|order")
+    w = Window.partitionBy("shard").orderBy("__u", key)
+    return (
+        df.withColumn("shard", F.floor(u_shard * n_shards).cast("int"))
+        .withColumn("__u", u_order)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__u")
+    )
+
+
 def group_topk_sample(
     df: DataFrame, group_cols: list[str], key: str, k: int, salt: str = ""
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from . import (
     dedup,
     geo,
     layout,
+    lm_stats,
     multimodal,
     packing,
     profile,
@@ -46,6 +47,7 @@ _MODULES = [
     tpch_batch3,
     clustering,
     text,
+    lm_stats,
     dedup,
     similarity,
     geo,

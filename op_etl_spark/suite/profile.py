@@ -91,13 +91,41 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+TOPK_DOCS = 25
+
+
+def global_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by a measure — `orderBy(...).limit(k)`, which Spark
+    physically plans as TakeOrderedAndProject: each task keeps a local
+    k-row heap and the driver merges k*n_tasks candidates. The full
+    corpus is NEVER globally sorted (contrast an unbounded `orderBy`,
+    which range-partitions every row). Tie-broken on doc_id so the row
+    SET is deterministic. Plan shape pinned in test_plan_properties."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_table(spark, sf_dir, "documents")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(TOPK_DOCS)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+ORACLE_TOPK_DOCS = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents ORDER BY n_chars DESC, doc_id LIMIT {TOPK_DOCS}
+"""
+
+
 QUERIES = {
     "documents_profile": documents_profile,
     "quartile_profile": quartile_profile,
     "lang_quartiles": lang_quartiles,
+    "global_topk_docs": global_topk_docs,
 }
 ORACLE = {
     "documents_profile": ORACLE_DOCUMENTS_PROFILE,
     "quartile_profile": ORACLE_QUARTILES,
     "lang_quartiles": ORACLE_LANG_QUARTILES,
+    "global_topk_docs": ORACLE_TOPK_DOCS,
 }

@@ -16,6 +16,7 @@ from ..operators.sampling import (
     group_topk_sample,
     hash_unit_sql,
     negative_pairs,
+    shuffle_shards,
     stratified_sample,
     train_test_split,
 )
@@ -140,11 +141,39 @@ JOIN idx ON c.i = idx.i
 WHERE idx.neg_key != c.doc_id
 """
 
+N_SHARDS = 8
+
+
+def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (doc_id, shard, pos) address book of a deterministic
+    corpus shuffle (`operators.sampling.shuffle_shards`): reading shards
+    in pos order is a reproducible global permutation, built with one
+    shuffle + per-shard sorts — no global range sort, no `rand()`.
+    Every row's address is pinned by the oracle, so a single misplaced
+    document flips the hash."""
+    return shuffle_shards(_docs(spark, sf_dir), "doc_id", N_SHARDS).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_U_SHARD = hash_unit_sql("doc_id", "shuffle|shard")
+_U_ORDER = hash_unit_sql("doc_id", "shuffle|order")
+
+ORACLE_SHUFFLE = f"""
+SELECT doc_id,
+       CAST(floor({_U_SHARD} * {N_SHARDS}) AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY CAST(floor({_U_SHARD} * {N_SHARDS}) AS INT)
+         ORDER BY {_U_ORDER}, doc_id) AS BIGINT) AS pos
+FROM documents
+"""
+
 QUERIES = {
     "split_cohort_counts": split_cohort_counts,
     "stratified_lang_sample": stratified_lang_sample,
     "source_topk_sample": source_topk_sample,
     "negative_pair_sample": negative_pair_sample,
+    "shuffle_shard_manifest": shuffle_shard_manifest,
 }
 
 ORACLE = {
@@ -152,4 +181,5 @@ ORACLE = {
     "stratified_lang_sample": ORACLE_STRATIFIED,
     "source_topk_sample": ORACLE_TOPK,
     "negative_pair_sample": ORACLE_NEG_PAIRS,
+    "shuffle_shard_manifest": ORACLE_SHUFFLE,
 }

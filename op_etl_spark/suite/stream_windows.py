@@ -168,6 +168,77 @@ GROUP BY user_id, session_id
 """
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery over an at-least-once transport, run AS A
+    STREAM: the fixture replays the deterministic user subsample once in
+    full and then re-delivers the first half as a second micro-batch
+    (`maxFilesPerTrigger=1`, so the duplicates genuinely arrive in a
+    LATER trigger and must be caught by cross-batch dedup state, not
+    within-batch distinct). `dropDuplicatesWithinWatermark` keys state
+    by event_id and ages it at the watermark horizon — state is bounded
+    by horizon x arrival rate at any corpus size. Emitted rows are
+    reduced to per-type counts + id checksums; the oracle is the plain
+    DISTINCT of the subsample, so any duplicate leaking through (or any
+    legitimate event wrongly dropped) flips the hash."""
+    import json
+    import tempfile
+
+    from op_etl_spark.streaming.dedup import dedup_events_stream
+
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("user_id") % SESSIONIZE_STREAM_USER_MOD == 0)
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+    ).collect()
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    half = len(rows) // 2 or 1
+    for i, chunk in enumerate((rows, rows[:half])):  # full, then replayed half
+        with open(f"{tmp}/events_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts string, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(tmp)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    name = "stream_dedup_gate"
+    q = (
+        dedup_events_stream(stream, keys=["event_id"], watermark="60 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )
+
+
+ORACLE_STREAM_DEDUP = f"""
+SELECT event_type, count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE user_id % {SESSIONIZE_STREAM_USER_MOD} = 0
+GROUP BY event_type
+"""
+
+
 def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-stream interval join (streaming/joins.py) in batch mode:
     every (click, purchase) pair for the same user within the 1-hour
@@ -199,6 +270,7 @@ QUERIES = {
     "session_windows": session_windows,
     "sliding_windows": sliding_windows,
     "stateful_sessionize_stream": stateful_sessionize_stream,
+    "stream_dedup_events": stream_dedup_events,
     "click_attribution": click_attribution,
 }
 
@@ -206,5 +278,6 @@ ORACLE = {
     "session_windows": ORACLE_SESSION_WINDOWS,
     "sliding_windows": ORACLE_SLIDING_WINDOWS,
     "stateful_sessionize_stream": ORACLE_STATEFUL_SESSIONIZE,
+    "stream_dedup_events": ORACLE_STREAM_DEDUP,
     "click_attribution": ORACLE_CLICK_ATTRIBUTION,
 }

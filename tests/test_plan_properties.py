@@ -446,3 +446,48 @@ class TestHygienePlans:
         for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", t):
             assert m.group(1).strip() != ""
         assert "BatchEvalPython" not in p
+
+
+class TestScalePatternPlans:
+    def test_global_topk_is_heap_merge_not_global_sort(self, spark):
+        # orderBy().limit(k) must plan as TakeOrderedAndProject (per-task
+        # k-row heaps, driver merge) — never a full range sort
+        from op_etl_spark.suite.profile import global_topk_docs
+
+        p = plan(global_topk_docs(spark, SF_DIR))
+        t = tree(p)
+        assert "TakeOrderedAndProject" in t
+        assert "Exchange rangepartitioning" not in p
+
+    def test_heavy_hitters_no_full_cardinality_shuffle(self, spark):
+        # pass 2's groupBy runs on the candidate semi-join output; the
+        # candidate set arrives broadcast, and the only BNLJ is the 1-row
+        # corpus total
+        from op_etl_spark.suite.lm_stats import heavy_hitter_users
+
+        p = plan(heavy_hitter_users(spark, SF_DIR))
+        t = tree(p)
+        assert "BroadcastHashJoin" in t  # candidates joined broadcast
+        assert "SortMergeJoin" not in t
+        assert "BatchEvalPython" not in p  # MG pass is Arrow mapInPandas
+
+    def test_bigram_windows_partitioned_and_no_position_join(self, spark):
+        # adjacency comes from array slicing (narrow); the only window is
+        # per-w1 top-k, always partitioned
+        from op_etl_spark.suite.lm_stats import bigram_next_token
+
+        p = plan(bigram_next_token(spark, SF_DIR))
+        t = tree(p)
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", t):
+            assert m.group(1).strip() != ""
+        assert p.count("documents.parquet") == 1
+
+    def test_shuffle_shards_single_exchange(self, spark):
+        # one hash shuffle on shard + per-shard sort; no global sort
+        from op_etl_spark.suite.sampling import shuffle_shard_manifest
+
+        p = plan(shuffle_shard_manifest(spark, SF_DIR))
+        t = tree(p)
+        assert "Exchange rangepartitioning" not in p
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", t):
+            assert m.group(1).strip() != ""

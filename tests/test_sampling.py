@@ -69,3 +69,36 @@ def test_group_topk_exact_cap(spark):
     assert set(got) == set(sizes)
     for g, n in sizes.items():
         assert got[g] == min(k, n)
+
+
+def test_shuffle_shards_reproducible_permutation(spark):
+    from op_etl_spark.operators.sampling import shuffle_shards
+
+    d = _docs(spark)
+    m = shuffle_shards(d, "doc_id", 8)
+    rows = [(r.doc_id, r.shard, r.pos) for r in m.select("doc_id", "shard", "pos").collect()]
+    # total function: every doc exactly once, shard in range
+    assert len(rows) == d.count() == len({r[0] for r in rows})
+    assert {r[1] for r in rows} <= set(range(8))
+    # pos is 1..|shard| contiguous within each shard
+    by_shard = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # stable under repartitioning (pure function of key)
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shards(d.repartition(17), "doc_id", 8)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert set(rows) == again
+    # a different salt is a different permutation
+    other = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shards(d, "doc_id", 8, salt="epoch2")
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert set(rows) != other

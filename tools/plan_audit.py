@@ -39,6 +39,7 @@ ALLOW = {
     "range_join_price_bands": {"BroadcastNestedLoopJoin"},  # 4 literal bands, build side is tiny by construction
     "q11_part_value_share": {"BroadcastNestedLoopJoin", "GlobalSortNoLimit"},  # scalar threshold broadcast into HAVING; sort over the post-HAVING part aggregate (dimension-bounded, ~1e-4 of fact)
     "q15_top_supplier": {"BroadcastNestedLoopJoin", "GlobalSortNoLimit"},      # scalar max broadcast; sort over the max-revenue tie set (a handful of rows)
+    "heavy_hitter_users": {"BroadcastNestedLoopJoin"},  # scalar corpus-total (1 row) broadcast into the threshold filter
     "q17_small_quantity_revenue": {"BroadcastNestedLoopJoin"},
     "q22_idle_rich_customers": {"BroadcastNestedLoopJoin", "GlobalSortNoLimit"},  # scalar avg-balance broadcast; sort over ~7 country-code groups
     "above_nation_avg_suppliers": {"BroadcastNestedLoopJoin"},
