@@ -85,6 +85,10 @@ HEADLINE = [
     "bigram_next_token",
     "global_topk_docs",
     "shuffle_shard_manifest",
+    # monitoring: one-scan-per-table constraint report, single-scan
+    # two-feature drift buckets
+    "dq_constraint_report",
+    "drift_bucket_report",
 ]
 
 

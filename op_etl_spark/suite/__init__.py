@@ -26,6 +26,7 @@ from . import (
     geo,
     layout,
     lm_stats,
+    monitoring,
     multimodal,
     packing,
     profile,
@@ -58,6 +59,7 @@ _MODULES = [
     contamination,
     profile,
     packing,
+    monitoring,
 ]
 
 

@@ -1,0 +1,241 @@
+"""Pipeline monitoring: data-quality constraint checks and distribution
+drift — the "is this corpus safe to train on / did the feed change under
+us" queries a production pipeline runs on every ingest.
+
+Scale contract: every metric is computed in ONE aggregate pass per
+table (constraints over a table ride the same scan, then fan out to
+per-constraint rows via an exploded struct array — never one scan per
+constraint), referential integrity is the single required join, and
+drift bucket counts come from one scan + one shuffle on (feature,
+bucket). All measured values are exact integer counts or exact-count
+ratios — no sketches — so the report is oracle-checkable and
+bit-deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import fround, read_table
+from ..operators.sampling import hash_unit, hash_unit_sql
+
+DISCOUNT_CAP = 0.05  # deliberately tighter than the data: exercises a FAIL row
+
+
+def _constraint_rows(agg: DataFrame, rows: list[tuple[str, str, object, float]]):
+    """Fan a 1-row aggregate out to per-constraint rows: (constraint,
+    table_name, value, threshold, passed). One struct per constraint,
+    explode — the table is scanned once no matter how many constraints
+    ride it."""
+    structs = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.lit(table).alias("table_name"),
+            fround(value, 6).alias("value"),
+            F.lit(float(thr)).alias("threshold"),
+            (fround(value, 6) <= F.lit(float(thr))).alias("passed"),
+        )
+        for name, table, value, thr in rows
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
+
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint report over orders / lineitem / events:
+    uniqueness, domain membership, value ranges, null fractions, and
+    orders->customer referential integrity — each row a constraint with
+    its exact measured violation fraction and pass verdict. Violation
+    fractions (not booleans) so a failing feed shows HOW bad.
+
+    One scan per table: all of a table's constraint metrics are computed
+    in a single aggregate; referential integrity rides the orders scan
+    as a left join against customer keys (at 100 TB: a shuffle join on
+    the key — no per-constraint re-scans). The discount cap is set
+    tighter than the generator's range on purpose, pinning that failing
+    constraints actually surface as passed=false."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("__ck"), F.lit(1).alias("__c")
+    )
+    o = orders.join(cust, orders.o_custkey == F.col("__ck"), "left")
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+            "bad_status"
+        ),
+        F.sum(F.col("__c").isNull().cast("long")).alias("orphans"),
+    )
+    o_rows = _constraint_rows(
+        o_agg,
+        [
+            ("duplicate_orderkey_frac", "orders", 1.0 - F.col("n_key") / F.col("n"), 0.0),
+            ("status_domain_violation_frac", "orders", F.col("bad_status") / F.col("n"), 0.0),
+            ("orphan_custkey_frac", "orders", F.col("orphans") / F.col("n"), 0.0),
+        ],
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("bad_qty"),
+        F.sum((F.col("l_discount") > DISCOUNT_CAP).cast("long")).alias("bad_disc"),
+    )
+    l_rows = _constraint_rows(
+        l_agg,
+        [
+            ("quantity_range_violation_frac", "lineitem", F.col("bad_qty") / F.col("n"), 0.0),
+            ("discount_cap_violation_frac", "lineitem", F.col("bad_disc") / F.col("n"), 0.0),
+        ],
+    )
+
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    e_agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+    )
+    e_rows = _constraint_rows(
+        e_agg,
+        [("null_value_frac", "events", F.col("null_value") / F.col("n"), 0.0)],
+    )
+    return o_rows.union(l_rows).union(e_rows)
+
+
+ORACLE_DQ = f"""
+WITH o AS (
+  SELECT count(*) AS n,
+         count(DISTINCT o_orderkey) AS n_key,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+  FROM orders LEFT JOIN customer c ON c.c_custkey = o_custkey),
+l AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_qty,
+         sum(CASE WHEN l_discount > {DISCOUNT_CAP} THEN 1 ELSE 0 END) AS bad_disc
+  FROM lineitem),
+e AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value
+  FROM events),
+raw AS (
+  SELECT 'duplicate_orderkey_frac' AS "constraint", 'orders' AS table_name,
+         1.0 - n_key / n AS v, 0.0 AS threshold FROM o
+  UNION ALL SELECT 'status_domain_violation_frac', 'orders', bad_status / n, 0.0 FROM o
+  UNION ALL SELECT 'orphan_custkey_frac', 'orders', orphans / n, 0.0 FROM o
+  UNION ALL SELECT 'quantity_range_violation_frac', 'lineitem', bad_qty / n, 0.0 FROM l
+  UNION ALL SELECT 'discount_cap_violation_frac', 'lineitem', bad_disc / n, 0.0 FROM l
+  UNION ALL SELECT 'null_value_frac', 'events', null_value / n, 0.0 FROM e)
+SELECT "constraint", table_name,
+       floor(v * 1000000 + 0.5) / 1000000.0 AS value,
+       CAST(threshold AS DOUBLE) AS threshold,
+       floor(v * 1000000 + 0.5) / 1000000.0 <= threshold AS passed
+FROM raw
+"""
+
+
+# --- distribution drift between a reference and a current corpus slice ---
+
+DRIFT_CHARS_BUCKET = 100
+
+
+def drift_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(feature, bucket) distribution drift between a reference and a
+    current corpus slice (here: a deterministic hash half-split standing
+    in for yesterday-vs-today). For each bucket of each monitored
+    feature (lang categorical; n_chars in fixed 100-char bins) the
+    report carries exact counts on both sides plus a symmetric
+    chi-square-style contribution 2*(p_cur-p_ref)^2/(p_ref+p_cur) —
+    algebraic in exact count ratios, so cross-engine deterministic
+    (no logs, unlike textbook PSI whose ln(p/q) is libm-dependent).
+    Per-bucket rows, not a summed scalar: the sum is one trivial
+    reduction away for a consumer, while the rows say WHERE the drift
+    is — and leaving the sum out keeps the result independent of
+    floating-point summation order.
+
+    One corpus scan — total: both features explode from a single
+    struct array; one shuffle on (feature, bucket); the split totals
+    are recovered from the bucket counts themselves (every document
+    lands in exactly one bucket per feature, so a SUM window
+    partitioned by feature equals the global split total — no second
+    corpus scan, no 1-row broadcast, and the window input is
+    |buckets of one feature|, bounded)."""
+    d = read_table(spark, sf_dir, "documents")
+    cur = (hash_unit(F.col("doc_id"), "drift") < 0.5).cast("int")
+    feats = F.array(
+        F.struct(F.lit("lang").alias("feature"), F.col("lang").alias("bucket")),
+        F.struct(
+            F.lit("chars_bucket").alias("feature"),
+            (F.floor(F.col("n_chars") / DRIFT_CHARS_BUCKET)).cast("string").alias(
+                "bucket"
+            ),
+        ),
+    )
+    rows = d.select(cur.alias("cur"), F.explode(feats).alias("f")).select(
+        "cur", "f.feature", "f.bucket"
+    )
+    from pyspark.sql.window import Window
+
+    counts = rows.groupBy("feature", "bucket").agg(
+        F.sum(F.col("cur")).alias("n_cur"),
+        F.sum(1 - F.col("cur")).alias("n_ref"),
+    )
+    wf = Window.partitionBy("feature")
+    counts = counts.withColumn("tot_cur", F.sum("n_cur").over(wf)).withColumn(
+        "tot_ref", F.sum("n_ref").over(wf)
+    )
+    p_cur = F.col("n_cur") / F.col("tot_cur")
+    p_ref = F.col("n_ref") / F.col("tot_ref")
+    contrib = 2 * (p_cur - p_ref) * (p_cur - p_ref) / (p_cur + p_ref)
+    return counts.select(
+        "feature",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        fround(contrib, 6).alias("drift_contrib"),
+    )
+
+
+_U_DRIFT = hash_unit_sql("doc_id", "drift")
+
+ORACLE_DRIFT = f"""
+WITH d AS (
+  SELECT *, CASE WHEN {_U_DRIFT} < 0.5 THEN 1 ELSE 0 END AS cur
+  FROM documents),
+rows_ AS (
+  SELECT cur, 'lang' AS feature, lang AS bucket FROM d
+  UNION ALL
+  SELECT cur, 'chars_bucket',
+         CAST(CAST(floor(n_chars / {DRIFT_CHARS_BUCKET}) AS BIGINT) AS VARCHAR)
+  FROM d),
+counts AS (
+  SELECT feature, bucket,
+         CAST(sum(cur) AS BIGINT) AS n_cur,
+         CAST(sum(1 - cur) AS BIGINT) AS n_ref
+  FROM rows_ GROUP BY 1, 2),
+wtot AS (
+  SELECT *,
+         CAST(sum(n_cur) OVER (PARTITION BY feature) AS BIGINT) AS tot_cur,
+         CAST(sum(n_ref) OVER (PARTITION BY feature) AS BIGINT) AS tot_ref
+  FROM counts)
+SELECT feature, bucket, n_ref, n_cur,
+       floor((2 * (n_cur / tot_cur - n_ref / tot_ref) * (n_cur / tot_cur - n_ref / tot_ref)
+              / (n_cur / tot_cur + n_ref / tot_ref)) * 1000000 + 0.5) / 1000000.0
+         AS drift_contrib
+FROM wtot
+"""
+
+
+QUERIES = {
+    "dq_constraint_report": dq_constraint_report,
+    "drift_bucket_report": drift_bucket_report,
+}
+
+ORACLE = {
+    "dq_constraint_report": ORACLE_DQ,
+    "drift_bucket_report": ORACLE_DRIFT,
+}

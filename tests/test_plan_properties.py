@@ -491,3 +491,29 @@ class TestScalePatternPlans:
         assert "Exchange rangepartitioning" not in p
         for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", t):
             assert m.group(1).strip() != ""
+
+
+class TestMonitoringPlans:
+    def test_dq_report_one_scan_per_table(self, spark):
+        # every table's constraints ride ONE scan (struct-array fan-out),
+        # referential integrity is the single join
+        from op_etl_spark.suite.monitoring import dq_constraint_report
+
+        p = plan(dq_constraint_report(spark, SF_DIR))
+        assert p.count("orders.parquet") == 1
+        assert p.count("lineitem.parquet") == 1
+        assert p.count("events.parquet") == 1
+
+    def test_drift_report_single_corpus_scan(self, spark):
+        # both monitored features explode from one struct array: ONE scan,
+        # one shuffle on (feature, bucket); split totals come from a
+        # feature-partitioned window over the bucket counts, not a second
+        # corpus aggregate — so no join of any kind
+        from op_etl_spark.suite.monitoring import drift_bucket_report
+
+        p = plan(drift_bucket_report(spark, SF_DIR))
+        assert p.count("documents.parquet") == 1
+        t = tree(p)
+        assert "Join" not in t
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", t):
+            assert m.group(1).strip() != ""
