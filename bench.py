@@ -89,6 +89,8 @@ HEADLINE = [
     # two-feature drift buckets
     "dq_constraint_report",
     "drift_bucket_report",
+    # spatial near-join: grid-bucketed distance pairs, no cross product
+    "grid_distance_pairs",
 ]
 
 

@@ -168,6 +168,78 @@ FROM assign GROUP BY 1 HAVING count(*) >= 2 ORDER BY survivor_doc_id
 """
 
 
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup cluster keep the
+    HIGHEST-QUALITY document (type-token ratio, the same signal as
+    text.quality_scores), not the arbitrary min-id — what a real corpus
+    dedup does, since near-dups often differ by boilerplate or
+    truncation and the keep-list should prefer the cleanest copy.
+    One `max_by` over a composite (ttr, -doc_id) key — deterministic
+    because doc_id is unique — on the cluster-id aggregate; cost is one
+    join of the (tiny) assignment table onto per-doc scores plus one
+    map-side-combinable aggregate."""
+    from ._util import fround
+
+    assign = dedup_cc_assign(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    q = d.select(
+        "doc_id",
+        fround(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+    )
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("ttr")),
+        F.struct(F.col("ttr"), (-F.col("doc_id")).alias("neg")),
+    )
+    return (
+        assign.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), best.alias("s"))
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "cluster_id",
+            F.col("s.doc_id").alias("survivor_doc_id"),
+            "cluster_size",
+            F.col("s.ttr").alias("survivor_ttr"),
+        )
+    )
+
+
+ORACLE_QUALITY_SURVIVORS = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+comp(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT c.id, e.b FROM comp c JOIN edges e ON e.a = c.m
+),
+assign AS (SELECT id AS doc_id, min(m) AS cluster_id FROM comp GROUP BY id),
+q AS (
+  SELECT doc_id,
+         floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS ttr
+  FROM documents),
+r AS (
+  SELECT a.cluster_id, a.doc_id, q.ttr,
+         row_number() OVER (PARTITION BY a.cluster_id
+                            ORDER BY q.ttr DESC, a.doc_id) AS rn,
+         count(*) OVER (PARTITION BY a.cluster_id) AS cs
+  FROM assign a JOIN q ON q.doc_id = a.doc_id)
+SELECT cluster_id, doc_id AS survivor_doc_id,
+       CAST(cs AS BIGINT) AS cluster_size, ttr AS survivor_ttr
+FROM r WHERE rn = 1 AND cs >= 2
+"""
+
+
 # --- deterministic integer PageRank over the near-dup graph ---
 
 PR_ITER = 3
@@ -249,10 +321,12 @@ QUERIES = {
     "dedup_pagerank": dedup_pagerank,
     "dedup_cc_assign": dedup_cc_assign,
     "dedup_cc_survivors": dedup_cc_survivors,
+    "dedup_quality_survivors": dedup_quality_survivors,
 }
 
 ORACLE = {
     "dedup_pagerank": ORACLE_PAGERANK,
     "dedup_cc_assign": ORACLE_CC_ASSIGN,
     "dedup_cc_survivors": ORACLE_CC_SURVIVORS,
+    "dedup_quality_survivors": ORACLE_QUALITY_SURVIVORS,
 }

@@ -346,15 +346,21 @@ FROM ab GROUP BY doc_id
 def _simhash(d: DataFrame) -> DataFrame:
     """16-bit SimHash: per-token md5 -> first 4 hex chars -> 16-bit int;
     fingerprint bit i = majority vote of token bit i (ties -> 0).
-    All tokens (with multiplicity) vote, matching classic SimHash weighting.
+    All tokens (with multiplicity) vote, matching classic SimHash
+    weighting; as in `_simhash64`, multiplicity is folded in first so
+    the md5 + bit extraction runs once per distinct (doc, token).
     """
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     hx = F.md5(F.col("tok").cast("binary"))
     v = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long").alias("v")
-    tv = toks.select("doc_id", v)
+    tv = toks.select("doc_id", "cnt", v)
     votes = [
         F.sum(
-            F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            F.col("cnt") * (F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ]
@@ -455,19 +461,30 @@ SIMHASH64_BAND_BITS = 16
 
 def _simhash64(d: DataFrame) -> DataFrame:
     """(doc_id, b0..b3): 64-bit SimHash as four 16-bit band fingerprints.
-    One md5 per token; band t's bits come from hex chars [1+4t, 4+4t];
-    bit i of band t = majority vote of token bit (ties -> 0), all tokens
-    voting with multiplicity — same contract as the 16-bit `_simhash`."""
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    One md5 per DISTINCT (doc, token); band t's bits come from hex chars
+    [1+4t, 4+4t]; bit i of band t = majority vote of token bit (ties ->
+    0), all tokens voting with multiplicity — same contract as the
+    16-bit `_simhash`. Multiplicity is folded in FIRST (a cheap
+    (doc_id, tok) count with full map-side combine), so the md5 + 64
+    bit-extract expressions — the expensive part — run once per distinct
+    token per doc, not once per occurrence; the vote sums weight each
+    distinct token by its count, which is arithmetically identical to
+    per-occurrence voting."""
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     hx = F.md5(F.col("tok").cast("binary"))
     vcols = [
         F.conv(F.substring(hx, 1 + 4 * t, 4), 16, 10).cast("long").alias(f"v{t}")
         for t in range(SIMHASH64_BANDS)
     ]
-    tv = toks.select("doc_id", *vcols)
+    tv = toks.select("doc_id", "cnt", *vcols)
     votes = [
         F.sum(
-            F.shiftright(F.col(f"v{t}"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            F.col("cnt")
+            * (F.shiftright(F.col(f"v{t}"), i).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"s{t}_{i}")
         for t in range(SIMHASH64_BANDS)
         for i in range(SIMHASH64_BAND_BITS)

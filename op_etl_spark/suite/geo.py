@@ -395,6 +395,76 @@ WHERE {cond}
 ORACLE_CLIP_POINTS = _clip_oracle_sql()
 
 
+# --- spatial near-join: all point pairs within distance D, grid-bucketed ---
+
+GRID_DIST = 1000.0  # metres; also the grid cell size
+
+
+def grid_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every point pair within GRID_DIST metres — the spatial near-join —
+    found by grid bucketing, NEVER a cross product: with cell size == D,
+    any pair within D spans at most one cell boundary, so replicating
+    each point into its 3x3 cell neighborhood and equi-joining replicas
+    against home cells finds every qualifying pair exactly once (the
+    single replica that lands in the partner's home cell). Cost: 9x
+    replication of one side + one hash-shuffle join on the cell key +
+    an exact distance filter — at 100 TB the shuffle partitions by
+    cell, so density skew (a city's worth of points in one cell) is
+    the thing to watch: AQE skew-split handles moderate skew, a
+    per-cell cap (as in the LSH dedup family) the pathological case.
+    dist2 is exact integer-valued double arithmetic — bit-identical to
+    the oracle's brute-force O(n^2) twin."""
+    pts = _synth_points(read_events(spark, sf_dir))
+    cx = F.floor(F.col("x") / GRID_DIST)
+    cy = F.floor(F.col("y") / GRID_DIST)
+    home = pts.select(
+        F.col("event_id").alias("id1"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    reps = pts.select(
+        F.col("event_id").alias("id2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct((cx + i).alias("cx"), (cy + j).alias("cy"))
+                    for i in (-1, 0, 1)
+                    for j in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("id2", "x2", "y2", "c.cx", "c.cy")
+    dist2 = (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1")) + (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("y2") - F.col("y1"))
+    return (
+        home.join(reps, ["cx", "cy"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= GRID_DIST * GRID_DIST)
+        .select("id1", "id2", "dist2")
+    )
+
+
+ORACLE_GRID_PAIRS = f"""
+WITH pts AS (
+  SELECT event_id,
+         150000.0::DOUBLE + (event_id * 7919 % 800000) AS x,
+         6050000.0::DOUBLE + (user_id * 104729 % 1700000) AS y
+  FROM events)
+SELECT a.event_id AS id1, b.event_id AS id2,
+       (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS dist2
+FROM pts a JOIN pts b
+  ON a.event_id < b.event_id
+ AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+     <= {GRID_DIST * GRID_DIST}
+"""
+
+
 QUERIES = {
     "slug_names": slug_names,
     "crs_parse": crs_parse,
@@ -404,6 +474,7 @@ QUERIES = {
     "envelope_tolerance": envelope_tolerance,
     "reproject_points": reproject_points,
     "clip_points_convex_aoi": clip_points_convex_aoi,
+    "grid_distance_pairs": grid_distance_pairs,
 }
 
 ORACLE = {
@@ -415,4 +486,5 @@ ORACLE = {
     "envelope_tolerance": ORACLE_TOLERANCE,
     "reproject_points": ORACLE_REPROJECT,
     "clip_points_convex_aoi": ORACLE_CLIP_POINTS,
+    "grid_distance_pairs": ORACLE_GRID_PAIRS,
 }

@@ -517,3 +517,18 @@ class TestMonitoringPlans:
         assert "Join" not in t
         for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", t):
             assert m.group(1).strip() != ""
+
+
+class TestSpatialJoinPlans:
+    def test_grid_distance_pairs_equi_join_no_cross(self, spark):
+        # the near-join must be a hash join on the cell key — never a
+        # cartesian/BNLJ pair explosion
+        from op_etl_spark.suite.geo import grid_distance_pairs
+
+        p = plan(grid_distance_pairs(spark, SF_DIR))
+        t = tree(p)
+        assert "CartesianProduct" not in t
+        assert "BroadcastNestedLoopJoin" not in t
+        assert ("SortMergeJoin" in t) or ("ShuffledHashJoin" in t) or (
+            "BroadcastHashJoin" in t
+        )

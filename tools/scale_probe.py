@@ -64,6 +64,20 @@ MAIN_QUERIES = [
     "ngram_jaccard_pairs_capped",
     "minhash_lsh_candidates",
     "tfidf_top_terms",
+    # scale-pattern + monitoring ops: MG heavy hitters (narrow pass +
+    # bounded exact count), array-zip bigram table, terasort shuffle
+    # manifest, heap-merge top-k, one-scan-per-table constraints,
+    # single-scan drift buckets.
+    # grid_distance_pairs is deliberately NOT probed: fanning k copies
+    # of events into the SAME coordinate area multiplies point density
+    # by k, so qualifying pairs grow ~k^2 by geometry — the probe would
+    # measure output cardinality, not operator efficiency.
+    "heavy_hitter_users",
+    "bigram_next_token",
+    "shuffle_shard_manifest",
+    "global_topk_docs",
+    "dq_constraint_report",
+    "drift_bucket_report",
 ]
 
 # Every bounded-pair-cost contract in the dedup/similarity/clustering
