@@ -91,6 +91,9 @@ HEADLINE = [
     "drift_bucket_report",
     # spatial near-join: grid-bucketed distance pairs, no cross product
     "grid_distance_pairs",
+    # embedding feature store: narrow int8 quantization, tick-sum dim stats
+    "embedding_int8_quantize",
+    "embedding_dim_stats",
 ]
 
 

@@ -179,3 +179,39 @@ def ivf_search(
         .orderBy(F.desc("cosine"), id_col)
         .limit(topk)
     )
+
+
+def ivf_append_batch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """Incrementally add a batch of vectors to a persisted index WITHOUT
+    rebuilding: assign each vector to its nearest existing centroid (the
+    codebook is frozen — standard IVF maintenance; re-train only when
+    drift warrants a rebuild) and append parquet files into exactly the
+    touched list partitions. Work is proportional to the batch, never
+    the index: assignment is a narrow projection against the broadcast
+    centroid literal, and `partitionBy(list_id)` append writes only
+    directories the batch touches — untouched lists keep their files
+    byte-identical, so searches probing them see no churn. Returns the
+    touched list ids (a bounded |n_lists| collect, for cache
+    invalidation / compaction scheduling downstream)."""
+    centroids = load_centroids(spark, path)
+    assigned = _assign(
+        batch.withColumn("__v", F.col(vec_col).cast("array<double>")),
+        centroids,
+        "__v",
+    )
+    touched = [
+        r.list_id for r in assigned.select("list_id").distinct().orderBy("list_id").collect()
+    ]
+    (
+        assigned.drop("__v")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{path}/{VECTORS_DIR}")
+    )
+    return touched

@@ -23,6 +23,7 @@ from . import (
     contamination,
     incremental,
     dedup,
+    embedding_store,
     geo,
     layout,
     lm_stats,
@@ -51,6 +52,7 @@ _MODULES = [
     lm_stats,
     dedup,
     similarity,
+    embedding_store,
     geo,
     stream_windows,
     multimodal,

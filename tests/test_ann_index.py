@@ -104,3 +104,56 @@ def test_build_stable_under_repartition(spark, index, tmp_path):
     path, centroids, emb = index
     again = build_ivf_index(emb.repartition(13), str(tmp_path / "idx3"), n_lists=N_LISTS, iters=2)
     assert again == centroids
+
+
+class TestIncrementalAppend:
+    def test_append_assigns_writes_and_leaves_other_lists_untouched(
+        self, spark, tmp_path
+    ):
+        from op_etl_spark.operators.ann_index import ivf_append_batch
+
+        path = str(tmp_path / "idx")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        centroids = build_ivf_index(base, path, n_lists=N_LISTS, iters=2)
+
+        files_before = {
+            d: sorted(os.listdir(os.path.join(path, "vectors", d)))
+            for d in os.listdir(os.path.join(path, "vectors"))
+            if d.startswith("list_id=")
+        }
+        touched = ivf_append_batch(spark, path, batch)
+        assert touched  # something was written
+
+        # every vector present exactly once after the append
+        allv = spark.read.parquet(f"{path}/vectors")
+        assert allv.count() == emb.count()
+        assert allv.select("vec_id").distinct().count() == emb.count()
+
+        # untouched list partitions kept their exact file sets
+        for d, before in files_before.items():
+            lid = int(d.split("=")[1])
+            if lid not in touched:
+                after = sorted(os.listdir(os.path.join(path, "vectors", d)))
+                assert after == before
+
+        # frozen codebook: appended vectors sit in the argmin list of the
+        # ORIGINAL centroids (spot-check via a fresh assignment)
+        from op_etl_spark.operators.ann_index import _assign
+
+        expected = _assign(
+            batch.withColumn("__v", F.col("embedding").cast("array<double>")),
+            centroids,
+            "__v",
+        ).select("vec_id", "list_id")
+        got = allv.join(batch.select("vec_id"), "vec_id").select("vec_id", "list_id")
+        assert {(r.vec_id, r.list_id) for r in got.collect()} == {
+            (r.vec_id, r.list_id) for r in expected.collect()
+        }
+
+        # search still finds an appended vector as its own nearest neighbor
+        target = batch.orderBy("vec_id").limit(1).collect()[0]
+        q = [float(v) for v in target.embedding]
+        hits = ivf_search(spark, path, q, nprobe=N_LISTS, topk=3).collect()
+        assert hits[0].vec_id == target.vec_id

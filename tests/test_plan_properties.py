@@ -532,3 +532,23 @@ class TestSpatialJoinPlans:
         assert ("SortMergeJoin" in t) or ("ShuffledHashJoin" in t) or (
             "BroadcastHashJoin" in t
         )
+
+
+class TestEmbeddingStorePlans:
+    def test_quantize_is_narrow_no_shuffle_no_udf(self, spark):
+        # per-vector quantization must be pure array expressions: no
+        # Exchange, no Python
+        from op_etl_spark.suite.embedding_store import embedding_int8_quantize
+
+        p = plan(embedding_int8_quantize(spark, SF_DIR))
+        t = tree(p)
+        assert "Exchange" not in t
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+    def test_dim_stats_single_aggregate(self, spark):
+        from op_etl_spark.suite.embedding_store import embedding_dim_stats
+
+        p = plan(embedding_dim_stats(spark, SF_DIR))
+        assert p.count("embeddings.parquet") == 1
+        t = tree(p)
+        assert "Join" not in t
