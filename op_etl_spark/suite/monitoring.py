@@ -230,12 +230,125 @@ FROM wtot
 """
 
 
+# --- the drift monitor AS A STREAM ---
+
+STREAM_DRIFT_MOD = 4  # deterministic doc subsample for the stream fixture
+
+
+def stream_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor run AS A STREAM: the 'current' slice arrives as
+    two micro-batches (maxFilesPerTrigger=1) and its bucket histogram is
+    maintained by `streaming.monitor.bucket_counts_stream` — a streaming
+    aggregation whose state is the bucket domain (a few hundred rows),
+    NOT the stream, in complete output mode. The reference histogram
+    comes from the batch side of the SAME bucketing expression, and the
+    final report is a full-outer join of the two tiny count tables with
+    the identical chi-square-style contribution as the batch twin.
+
+    Both sides are restricted to a deterministic doc_id % 4 subsample so
+    the fixture writer collects a bounded slice, never the corpus (the
+    monitor under test is unbounded-safe; only this gate's driver-local
+    file writer needs rows on the driver — same contract as the
+    sessionize and dedup stream gates)."""
+    import json
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from op_etl_spark.streaming.monitor import bucket_counts_stream
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % STREAM_DRIFT_MOD == 0
+    )
+    cur_mask = hash_unit(F.col("doc_id"), "drift") < 0.5
+    cur_rows = d.filter(cur_mask).select("doc_id", "lang", "n_chars").collect()
+    tmp = tempfile.mkdtemp(prefix="stream_drift_")
+    half = len(cur_rows) // 2 or 1
+    for i, chunk in enumerate((cur_rows[:half], cur_rows[half:])):
+        with open(f"{tmp}/docs_{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmp)
+    )
+    name = "stream_drift_gate"
+    q = (
+        bucket_counts_stream(stream, DRIFT_CHARS_BUCKET)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    cur = spark.table(name).select(
+        "feature", "bucket", F.col("n").alias("n_cur")
+    )
+    ref = bucket_counts_stream(d.filter(~cur_mask), DRIFT_CHARS_BUCKET).select(
+        "feature", "bucket", F.col("n").alias("n_ref")
+    )
+    j = (
+        ref.join(cur, ["feature", "bucket"], "full_outer")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+    )
+    wf = Window.partitionBy("feature")
+    j = j.withColumn("tot_cur", F.sum("n_cur").over(wf)).withColumn(
+        "tot_ref", F.sum("n_ref").over(wf)
+    )
+    p_cur = F.col("n_cur") / F.col("tot_cur")
+    p_ref = F.col("n_ref") / F.col("tot_ref")
+    contrib = 2 * (p_cur - p_ref) * (p_cur - p_ref) / (p_cur + p_ref)
+    return j.select(
+        "feature",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        fround(contrib, 6).alias("drift_contrib"),
+    )
+
+
+ORACLE_STREAM_DRIFT = f"""
+WITH d AS (
+  SELECT *, CASE WHEN {_U_DRIFT} < 0.5 THEN 1 ELSE 0 END AS cur
+  FROM documents
+  WHERE doc_id % {STREAM_DRIFT_MOD} = 0),
+rows_ AS (
+  SELECT cur, 'lang' AS feature, lang AS bucket FROM d
+  UNION ALL
+  SELECT cur, 'chars_bucket',
+         CAST(CAST(floor(n_chars / {DRIFT_CHARS_BUCKET}) AS BIGINT) AS VARCHAR)
+  FROM d),
+counts AS (
+  SELECT feature, bucket,
+         CAST(sum(cur) AS BIGINT) AS n_cur,
+         CAST(sum(1 - cur) AS BIGINT) AS n_ref
+  FROM rows_ GROUP BY 1, 2),
+wtot AS (
+  SELECT *,
+         CAST(sum(n_cur) OVER (PARTITION BY feature) AS BIGINT) AS tot_cur,
+         CAST(sum(n_ref) OVER (PARTITION BY feature) AS BIGINT) AS tot_ref
+  FROM counts)
+SELECT feature, bucket, n_ref, n_cur,
+       floor((2 * (n_cur / tot_cur - n_ref / tot_ref) * (n_cur / tot_cur - n_ref / tot_ref)
+              / (n_cur / tot_cur + n_ref / tot_ref)) * 1000000 + 0.5) / 1000000.0
+         AS drift_contrib
+FROM wtot
+"""
+
+
 QUERIES = {
     "dq_constraint_report": dq_constraint_report,
     "drift_bucket_report": drift_bucket_report,
+    "stream_drift_report": stream_drift_report,
 }
 
 ORACLE = {
     "dq_constraint_report": ORACLE_DQ,
     "drift_bucket_report": ORACLE_DRIFT,
+    "stream_drift_report": ORACLE_STREAM_DRIFT,
 }
