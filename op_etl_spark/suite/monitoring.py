@@ -103,7 +103,27 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_agg,
         [("null_value_frac", "events", F.col("null_value") / F.col("n"), 0.0)],
     )
-    return o_rows.union(l_rows).union(e_rows)
+
+    docs = read_table(spark, sf_dir, "documents")
+    d_agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~F.col("lang").isin("de", "en", "es", "fr", "zh")).cast("long")
+        ).alias("bad_lang"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("long")).alias(
+            "bad_chars"
+        ),
+        F.sum((F.length("text") == 0).cast("long")).alias("empty_docs"),
+    )
+    d_rows = _constraint_rows(
+        d_agg,
+        [
+            ("lang_domain_violation_frac", "documents", F.col("bad_lang") / F.col("n"), 0.0),
+            ("n_chars_mismatch_frac", "documents", F.col("bad_chars") / F.col("n"), 0.0),
+            ("empty_doc_frac", "documents", F.col("empty_docs") / F.col("n"), 0.0),
+        ],
+    )
+    return o_rows.union(l_rows).union(e_rows).union(d_rows)
 
 
 ORACLE_DQ = f"""
@@ -122,6 +142,12 @@ e AS (
   SELECT count(*) AS n,
          sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value
   FROM events),
+dd AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS bad_lang,
+         sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS bad_chars,
+         sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS empty_docs
+  FROM documents),
 raw AS (
   SELECT 'duplicate_orderkey_frac' AS "constraint", 'orders' AS table_name,
          1.0 - n_key / n AS v, 0.0 AS threshold FROM o
@@ -129,7 +155,10 @@ raw AS (
   UNION ALL SELECT 'orphan_custkey_frac', 'orders', orphans / n, 0.0 FROM o
   UNION ALL SELECT 'quantity_range_violation_frac', 'lineitem', bad_qty / n, 0.0 FROM l
   UNION ALL SELECT 'discount_cap_violation_frac', 'lineitem', bad_disc / n, 0.0 FROM l
-  UNION ALL SELECT 'null_value_frac', 'events', null_value / n, 0.0 FROM e)
+  UNION ALL SELECT 'null_value_frac', 'events', null_value / n, 0.0 FROM e
+  UNION ALL SELECT 'lang_domain_violation_frac', 'documents', bad_lang / n, 0.0 FROM dd
+  UNION ALL SELECT 'n_chars_mismatch_frac', 'documents', bad_chars / n, 0.0 FROM dd
+  UNION ALL SELECT 'empty_doc_frac', 'documents', empty_docs / n, 0.0 FROM dd)
 SELECT "constraint", table_name,
        floor(v * 1000000 + 0.5) / 1000000.0 AS value,
        CAST(threshold AS DOUBLE) AS threshold,

@@ -503,6 +503,7 @@ class TestMonitoringPlans:
         assert p.count("orders.parquet") == 1
         assert p.count("lineitem.parquet") == 1
         assert p.count("events.parquet") == 1
+        assert p.count("documents.parquet") == 1
 
     def test_drift_report_single_corpus_scan(self, spark):
         # both monitored features explode from one struct array: ONE scan,
