@@ -570,6 +570,67 @@ WHERE event_type = 'purchase'
 """
 
 
+ASOF_TOLERANCE_US = 3_600 * 1_000_000  # 1 hour, in exact integer micros
+
+
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: a purchase only matches its
+    preceding click when the gap is <= 1 hour — the form every real
+    attribution/backfill uses (an unbounded as-of happily matches a
+    click from last month). Same one-shuffle carried-forward window as
+    `asof_join_events`; the tolerance is a post-window filter on the
+    EXACT integer microsecond gap (unix_micros both engines), so no
+    float time math. Stale matches survive as rows with a NULL click —
+    'purchase with no attributable click' is signal, not a dropped row."""
+    ev = read_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    asof = ev.withColumn(
+        "last_click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    # ts is TIMESTAMP_NTZ (read_events truncates parquet nanos); cast to
+    # the session-tz instant type for unix_micros — both operands shift
+    # identically, so the gap is exact regardless of zone
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_click_ts").cast("timestamp")
+    )
+    valid = gap <= ASOF_TOLERANCE_US
+    return asof.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.when(
+            valid, F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        ).alias("click_ts"),
+        F.when(valid, gap).alias("gap_us"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= {ASOF_TOLERANCE_US}
+            THEN strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= {ASOF_TOLERANCE_US}
+            THEN epoch_us(ts) - epoch_us(last_click_ts) END AS gap_us
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events WHERE event_type IN ('click', 'purchase'))
+WHERE event_type = 'purchase'
+"""
+
+
 # --- range join: orders binned into literal price bands (non-equi join) ---
 
 PRICE_BANDS = [
@@ -821,6 +882,7 @@ QUERIES = {
     "json_extract_props": json_extract_props,
     "pivot_status_priority": pivot_status_priority,
     "asof_join_events": asof_join_events,
+    "asof_tolerance_join": asof_tolerance_join,
     "range_join_price_bands": range_join_price_bands,
     "q10_returned_customers": q10_returned_customers,
     "cube_status_priority": cube_status_priority,
@@ -848,6 +910,7 @@ ORACLE = {
     "json_extract_props": ORACLE_JSON,
     "pivot_status_priority": ORACLE_PIVOT,
     "asof_join_events": ORACLE_ASOF,
+    "asof_tolerance_join": ORACLE_ASOF_TOLERANCE,
     "range_join_price_bands": ORACLE_RANGE_BANDS,
     "q10_returned_customers": ORACLE_Q10,
     "cube_status_priority": ORACLE_CUBE,

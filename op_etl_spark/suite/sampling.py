@@ -14,6 +14,7 @@ from ._util import read_table
 from ..operators.sampling import (
     deterministic_sample,
     group_topk_sample,
+    hash_unit,
     hash_unit_sql,
     negative_pairs,
     shuffle_shards,
@@ -168,12 +169,65 @@ SELECT doc_id,
 FROM documents
 """
 
+QW_FRAC = 0.5  # base keep rate; per-doc rate = ttr * QW_FRAC
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document quality: each doc's keep
+    probability is proportional to its type-token ratio (keep iff
+    u(doc_id) < ttr * {frac}), so cleaner documents are overrepresented
+    without any hard cutoff — the soft quality curriculum a training mix
+    uses. Still a narrow filter (the weight is a column expression, the
+    decision a pure (salt, key) hash), so the sample is reproducible,
+    repartition-stable, and append-consistent like every sampler here.
+    Output pins per-lang kept counts, id checksums, and the exact
+    fixed-point mean ttr of the kept set."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    ttr = F.floor(F.size(F.array_distinct(toks)) / F.size(toks) * 10000 + F.lit(0.5)) / 10000.0
+    kept = d.withColumn("ttr", ttr).filter(
+        hash_unit(F.col("doc_id"), "qweight") < F.col("ttr") * QW_FRAC
+    )
+    t4 = F.floor(F.col("ttr") * 10000 + F.lit(0.5)).cast("long")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        (F.floor(F.sum(t4) / F.count(F.lit(1)) + F.lit(0.5)) / 10000.0).alias(
+            "mean_ttr"
+        ),
+    )
+
+
+quality_weighted_sample.__doc__ = quality_weighted_sample.__doc__.replace(
+    "{frac}", str(QW_FRAC)
+)
+
+_U_QW = hash_unit_sql("doc_id", "qweight")
+
+ORACLE_QW_SAMPLE = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS ttr
+  FROM documents),
+kept AS (SELECT * FROM q WHERE {_U_QW} < ttr * {QW_FRAC})
+SELECT lang,
+       count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       floor(sum(CAST(floor(ttr * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 10000.0 AS mean_ttr
+FROM kept GROUP BY lang
+"""
+
+
 QUERIES = {
     "split_cohort_counts": split_cohort_counts,
     "stratified_lang_sample": stratified_lang_sample,
     "source_topk_sample": source_topk_sample,
     "negative_pair_sample": negative_pair_sample,
     "shuffle_shard_manifest": shuffle_shard_manifest,
+    "quality_weighted_sample": quality_weighted_sample,
 }
 
 ORACLE = {
@@ -182,4 +236,5 @@ ORACLE = {
     "source_topk_sample": ORACLE_TOPK,
     "negative_pair_sample": ORACLE_NEG_PAIRS,
     "shuffle_shard_manifest": ORACLE_SHUFFLE,
+    "quality_weighted_sample": ORACLE_QW_SAMPLE,
 }
