@@ -94,6 +94,9 @@ HEADLINE = [
     # embedding feature store: narrow int8 quantization, tick-sum dim stats
     "embedding_int8_quantize",
     "embedding_dim_stats",
+    # staleness-bounded as-of; quality-proportional importance sampling
+    "asof_tolerance_join",
+    "quality_weighted_sample",
 ]
 
 

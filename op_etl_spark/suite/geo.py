@@ -397,41 +397,53 @@ ORACLE_CLIP_POINTS = _clip_oracle_sql()
 
 # --- spatial near-join: all point pairs within distance D, grid-bucketed ---
 
-GRID_DIST = 1000.0  # metres; also the grid cell size
+GRID_DIST = 1000.0    # metres; also the grid cell size
+GRID_CELL_CAP = 64    # points per cell before the cell is excluded
 
 
-def grid_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every point pair within GRID_DIST metres — the spatial near-join —
-    found by grid bucketing, NEVER a cross product: with cell size == D,
-    any pair within D spans at most one cell boundary, so replicating
-    each point into its 3x3 cell neighborhood and equi-joining replicas
-    against home cells finds every qualifying pair exactly once (the
-    single replica that lands in the partner's home cell). Cost: 9x
-    replication of one side + one hash-shuffle join on the cell key +
-    an exact distance filter — at 100 TB the shuffle partitions by
-    cell, so density skew (a city's worth of points in one cell) is
-    the thing to watch: AQE skew-split handles moderate skew, a
-    per-cell cap (as in the LSH dedup family) the pathological case.
-    dist2 is exact integer-valued double arithmetic — bit-identical to
-    the oracle's brute-force O(n^2) twin."""
-    pts = _synth_points(read_events(spark, sf_dir))
-    cx = F.floor(F.col("x") / GRID_DIST)
-    cy = F.floor(F.col("y") / GRID_DIST)
-    home = pts.select(
+def grid_pairs(pts: DataFrame, dist: float, cap: int) -> DataFrame:
+    """All pairs of `pts` (event_id, x, y) within `dist`, grid-bucketed:
+    with cell size == dist, any qualifying pair spans at most one cell
+    boundary, so replicating each point into its 3x3 cell neighborhood
+    and equi-joining replicas against home cells finds every pair
+    exactly once — never a cross product.
+
+    Bounded-pair contract (same shape as the LSH dedup family): points
+    whose HOME cell holds more than `cap` points are excluded from both
+    sides (a partitioned-window count, one shuffle), so a pathological
+    hot cell — a city's worth of points at one location — costs at most
+    cap^2 pairs instead of blowing up the join. The exclusion is by
+    whole cell, deterministic, and mirrored in the oracle. dist2 is
+    exact integer-valued double arithmetic — bit-identical to the
+    brute-force O(n^2) oracle twin."""
+    from pyspark.sql.window import Window
+
+    cx = F.floor(F.col("x") / dist)
+    cy = F.floor(F.col("y") / dist)
+    wcell = Window.partitionBy("cx", "cy")
+    ok = (
+        pts.select("event_id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+        .withColumn("__n", F.count(F.lit(1)).over(wcell))
+        .filter(F.col("__n") <= cap)
+        .drop("__n")
+    )
+    home = ok.select(
         F.col("event_id").alias("id1"),
         F.col("x").alias("x1"),
         F.col("y").alias("y1"),
-        cx.alias("cx"),
-        cy.alias("cy"),
+        "cx",
+        "cy",
     )
-    reps = pts.select(
+    reps = ok.select(
         F.col("event_id").alias("id2"),
         F.col("x").alias("x2"),
         F.col("y").alias("y2"),
         F.explode(
             F.array(
                 *[
-                    F.struct((cx + i).alias("cx"), (cy + j).alias("cy"))
+                    F.struct(
+                        (F.col("cx") + i).alias("cx"), (F.col("cy") + j).alias("cy")
+                    )
                     for i in (-1, 0, 1)
                     for j in (-1, 0, 1)
                 ]
@@ -445,8 +457,20 @@ def grid_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         home.join(reps, ["cx", "cy"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("dist2", dist2)
-        .filter(F.col("dist2") <= GRID_DIST * GRID_DIST)
+        .filter(F.col("dist2") <= dist * dist)
         .select("id1", "id2", "dist2")
+    )
+
+
+def grid_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every synthesized event-point pair within GRID_DIST metres — see
+    `grid_pairs` for the plan shape and the per-cell density cap (the
+    cap never bites on this testdata — max 3 points/cell — which the
+    oracle proves by matching the capped implementation against the
+    same-capped brute force; the hot-cell behavior itself is unit-tested
+    with synthetic dense points in test_geometry)."""
+    return grid_pairs(
+        _synth_points(read_events(spark, sf_dir)), GRID_DIST, GRID_CELL_CAP
     )
 
 
@@ -455,10 +479,18 @@ WITH pts AS (
   SELECT event_id,
          150000.0::DOUBLE + (event_id * 7919 % 800000) AS x,
          6050000.0::DOUBLE + (user_id * 104729 % 1700000) AS y
-  FROM events)
+  FROM events),
+cells AS (
+  SELECT floor(x / {GRID_DIST}) AS cx, floor(y / {GRID_DIST}) AS cy, count(*) AS c
+  FROM pts GROUP BY 1, 2),
+ok AS (
+  SELECT p.* FROM pts p
+  JOIN cells ON floor(p.x / {GRID_DIST}) = cells.cx
+            AND floor(p.y / {GRID_DIST}) = cells.cy
+            AND cells.c <= {GRID_CELL_CAP})
 SELECT a.event_id AS id1, b.event_id AS id2,
        (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS dist2
-FROM pts a JOIN pts b
+FROM ok a JOIN ok b
   ON a.event_id < b.event_id
  AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
      <= {GRID_DIST * GRID_DIST}

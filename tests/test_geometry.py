@@ -167,3 +167,32 @@ class TestReprojectNullCrs:
         out2 = reproject(df, 3010).collect()[0]
         _, coords2 = wkb_loads(bytes(out2.geometry))
         assert coords2 == [500000.0, 6500000.0] and out2.crs == 3010
+
+
+class TestGridPairsCap:
+    def test_hot_cell_excluded_others_kept(self, spark):
+        # 100 points stacked at one location (over the cap) + 3 spread
+        # points within distance of each other elsewhere: the hot cell's
+        # quadratic pair set must vanish, the normal pairs must survive
+        from op_etl_spark.suite.geo import grid_pairs
+
+        hot = [(i, 500.0, 500.0) for i in range(100)]
+        normal = [(1000, 5_000.0, 5_000.0), (1001, 5_100.0, 5_050.0),
+                  (1002, 5_950.0, 5_000.0)]
+        pts = spark.createDataFrame(hot + normal, "event_id long, x double, y double")
+        got = {(r.id1, r.id2) for r in grid_pairs(pts, 1000.0, 64).collect()}
+        assert got == {(1000, 1001), (1000, 1002), (1001, 1002)}
+
+    def test_cap_not_biting_equals_bruteforce(self, spark):
+        from op_etl_spark.suite.geo import grid_pairs
+
+        import itertools
+        rows = [(i, float(137 * i % 3000), float(211 * i % 3000)) for i in range(60)]
+        pts = spark.createDataFrame(rows, "event_id long, x double, y double")
+        got = {(r.id1, r.id2) for r in grid_pairs(pts, 500.0, 64).collect()}
+        want = {
+            (a[0], b[0])
+            for a, b in itertools.combinations(rows, 2)
+            if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 500.0 ** 2
+        }
+        assert got == want
