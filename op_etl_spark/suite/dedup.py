@@ -138,12 +138,20 @@ FROM documents GROUP BY 1
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
 
-    ONE scan of documents; per-doc set size rides along as `n_sh` (it's just
-    `size(shingles)`, no separate aggregate); groupBy(shingle) builds posting
+    ORACLE-BASELINE HELPER, NOT A DECLARED QUERY. The posting-list pair
+    expansion is quadratic in shingle document-frequency, so this plan is
+    unbounded on corpus-shaped input and is deliberately absent from
+    QUERIES/ORACLE (and from bench.py). Its sole role is recall/precision
+    ground truth at small sf for the scale-safe variants that ARE declared:
+    `ngram_jaccard_pairs_capped` (DF-capped postings) and
+    `jaccard_verified_pairs` (exact verify over LSH-capped candidates) —
+    see tests/test_pair_caps.py.
+
+    Plan shape (why it's the right baseline): ONE scan of documents;
+    per-doc set size rides along as `n_sh`; groupBy(shingle) builds posting
     lists; pairs are generated in-array (`_posting_pairs`) and counted.
-    Two small shuffles total, zero joins — vs. the naive self-join plan's
-    four scans, four shingle explodes, and three joins. Shingles are 64-bit
-    IDs (`_hashed_shingle_arrays`), so both shuffles move longs, not strings.
+    Two small shuffles total, zero joins; shingles are 64-bit IDs so both
+    shuffles move longs, not strings.
     """
     arrs = _hashed_shingle_arrays(_docs(spark, sf_dir))
     sh = arrs.select(
@@ -978,7 +986,10 @@ GROUP BY 1
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
     "incremental_lsh_dedup": incremental_lsh_dedup,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    # ngram_jaccard_pairs (exact, uncapped) is intentionally NOT declared:
+    # its pair cost is quadratic in shingle DF (unbounded on corpus-shaped
+    # input). It remains above as the small-sf oracle baseline that
+    # ngram_jaccard_pairs_capped / jaccard_verified_pairs are tested against.
     "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "minhash_signature_sample": minhash_signature_sample,
@@ -993,7 +1004,6 @@ QUERIES = {
 ORACLE = {
     "exact_dedup_groups": ORACLE_EXACT,
     "incremental_lsh_dedup": ORACLE_INCREMENTAL_LSH,
-    "ngram_jaccard_pairs": ORACLE_JACCARD,
     "ngram_jaccard_pairs_capped": ORACLE_JACCARD_CAPPED,
     "minhash_lsh_candidates": ORACLE_MINHASH_LSH,
     "minhash_signature_sample": ORACLE_MINHASH_SAMPLE,

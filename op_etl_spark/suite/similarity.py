@@ -175,55 +175,89 @@ def _pair_cosine(a_emb, b_emb):
     return _dot(a_emb, b_emb) / (_norm(a_emb) * _norm(b_emb))
 
 
-NEARDUP_SUB_BITS = 4  # sign-LSH sub-bits inside each label block
-EMB_BLOCK_CAP = 1024  # max block size before pair expansion
+NEARDUP_LEVELS = (4, 8, 12, 16)  # sign-bit prefix lengths, coarse -> fine
+NEARDUP_MAX_BITS = NEARDUP_LEVELS[-1]
+EMB_BLOCK_CAP = 1024  # max block size before pair expansion (terminal backstop)
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs within hierarchical (label, sign-bits) blocks
-    (cosine >= 0.3).
+    """Exact near-dup pairs within hierarchical (label, sign-prefix) blocks
+    (cosine >= 0.3) — over-cap blocks are SPLIT on more sign bits, not
+    dropped.
 
-    The first version blocked on `label` alone — and the 32x scale probe
-    measured it at 1925x the time on 32x the data (0.4s -> 782s): label
-    cardinality is FIXED, so block size grows with the corpus and the
-    within-block self-join is quadratic in corpus size. Production
-    hierarchy instead: a coarse cluster key (label / IVF list) PLUS
-    sign-LSH sub-bits inside it, with a hard block cap as the backstop —
-    near-identical vectors agree on sign bits with high probability, so
-    near-dup recall survives while block membership stays bounded.
-    The self-join is key-equi on (label, sbits): one co-partitioning
-    shuffle per side, pairs stream out of the join (never materialized
-    in-array — embedding structs are too wide for posting-list
-    expansion), and blocks above EMB_BLOCK_CAP are dropped before the
-    join via a broadcast of the |blocks|-row size table.
+    History of the blocking key, each step probe-measured:
+      v1 blocked on `label` alone — 1925x at 32x data (block size grows
+      with the corpus; quadratic self-join).
+      v2 added 4 fixed sign-LSH sub-bits and DROPPED blocks above
+      EMB_BLOCK_CAP — bounded cost, but a silent recall cliff: every
+      near-dup pair inside a popular (label, sbits) block vanished.
+      v3 (this one): hierarchical split. Each vector carries its sign-bit
+      prefix at levels 4/8/12/16; its block is the SHORTEST prefix level
+      whose (label, prefix) population is <= EMB_BLOCK_CAP. Because a
+      level-m prefix determines every coarser prefix, two vectors sharing
+      a terminal block agree on the whole path, so this closed-form
+      "min qualifying level" assignment equals the recursive
+      split-until-it-fits and needs no iteration. Only blocks still over
+      cap at the deepest level (sign-identical mega-clusters, i.e.
+      exact/near-exact duplicates already caught by exact_dedup_groups)
+      hit the terminal backstop and are excluded.
 
-    Re-probed after the fix: 31.8x at 32x data (down from 1925x) —
-    blocks BELOW the cap still grow quadratically because the synthetic
-    corpus keeps label cardinality fixed; the cap is the hard cost bound,
-    and in production the block key comes from the clusterer
-    (ivf_centroid_rank / operators/ann_index.py), whose list count
-    scales with the corpus so block sizes stay roughly constant."""
+    Plan shape: one narrow count shuffle (label, 16-bit prefix), per-level
+    roll-ups on that tiny block table (sums of the finest counts — the
+    corpus is never re-counted), a key join to attach each vector's
+    terminal (lvl, bkey), then a key-equi self-join on (label, lvl, bkey).
+    Pairs stream out of the join (embedding structs are too wide for
+    posting-list in-array expansion). At 100 TB the block-size table is
+    |distinct (label, prefix)| rows — small relative to the corpus but not
+    broadcast-safe in general, so the attach join is a plain shuffle join
+    co-partitioned with the self-join key."""
     e = _emb(spark, sf_dir)
-    sbits = None
-    for i in range(NEARDUP_SUB_BITS):
-        bit = F.when(F.element_at("emb", i + 1) > 0, 2 ** i).otherwise(0)
-        sbits = bit if sbits is None else sbits + bit
-    e2 = e.withColumn("sbits", sbits)
-    ok = (
-        e2.groupBy("label", "sbits")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= EMB_BLOCK_CAP)
-        .select("label", "sbits")
+    pfull = F.lit(0).cast("long")
+    for i in range(NEARDUP_MAX_BITS):
+        # F.get is NULL-safe past the array end (dim < 16 fixtures): the
+        # missing bit contributes 0 on both engines.
+        pfull = pfull + F.when(F.get(F.col("emb"), i) > 0, F.lit(2 ** i)).otherwise(0)
+    e2 = e.withColumn("pfull", pfull)
+    blocks = e2.groupBy("label", "pfull").agg(F.count(F.lit(1)).alias("bn"))
+    b = blocks
+    for m in NEARDUP_LEVELS:
+        cm = (
+            blocks.groupBy("label", (F.col("pfull") % F.lit(2 ** m)).alias(f"p{m}"))
+            .agg(F.sum("bn").alias(f"c{m}"))
+        )
+        b = b.withColumn(f"p{m}", F.col("pfull") % F.lit(2 ** m)).join(
+            cm, ["label", f"p{m}"]
+        )
+    lvl = None
+    for m in NEARDUP_LEVELS[:-1]:
+        cond = F.when(F.col(f"c{m}") <= EMB_BLOCK_CAP, F.lit(m))
+        lvl = cond if lvl is None else lvl.when(F.col(f"c{m}") <= EMB_BLOCK_CAP, F.lit(m))
+    lvl = lvl.otherwise(F.lit(NEARDUP_LEVELS[-1]))
+    bkey = None
+    for m in NEARDUP_LEVELS:
+        cond_val = F.col("pfull") % F.lit(2 ** m)
+        bkey = (
+            F.when(lvl == m, cond_val) if bkey is None else bkey.when(lvl == m, cond_val)
+        )
+    keymap = (
+        b.withColumn("lvl", lvl)
+        .withColumn("bkey", bkey)
+        # terminal backstop: only a deepest-level block still over cap drops
+        .filter(
+            (F.col("lvl") < NEARDUP_MAX_BITS)
+            | (F.col(f"c{NEARDUP_MAX_BITS}") <= EMB_BLOCK_CAP)
+        )
+        .select("label", "pfull", "lvl", "bkey")
     )
-    e2 = e2.join(F.broadcast(ok), ["label", "sbits"])
-    a = e2.select(
-        "label", "sbits", F.col("vec_id").alias("id1"), F.col("emb").alias("emb1")
+    e3 = e2.join(keymap, ["label", "pfull"]).select("label", "lvl", "bkey", "vec_id", "emb")
+    a = e3.select(
+        "label", "lvl", "bkey", F.col("vec_id").alias("id1"), F.col("emb").alias("emb1")
     )
-    b = e2.select(
-        "label", "sbits", F.col("vec_id").alias("id2"), F.col("emb").alias("emb2")
+    c = e3.select(
+        "label", "lvl", "bkey", F.col("vec_id").alias("id2"), F.col("emb").alias("emb2")
     )
     return (
-        a.join(b, ["label", "sbits"])
+        a.join(c, ["label", "lvl", "bkey"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("cosine", _pair_cosine(F.col("emb1"), F.col("emb2")))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
@@ -231,24 +265,45 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_SBITS_SQL = " + ".join(
+_NEARDUP_PFULL_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
-    for i in range(NEARDUP_SUB_BITS)
+    for i in range(NEARDUP_MAX_BITS)
+)
+
+_NEARDUP_LVL_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN c{m} <= {EMB_BLOCK_CAP} THEN {m}" for m in NEARDUP_LEVELS[:-1]
+    )
+    + f" ELSE {NEARDUP_MAX_BITS} END"
+)
+
+_NEARDUP_BKEY_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lvl = {m} THEN pfull % {2 ** m}" for m in NEARDUP_LEVELS)
+    + " END"
 )
 
 ORACLE_NEARDUP = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
-                  {_NEARDUP_SBITS_SQL} AS sbits
+                  {_NEARDUP_PFULL_SQL} AS pfull
            FROM embeddings),
-ok AS (SELECT label, sbits FROM e GROUP BY 1, 2
-       HAVING count(*) <= {EMB_BLOCK_CAP}),
+c AS (SELECT vec_id, label, emb, pfull,
+             {", ".join(f"count(*) OVER (PARTITION BY label, pfull % {2 ** m}) AS c{m}" for m in NEARDUP_LEVELS)}
+      FROM e),
+k0 AS (SELECT vec_id, label, emb, pfull, c{NEARDUP_MAX_BITS},
+              {_NEARDUP_LVL_SQL} AS lvl
+       FROM c),
+k AS (SELECT vec_id, label, emb, lvl, {_NEARDUP_BKEY_SQL} AS bkey
+      FROM k0
+      WHERE lvl < {NEARDUP_MAX_BITS} OR c{NEARDUP_MAX_BITS} <= {EMB_BLOCK_CAP}),
 pairs AS (
   SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
          list_dot_product(a.emb, b.emb)
            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
-  FROM e a
-  JOIN e b ON a.label = b.label AND a.sbits = b.sbits AND a.vec_id < b.vec_id
-  JOIN ok ON ok.label = a.label AND ok.sbits = a.sbits)
+  FROM k a
+  JOIN k b ON a.label = b.label AND a.lvl = b.lvl AND a.bkey = b.bkey
+          AND a.vec_id < b.vec_id)
 SELECT label, id1, id2, floor((cosine) * 10000 + 0.5) / 10000.0 AS cosine
 FROM pairs WHERE cosine >= {NEARDUP_THRESHOLD}
 """

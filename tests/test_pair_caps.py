@@ -117,7 +117,11 @@ def emb_corpus(spark, tmp_path_factory):
 
 
 class TestEmbeddingBlockCap:
-    def test_mega_block_generates_no_pairs(self, spark, emb_corpus):
+    def test_sign_identical_mega_block_hits_terminal_backstop(self, spark, emb_corpus):
+        # all N_EMB_CLONES vectors share EVERY sign bit, so no amount of
+        # extra sign-prefix splitting separates them: the block is still
+        # over cap at the deepest level and the terminal backstop drops it
+        # (it's an exact/near-exact dup cluster, exact_dedup territory).
         from op_etl_spark.suite.similarity import embedding_neardup_pairs
 
         out = embedding_neardup_pairs(spark, emb_corpus)
@@ -129,6 +133,60 @@ class TestEmbeddingBlockCap:
 
         rows = embedding_neardup_pairs(spark, emb_corpus).collect()
         assert any(r.id1 == 9000 and r.id2 == 9001 and r.cosine > 0.99 for r in rows)
+
+
+# --- hierarchical split (round-4 rework: over-cap blocks SPLIT, not drop) ---
+
+
+def _mk_splittable(spark, tmp_path) -> str:
+    """One label whose level-4 sign block is over cap (1050 > 1024) but
+    whose dims 5-8 signs split it into two under-cap level-8 sub-blocks
+    (550 / 500). Under the old drop-the-block semantics EVERY pair here
+    was lost; the split must recover the planted near-dup pair in the
+    negative-sign sub-block while never pairing across sub-blocks."""
+    eps = 1e-3
+    rows = []
+    for i in range(550):  # sub-block A: dims 5-8 positive
+        v = [eps] * 8
+        v[i % 4] = 1000.0
+        for d in range(4, 8):
+            v[d] = eps
+        rows.append((i, v, 1))
+    for i in range(500):  # sub-block B: dims 5-8 negative
+        v = [eps] * 8
+        v[i % 4] = 1000.0
+        for d in range(4, 8):
+            v[d] = -eps
+        rows.append((5000 + i, v, 1))
+    rows.append((9000, [1.0, 2.0, 3.0, 4.0, -1.0, -1.0, -1.0, -1.0], 1))
+    rows.append((9001, [1.0, 2.0, 3.0, 4.001, -1.0, -1.0, -1.0, -1.0], 1))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = str(tmp_path / "splitcorpus")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+class TestEmbeddingBlockSplit:
+    @pytest.fixture(scope="class")
+    def split_corpus(self, spark, tmp_path_factory):
+        return _mk_splittable(spark, tmp_path_factory.mktemp("embsplit"))
+
+    def test_overcap_block_pairs_recovered_by_split(self, spark, split_corpus):
+        from op_etl_spark.suite.similarity import embedding_neardup_pairs
+
+        out = embedding_neardup_pairs(spark, split_corpus)
+        planted = out.filter("id1 = 9000 AND id2 = 9001").collect()
+        assert len(planted) == 1 and planted[0].cosine > 0.99
+
+    def test_split_never_pairs_across_sub_blocks(self, spark, split_corpus):
+        from op_etl_spark.suite.similarity import embedding_neardup_pairs
+        from pyspark.sql import functions as F
+
+        out = embedding_neardup_pairs(spark, split_corpus)
+        # A-ids are < 550, B-ids are >= 5000: a cross pair would have
+        # id1 in A and id2 in B
+        n_cross = out.filter((F.col("id1") < 550) & (F.col("id2") >= 5000)).count()
+        assert n_cross == 0
 
     def test_signlsh_bucket_cap_and_recall(self, spark, emb_corpus):
         from op_etl_spark.suite.similarity import embedding_signlsh_neardup
