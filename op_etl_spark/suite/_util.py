@@ -101,3 +101,29 @@ def sql_money_sum(expr: str, scale: int = 2) -> str:
 def sql_money_avg(expr: str, scale: int = 2) -> str:
     p = 10 ** scale
     return f"(sum({sql_cents(expr, scale)}) / {p}.0) / count(*)"
+
+
+def fixture_mod(n_rows: int, target_rows: int) -> int:
+    """Power-of-two subsample modulus sized from the table's row count so
+    `key % mod == 0` keeps ~target_rows rows at ANY scale factor.
+
+    The stream gates write driver-local fixture files; a FIXED modulus
+    bounds only the collected FRACTION, so the driver collect grows
+    linearly with the corpus. Deriving the modulus from one cheap count
+    makes the collect O(target_rows) instead. Pure integer/double math —
+    `fixture_mod_sql` is the bit-identical DuckDB twin, so the oracle
+    self-adapts to whatever sf dir the gate runs against."""
+    import math
+
+    if n_rows <= target_rows:
+        return 1
+    return 2 ** math.ceil(math.log2(n_rows / float(target_rows)))
+
+
+def fixture_mod_sql(table: str, target_rows: int) -> str:
+    """Scalar-subquery SQL twin of `fixture_mod` over `table`'s count(*)."""
+    return (
+        f"(SELECT CASE WHEN count(*) <= {target_rows} THEN 1 "
+        f"ELSE CAST(pow(2, ceil(log2(count(*) / {target_rows}.0))) AS BIGINT) END "
+        f"FROM {table})"
+    )

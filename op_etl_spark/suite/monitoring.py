@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import fround, read_table
+from ._util import fixture_mod, fixture_mod_sql, fround, read_table
 from ..operators.sampling import hash_unit, hash_unit_sql
 
 DISCOUNT_CAP = 0.05  # deliberately tighter than the data: exercises a FAIL row
@@ -261,7 +261,12 @@ FROM wtot
 
 # --- the drift monitor AS A STREAM ---
 
-STREAM_DRIFT_MOD = 4  # deterministic doc subsample for the stream fixture
+# Fixture target: the stream gate's driver collect is O(this) at any sf —
+# the subsample modulus is derived from the documents row count
+# (`fixture_mod`), with `fixture_mod_sql` as the oracle's identical twin.
+STREAM_DRIFT_TARGET_ROWS = 128
+
+_DOCS_MOD_SQL = fixture_mod_sql("documents", STREAM_DRIFT_TARGET_ROWS)
 
 
 def stream_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,11 +279,13 @@ def stream_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     final report is a full-outer join of the two tiny count tables with
     the identical chi-square-style contribution as the batch twin.
 
-    Both sides are restricted to a deterministic doc_id % 4 subsample so
-    the fixture writer collects a bounded slice, never the corpus (the
-    monitor under test is unbounded-safe; only this gate's driver-local
-    file writer needs rows on the driver — same contract as the
-    sessionize and dedup stream gates)."""
+    Both sides are restricted to a deterministic doc_id subsample whose
+    modulus is DERIVED from the documents row count (`fixture_mod`), so
+    the fixture writer collects O(STREAM_DRIFT_TARGET_ROWS) rows at any
+    sf, never a fixed fraction of the corpus (the monitor under test is
+    unbounded-safe; only this gate's driver-local file writer needs rows
+    on the driver — same contract as the sessionize and dedup stream
+    gates, and the oracle embeds the identical count-derived modulus)."""
     import json
     import tempfile
 
@@ -286,9 +293,9 @@ def stream_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from op_etl_spark.streaming.monitor import bucket_counts_stream
 
-    d = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % STREAM_DRIFT_MOD == 0
-    )
+    docs = read_table(spark, sf_dir, "documents")
+    mod = fixture_mod(docs.count(), STREAM_DRIFT_TARGET_ROWS)
+    d = docs.filter(F.col("doc_id") % mod == 0)
     cur_mask = hash_unit(F.col("doc_id"), "drift") < 0.5
     cur_rows = d.filter(cur_mask).select("doc_id", "lang", "n_chars").collect()
     tmp = tempfile.mkdtemp(prefix="stream_drift_")
@@ -345,7 +352,7 @@ ORACLE_STREAM_DRIFT = f"""
 WITH d AS (
   SELECT *, CASE WHEN {_U_DRIFT} < 0.5 THEN 1 ELSE 0 END AS cur
   FROM documents
-  WHERE doc_id % {STREAM_DRIFT_MOD} = 0),
+  WHERE doc_id % {_DOCS_MOD_SQL} = 0),
 rows_ AS (
   SELECT cur, 'lang' AS feature, lang AS bucket FROM d
   UNION ALL

@@ -82,12 +82,27 @@ GROUP BY 1, 2
 """
 
 # The stream FIXTURE (json micro-batch files on local disk) is built from a
-# deterministic user-id subsample so the driver-side collect is a fixed
-# 1/16th of users, never the whole corpus — the sessionizer under test
-# (streaming/stateful.py) is itself unbounded-safe; only this gate's
-# fixture writer needs driver-local files. At a larger sf, raise the
-# modulus to keep the fixture O(1).
-SESSIONIZE_STREAM_USER_MOD = 16
+# deterministic user-id subsample. The modulus is DERIVED from the events
+# row count (`fixture_mod`, power of two sized for ~TARGET rows), so the
+# driver-side collect is O(STREAM_FIXTURE_TARGET_ROWS) at ANY sf — not a
+# fixed fraction of the corpus. The operators under test
+# (streaming/stateful.py, streaming/dedup.py) are themselves
+# unbounded-safe; only this gate's fixture writer needs rows on the
+# driver. The DuckDB oracles embed the same count-derived modulus via
+# `fixture_mod_sql`, so both sides always pick the identical slice.
+# (Assumes user ids roughly uniform modulo powers of two, true of the
+# synthetic corpus; the bound is in expectation, not worst-case.)
+STREAM_FIXTURE_TARGET_ROWS = 1024
+
+from ._util import fixture_mod, fixture_mod_sql  # noqa: E402
+
+_EVENTS_MOD_SQL = fixture_mod_sql("events", STREAM_FIXTURE_TARGET_ROWS)
+
+
+def _events_fixture_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    mod = fixture_mod(ev.count(), STREAM_FIXTURE_TARGET_ROWS)
+    return ev.filter(F.col("user_id") % mod == 0).orderBy("ts", "event_id")
 
 
 def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,9 +110,9 @@ def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow trigger, update-mode memory sink) and reduced to final
     session rows — hash-checked against the same DuckDB sessionization SQL
     as the batch window-function twin (both sides restricted to the same
-    deterministic `user_id % 16 == 0` subsample; see note above). This is
-    the strongest correctness statement for the custom stateful operator:
-    stream == oracle directly, not just stream == batch."""
+    deterministic count-derived user-id subsample; see note above). This
+    is the strongest correctness statement for the custom stateful
+    operator: stream == oracle directly, not just stream == batch."""
     import json
     import tempfile
 
@@ -105,11 +120,7 @@ def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from op_etl_spark.streaming.stateful import sessionize_stream
 
-    ev = (
-        read_events(spark, sf_dir)
-        .filter(F.col("user_id") % SESSIONIZE_STREAM_USER_MOD == 0)
-        .orderBy("ts", "event_id")
-    )
+    ev = _events_fixture_slice(spark, sf_dir)
     rows = ev.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
@@ -163,7 +174,7 @@ FROM (
                 WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
                 ELSE 0 END AS new_sess
     FROM events
-    WHERE user_id % {SESSIONIZE_STREAM_USER_MOD} = 0))
+    WHERE user_id % {_EVENTS_MOD_SQL} = 0))
 GROUP BY user_id, session_id
 """
 
@@ -185,11 +196,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from op_etl_spark.streaming.dedup import dedup_events_stream
 
-    ev = (
-        read_events(spark, sf_dir)
-        .filter(F.col("user_id") % SESSIONIZE_STREAM_USER_MOD == 0)
-        .orderBy("ts", "event_id")
-    )
+    ev = _events_fixture_slice(spark, sf_dir)
     rows = ev.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
@@ -203,6 +210,19 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in chunk:
                 f.write(json.dumps(r.asDict()) + "\n")
 
+    # The dedup horizon must cover the fixture's whole time span: rows are
+    # sorted strings of equal format, so min/max give the span directly.
+    # A fixed horizon would silently turn this gate into a late-row-discard
+    # test the day the fixture outgrows it; deriving it keeps the pass/fail
+    # about dedup STATE at any sf.
+    span_days = 1
+    if rows:
+        from datetime import datetime as _dt
+
+        fmt = "%Y-%m-%d %H:%M:%S.%f"
+        lo = _dt.strptime(min(r.ts for r in rows), fmt)
+        hi = _dt.strptime(max(r.ts for r in rows), fmt)
+        span_days = (hi - lo).days + 2
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts string, user_id bigint, event_type string"
@@ -213,7 +233,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_dedup_gate"
     q = (
-        dedup_events_stream(stream, keys=["event_id"], watermark="60 days")
+        dedup_events_stream(stream, keys=["event_id"], watermark=f"{span_days} days")
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -234,7 +254,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_DEDUP = f"""
 SELECT event_type, count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM events
-WHERE user_id % {SESSIONIZE_STREAM_USER_MOD} = 0
+WHERE user_id % {_EVENTS_MOD_SQL} = 0
 GROUP BY event_type
 """
 
