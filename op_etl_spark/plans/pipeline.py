@@ -111,56 +111,101 @@ class Pipeline:
 
     # --- stages ---
 
+    ALL_STEPS = ("download", "process", "load")
+
+    def _read_stage(self, path: str, names: list[str]) -> DataFrame:
+        """Re-open a previously materialized stage table, restricted to the
+        current run's source selection (standalone steps honor
+        --authority/--type exactly like a full run). The explicit staged
+        schema makes an empty stage directory readable — same contract as
+        extract_and_stage's read-back."""
+        import os
+
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"stage table {path} does not exist — run the producing step first"
+            )
+        staged_schema = stage_features(
+            self.spark.createDataFrame([], FEATURE_DDL)
+        ).schema
+        df = self.spark.read.schema(staged_schema).parquet(path)
+        return df.filter(F.col("source_name").isin(names) if names else F.lit(False))
+
     def run(self, workspace: str, authority: str | None = None,
-            stype: str | None = None) -> dict:
+            stype: str | None = None,
+            steps: tuple[str, ...] | None = None) -> dict:
+        """Execute the selected pipeline steps (all when `steps` is None,
+        mirroring the reference's independently selectable --download /
+        --process / --load_sde flags, reference run.py:240-248, 289).
+        Stage boundaries are materialized parquet tables, so any step can
+        run standalone against a workspace a previous invocation staged —
+        e.g. re-running just the load after an SDE outage."""
         from op_etl_spark.config.loader import enabled_sources
 
+        steps = tuple(steps) if steps else self.ALL_STEPS
+        bad = set(steps) - set(self.ALL_STEPS)
+        if bad:
+            raise ValueError(f"unknown steps: {sorted(bad)}")
         self.metrics_rows = []  # a fresh run reports its own sources only
         sources = enabled_sources(self.cfg, authority, stype)
+        names = [s["name"] for s in sources]
         staging_path = f"{workspace}/staging"
-        staged_back = self.extract_and_stage(sources, staging_path)
-
-        # geoprocess: clip to AOI when configured (process.py:107-123);
-        # zero-result sources drop out of the manifest (process.py:113-123)
-        aoi = (self.cfg.get("geoprocessing") or {}).get("aoi_bbox")
-        if aoi:
-            from op_etl_spark.geometry.ops import clip_to_aoi
-
-            processed = clip_to_aoi(staged_back, tuple(aoi))
-        else:
-            processed = staged_back
         processed_path = f"{workspace}/processed"
-        processed.write.mode("overwrite").partitionBy("source_name").parquet(processed_path)
-        processed_back = self.spark.read.schema(processed.schema).parquet(processed_path)
-
-        manifest = processed_back.select("source_name").distinct()
         manifest_path = f"{workspace}/processed_manifest"
-        manifest.write.mode("overwrite").parquet(manifest_path)
+        result: dict = {"steps": list(steps)}
 
-        # load: manifest-gated truncate-and-load per source into its
-        # authority dataset namespace
-        gated = gate_by_manifest(
-            processed_back,
-            self.spark.read.schema(manifest.schema).parquet(manifest_path),
-        )
-        loaded = {}
-        for row in gated.select("source_name", "authority").distinct().collect():
-            target = (
-                f"{workspace}/sde/{dataset_for_authority(row.authority)}/"
-                f"{row.source_name}"
+        if "download" in steps:
+            staged_back = self.extract_and_stage(sources, staging_path)
+            result["staging"] = staging_path
+
+        if "process" in steps:
+            if "download" not in steps:
+                staged_back = self._read_stage(staging_path, names)
+            # geoprocess: clip to AOI when configured (process.py:107-123);
+            # zero-result sources drop out of the manifest
+            # (process.py:113-123)
+            aoi = (self.cfg.get("geoprocessing") or {}).get("aoi_bbox")
+            if aoi:
+                from op_etl_spark.geometry.ops import clip_to_aoi
+
+                processed = clip_to_aoi(staged_back, tuple(aoi))
+            else:
+                processed = staged_back
+            processed.write.mode("overwrite").partitionBy("source_name").parquet(
+                processed_path
             )
-            part = gated.filter(F.col("source_name") == row.source_name)
-            truncate_and_load(part, target)
-            loaded[row.source_name] = target
+            manifest = (
+                self.spark.read.schema(processed.schema)
+                .parquet(processed_path)
+                .select("source_name")
+                .distinct()
+            )
+            manifest.write.mode("overwrite").parquet(manifest_path)
+            result["processed"] = processed_path
+            result["manifest"] = manifest_path
+
+        if "load" in steps:
+            # load: manifest-gated truncate-and-load per source into its
+            # authority dataset namespace; always reads the materialized
+            # stage tables, so load-only == load-after-process bit for bit
+            processed_back = self._read_stage(processed_path, names)
+            gated = gate_by_manifest(
+                processed_back,
+                self.spark.read.schema("source_name string").parquet(manifest_path),
+            )
+            loaded = {}
+            for row in gated.select("source_name", "authority").distinct().collect():
+                target = (
+                    f"{workspace}/sde/{dataset_for_authority(row.authority)}/"
+                    f"{row.source_name}"
+                )
+                part = gated.filter(F.col("source_name") == row.source_name)
+                truncate_and_load(part, target)
+                loaded[row.source_name] = target
+            result["loaded"] = loaded
 
         metrics = self.spark.createDataFrame(self.metrics_rows, METRICS_SCHEMA)
         metrics_path = f"{workspace}/metrics"
         metrics.write.mode("overwrite").json(metrics_path)
-
-        return {
-            "staging": staging_path,
-            "processed": processed_path,
-            "manifest": manifest_path,
-            "loaded": loaded,
-            "metrics": metrics_path,
-        }
+        result["metrics"] = metrics_path
+        return result

@@ -161,6 +161,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--authority", default=None)
     ap.add_argument("--type", dest="stype", default=None)
     ap.add_argument("--master", default=None)
+    # independently selectable steps, mirroring the reference's --download /
+    # --process / --load_sde (reference run.py:240-248); none given = all
+    ap.add_argument("--download", action="store_true")
+    ap.add_argument("--process", action="store_true")
+    ap.add_argument(
+        "--load", "--load_sde", dest="load", action="store_true"
+    )
     args = ap.parse_args(argv)
 
     from op_etl_spark.config.loader import load_config
@@ -168,10 +175,20 @@ def main(argv: list[str] | None = None) -> int:
     from op_etl_spark.session import get_spark
 
     cfg = load_config(args.config, args.sources)
+    from op_etl_spark.config.logging_setup import setup_logging
+
+    setup_logging(cfg.get("logging"))
     spark = get_spark("op_etl_spark-run", master=args.master)
     downloads_dir = (cfg.get("workspaces") or {}).get("downloads")
     pipe = Pipeline(spark, cfg, connectors=default_connectors(downloads_dir))
-    result = pipe.run(args.workspace, authority=args.authority, stype=args.stype)
+    steps = tuple(
+        s for s, on in (
+            ("download", args.download), ("process", args.process), ("load", args.load)
+        ) if on
+    ) or None
+    result = pipe.run(
+        args.workspace, authority=args.authority, stype=args.stype, steps=steps
+    )
 
     n_ok = sum(1 for r in pipe.metrics_rows if r[5])
     n_fail = len(pipe.metrics_rows) - n_ok

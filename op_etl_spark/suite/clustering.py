@@ -9,17 +9,21 @@ emitted as a pair — that transitivity is exactly connected components, and
 shape the reference's stem-dedup applies per file-stem group,
 stage_files.py:280-295, lifted from per-group distinct to a graph closure).
 
-Spark-side: iterative min-label propagation to a fixpoint — the classic
-Pregel-style CC. Each round is one join (labels onto the symmetric edge
-list) + one min-aggregate, i.e. two shuffles over data proportional to
-|edges|; `localCheckpoint` truncates the growing lineage each round.
-Convergence is detected with a single scalar aggregate (labels only ever
-decrease, so the label-sum is a monotone potential — when it stops
-falling, the assignment is a fixpoint; no row-level diff join needed).
-Rounds needed = graph diameter; at 100 TB you'd switch the round body to
-alternating large-star/small-star (O(log n) rounds, same join/agg
-primitives) and keep everything else — the oracle and output contract
-don't change.
+Spark-side: min-label propagation WITH POINTER DOUBLING to a fixpoint.
+Each round is (a) one join of labels onto the symmetric edge list + one
+min-aggregate (one-hop propagation), then (b) one self-join of the label
+table composing label with label-of-label (the classic parallel
+pointer-jumping shortcut) — so label information crosses 2^r hops after r
+rounds and convergence needs O(log diameter) rounds, not O(diameter).
+The 32x scale probe motivated this: the plain Pregel loop's round count
+grew with chain length (10.25x at 32x data, the steepest passing curve);
+doubling makes round count logarithmic while each round stays the same
+two-three shuffles over |edges| + |labels|. `localCheckpoint` truncates
+the growing lineage each round. Convergence is detected with a single
+scalar aggregate (labels only ever decrease, so the label-sum is a
+monotone potential — when it stops falling, the assignment is a
+fixpoint; no row-level diff join needed), and the rounds used are logged
+(tests/test_cc_pointer_doubling.py pins a 256-chain to <= 12 rounds).
 
 Oracle-side: DuckDB WITH RECURSIVE reachability + min-per-node — tractable
 because near-dup components are tiny (bounded by LSH bucket sizes), which
@@ -80,28 +84,53 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
 
 
-def dedup_cc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for every document: cluster_id = min doc_id in
-    the document's connected component (singletons map to themselves)."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    edges = _edges(spark, sf_dir).localCheckpoint()
+def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS):
+    """Connected components: (doc_id, label=min reachable id), plus the
+    round count. `nodes` must have a doc_id column; `edges` a symmetric
+    (src, dst) list whose endpoints all appear in `nodes`.
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    Round body = one-hop min propagation (join + min-agg) followed by
+    pointer doubling: label <- min(label, label(label)). The doubling
+    join always matches (every label value is itself a node id), and the
+    invariant label(x) <= x makes the label-sum a monotone potential for
+    the scalar convergence check. Reachable-set argument: label(x) is
+    always an id in x's component, so composing labels never escapes the
+    component and the fixpoint is exactly the component minimum."""
+    import logging
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
-    for _ in range(MAX_ROUNDS):
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
-        labels = (
+        hop = (
             labels.unionAll(msgs)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+        )
+        par = hop.select(F.col("doc_id").alias("label"), F.col("label").alias("gl"))
+        labels = (
+            hop.join(par, "label")
+            .select("doc_id", F.least("label", "gl").alias("label"))
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    logging.getLogger(__name__).info("cc_fixpoint converged in %d rounds", rounds)
+    return labels, rounds
+
+
+def dedup_cc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document: cluster_id = min doc_id in
+    the document's connected component (singletons map to themselves)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    labels, _ = cc_fixpoint(docs, edges)
     # no final orderBy: the output is corpus-sized and the oracle compare
     # is row-order-insensitive — a global sort here would be a pure
     # single-reducer tax at scale
@@ -259,11 +288,17 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME key every round, so a real deployment co-partitions edges and
     ranks once and the join is shuffle-free), one map-side-combinable
     sum. Fixed iteration count (not convergence detection) keeps the
-    oracle expressible as unrolled SQL and the job DAG static."""
+    oracle expressible as unrolled SQL. Each round's rank table carries
+    the full node set forward (left join of ranks onto the round's sums)
+    and is localCheckpoint-ed, so documents is scanned ONCE for the
+    initial ranks — the unrolled-lineage version re-scanned it every
+    round (plan_audit's TableRescan axis caught it)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     edges = _edges(spark, sf_dir).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = docs.select("doc_id", F.lit(PR_SCALE).cast("long").alias("r"))
+    ranks = docs.select(
+        "doc_id", F.lit(PR_SCALE).cast("long").alias("r")
+    ).localCheckpoint()
     for _ in range(PR_ITER):
         contrib = (
             edges.join(ranks, edges.src == ranks.doc_id)
@@ -274,9 +309,15 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sums = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
-        ranks = docs.join(sums, "doc_id", "left").select(
-            "doc_id",
-            (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
+        ranks = (
+            ranks.join(sums, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
         )
     return ranks.select("doc_id", F.col("r").alias("microrank"))
 

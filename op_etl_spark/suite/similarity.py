@@ -218,7 +218,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # missing bit contributes 0 on both engines.
         pfull = pfull + F.when(F.get(F.col("emb"), i) > 0, F.lit(2 ** i)).otherwise(0)
     e2 = e.withColumn("pfull", pfull)
-    blocks = e2.groupBy("label", "pfull").agg(F.count(F.lit(1)).alias("bn"))
+    # localCheckpoint: the block table feeds four per-level roll-ups and
+    # the keymap — without it each reference re-derives the count from a
+    # fresh embeddings scan (plan_audit's TableRescan axis measured 11
+    # scans); with it the corpus is scanned once here + twice in the
+    # self-join below
+    blocks = (
+        e2.groupBy("label", "pfull")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .localCheckpoint()
+    )
     b = blocks
     for m in NEARDUP_LEVELS:
         cm = (
@@ -248,6 +257,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col(f"c{NEARDUP_MAX_BITS}") <= EMB_BLOCK_CAP)
         )
         .select("label", "pfull", "lvl", "bkey")
+        .localCheckpoint()
     )
     e3 = e2.join(keymap, ["label", "pfull"]).select("label", "lvl", "bkey", "vec_id", "emb")
     a = e3.select(

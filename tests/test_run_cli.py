@@ -119,6 +119,66 @@ def test_wfs_connector_discovers_typenames_when_unconfigured(spark, monkeypatch)
     assert len(rows) == 1 and rows[0].geom_type == "Point"
 
 
+def _step_cfg(tmp_path):
+    data = tmp_path / "roads.geojson"
+    data.write_text(json.dumps(GEOJSON))
+    cfg = {
+        "workspaces": {
+            "downloads": str(tmp_path / "downloads"),
+            "staging": str(tmp_path / "staging"),
+        },
+        "geoprocessing": {"aoi_bbox": [585826.0, 6550189.0, 648593.0, 6611661.0]},
+        "sources": [
+            {
+                "name": "roads",
+                "authority": "TEST",
+                "type": "file",
+                "enabled": True,
+                "raw": {"paths": [str(data)]},
+            },
+        ],
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return str(cfg_path)
+
+
+def test_cli_per_step_execution(spark, tmp_path, capsys):
+    """The reference runs --download/--process/--load_sde as independently
+    selectable steps (reference run.py:240-248, 289). Stage a workspace
+    with download+process, then run load ALONE against it — the operator
+    re-running just the load after an SDE outage."""
+    cfg_path = _step_cfg(tmp_path)
+    ws = str(tmp_path / "ws")
+
+    rc = run_mod.main(
+        ["--config", cfg_path, "--workspace", ws, "--download", "--process"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stages"]["steps"] == ["download", "process"]
+    assert "loaded" not in out["stages"]  # load did NOT run
+    assert spark.read.parquet(out["stages"]["processed"]).count() == 1
+
+    rc = run_mod.main(["--config", cfg_path, "--workspace", ws, "--load"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stages"]["steps"] == ["load"]
+    loaded = spark.read.parquet(out["stages"]["loaded"]["roads"])
+    rows = loaded.collect()
+    assert len(rows) == 1 and rows[0].props["name"] == "inside-aoi"
+
+
+def test_cli_load_without_staged_workspace_fails_clearly(tmp_path):
+    cfg_path = _step_cfg(tmp_path)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="run the producing step first"):
+        run_mod.main(
+            ["--config", cfg_path, "--workspace", str(tmp_path / "empty_ws"), "--load"]
+        )
+
+
 def test_cli_continue_on_failure_exit_code(spark, tmp_path, capsys):
     cfg = {
         "workspaces": {

@@ -5,19 +5,34 @@ sf0.1 on local[32]; this tool makes regressions visible instead of
 letting the headline total hide them (a 2x regression on a 0.3 s query
 moves the total by under 2%).
 
-Usage: python tools/bench_diff.py OLD.json NEW.json [threshold]
+Usage: python tools/bench_diff.py OLD.json NEW.json [--threshold X]
+                                  [--gate] [--floor SECONDS]
 
-Prints queries whose time changed by more than `threshold` (default
-1.3x, either direction) plus new/removed queries; exits 0 always — the
-judgement is human, the tool just surfaces the candidates (local timing
-noise at the 0.1-0.3 s floor makes a hard CI gate on wall time flaky by
-construction).
+Default (report) mode prints queries whose time changed by more than the
+threshold (default 1.3x, either direction) plus new/removed queries and
+exits 0 — the judgement is human. `--gate` turns it into a CI check:
+exit 1 if any SHARED query slowed by more than the threshold (default
+1.5x in gate mode) AND by more than the absolute floor (default 0.3 s —
+local timing noise at the 0.1-0.3 s scale makes a pure-ratio gate flaky
+by construction), unless the query is in GATE_ALLOW with a documented
+reason. Totals are reported both overall and restricted to the shared
+query set, so added/removed queries can't masquerade as a regression or
+an improvement.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
+
+# Known, accepted regressions (query -> why). A gate failure on one of
+# these is expected; everything else is a real finding.
+GATE_ALLOW = {
+    # r2 -> r3: hierarchical-block boundedness rework traded 0.43s -> 0.75s
+    # for the recall-preserving block split (suite/similarity.py).
+    "embedding_neardup_pairs": "bounded hierarchical blocking rework (r3)",
+}
 
 
 def _queries(path: str) -> dict:
@@ -29,38 +44,64 @@ def _queries(path: str) -> dict:
     return d["parsed"]["queries"]
 
 
-def main() -> int:
-    if len(sys.argv) < 3:
-        print(__doc__)
-        return 2
-    old = _queries(sys.argv[1])
-    new = _queries(sys.argv[2])
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
-
-    added = sorted(set(new) - set(old))
-    removed = sorted(set(old) - set(new))
-    moved = []
-    for q in sorted(set(old) & set(new)):
+def diff(old: dict, new: dict, threshold: float, floor: float, gate: bool):
+    """Returns (report_lines, gate_failures)."""
+    lines = []
+    failures = []
+    shared = sorted(set(old) & set(new))
+    for q in shared:
         if old[q] <= 0:
             continue
         r = new[q] / old[q]
-        if r > thr or r < 1 / thr:
-            moved.append((q, old[q], new[q], round(r, 2)))
-    moved.sort(key=lambda t: -t[3])
-
-    for q, o, n, r in moved:
-        tag = "SLOWER" if r > 1 else "faster"
-        print(f"{tag} {q}: {o}s -> {n}s ({r}x)")
-    for q in added:
-        print(f"added {q}: {new[q]}s")
-    for q in removed:
-        print(f"removed {q} (was {old[q]}s)")
-    tot_o = sum(old.values())
-    tot_n = sum(new[q] for q in new)
-    print(
+        if r > threshold or r < 1 / threshold:
+            tag = "SLOWER" if r > 1 else "faster"
+            lines.append(f"{tag} {q}: {old[q]}s -> {new[q]}s ({round(r, 2)}x)")
+        if gate and r > threshold and (new[q] - old[q]) > floor:
+            if q in GATE_ALLOW:
+                lines.append(f"allowed regression {q}: {GATE_ALLOW[q]}")
+            else:
+                failures.append(q)
+    for q in sorted(set(new) - set(old)):
+        lines.append(f"added {q}: {new[q]}s")
+    for q in sorted(set(old) - set(new)):
+        lines.append(f"removed {q} (was {old[q]}s)")
+    tot_o, tot_n = sum(old.values()), sum(new.values())
+    sh_o = sum(old[q] for q in shared)
+    sh_n = sum(new[q] for q in shared)
+    lines.append(
         f"\ntotals: old {round(tot_o, 1)}s ({len(old)} queries) -> "
         f"new {round(tot_n, 1)}s ({len(new)} queries)"
     )
+    lines.append(
+        f"shared-only totals ({len(shared)} queries): "
+        f"{round(sh_o, 1)}s -> {round(sh_n, 1)}s"
+    )
+    return lines, failures
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="bench_diff")
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--gate", action="store_true")
+    ap.add_argument("--floor", type=float, default=0.3)
+    args = ap.parse_args(argv)
+    threshold = args.threshold if args.threshold is not None else (
+        1.5 if args.gate else 1.3
+    )
+
+    lines, failures = diff(
+        _queries(args.old), _queries(args.new), threshold, args.floor, args.gate
+    )
+    for ln in lines:
+        print(ln)
+    if failures:
+        print(
+            f"\nGATE FAIL: {len(failures)} unallowed regression(s) "
+            f">{threshold}x and >{args.floor}s: {failures}"
+        )
+        return 1
     return 0
 
 

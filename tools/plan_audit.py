@@ -70,7 +70,15 @@ ALLOW = {
     # construction (the RANGE frame needs the full daily series in order;
     # |days| ~ 2.4k at any corpus size).
     "moving_avg_7d_revenue": {"WindowNoPartition"},
+    # Legitimate multi-pass shapes: >2 scans of one table where the passes
+    # are semantically independent subcomputations, not missed reuse.
+    "setops_priority_customers": {"TableRescan"},  # INTERSECT/EXCEPT compare four differently-filtered slices of orders; each scan pushes its own filter
 }
+
+# training_corpus_funnel carries BOTH a 1-row mix-normalizer BNLJ and three
+# independent corpus passes (doc flags, near-dup pair generation,
+# eval-overlap decontam) feeding one persisted flags table
+ALLOW["training_corpus_funnel"] = ALLOW["training_corpus_funnel"] | {"TableRescan"}
 
 
 def plan_of(df) -> str:
@@ -120,11 +128,28 @@ def audit(name: str, p: str) -> dict:
             ):
                 smells.add("WindowNoPartition")
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", tree, re.M))
-    return {
+    # per-table scan counts: the same parquet table scanned >2x in one plan
+    # is a missed reuse (the q15-style double-scan guard, with one rescan
+    # of headroom for legitimate two-pass shapes like build+probe)
+    per_table: dict[str, int] = {}
+    for block in p.split("\n\n"):
+        if not re.match(r"\(\d+\) Scan parquet", block):
+            continue
+        loc = next((ln for ln in block.splitlines() if "Location:" in ln), "")
+        m = re.search(r"(\w+\.parquet)", loc)
+        tbl = m.group(1) if m else "unknown"
+        per_table[tbl] = per_table.get(tbl, 0) + 1
+    rescanned = {t: c for t, c in per_table.items() if c > 2}
+    if rescanned:
+        smells.add("TableRescan")
+    out = {
         "smells": sorted(smells - ALLOW.get(name, set())),
         "allowed": sorted(smells & ALLOW.get(name, set())),
         "n_scans": n_scans,
     }
+    if rescanned:
+        out["rescans"] = rescanned
+    return out
 
 
 def main() -> int:
