@@ -186,7 +186,6 @@ def ivf_append_batch(
     path: str,
     batch: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> list[int]:
     """Incrementally add a batch of vectors to a persisted index WITHOUT
     rebuilding: assign each vector to its nearest existing centroid (the
@@ -200,18 +199,26 @@ def ivf_append_batch(
     touched list ids (a bounded |n_lists| collect, for cache
     invalidation / compaction scheduling downstream)."""
     centroids = load_centroids(spark, path)
+    # persist: the assignment plan feeds BOTH the touched-list collect and
+    # the write; without it a non-deterministic batch source could be
+    # re-executed differently for each, making the returned touched list
+    # disagree with the partitions actually written
     assigned = _assign(
         batch.withColumn("__v", F.col(vec_col).cast("array<double>")),
         centroids,
         "__v",
-    )
-    touched = [
-        r.list_id for r in assigned.select("list_id").distinct().orderBy("list_id").collect()
-    ]
-    (
-        assigned.drop("__v")
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(f"{path}/{VECTORS_DIR}")
-    )
+    ).persist()
+    try:
+        touched = [
+            r.list_id
+            for r in assigned.select("list_id").distinct().orderBy("list_id").collect()
+        ]
+        (
+            assigned.drop("__v")
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(f"{path}/{VECTORS_DIR}")
+        )
+    finally:
+        assigned.unpersist()
     return touched

@@ -64,14 +64,23 @@ def misra_gries_candidates(df: DataFrame, key: str, m: int) -> DataFrame:
 
 
 def heavy_hitters(df: DataFrame, key: str, k: int, m: int | None = None) -> DataFrame:
-    """All keys with count > N/k, with exact counts: MG candidates (pass
-    1) then an exact count restricted to candidates (pass 2). ``m``
-    (counters per partition, default 4k) must be >= k for the
-    completeness guarantee. Output: (key, cnt) — at most k-1 rows."""
+    """All NON-NULL keys with count > N/k, with exact counts: MG
+    candidates (pass 1) then an exact count restricted to candidates
+    (pass 2). ``m`` (counters per partition, default 4k) must be >= k for
+    the completeness guarantee. Output: (key, cnt) — at most k-1 rows.
+
+    Null keys are OUT OF CONTRACT by explicit filter (and excluded from
+    N): pandas value_counts drops NaN in pass 1 and the pass-2 equi-join
+    never matches null, so without the filter a null key over the
+    threshold would be silently missed — diverging from a SQL GROUP BY,
+    which reports the NULL group. Callers who care about a null hot key
+    should fillna a sentinel before calling."""
     m = 4 * k if m is None else m
     if m < k:
         raise ValueError(f"m={m} must be >= k={k} for completeness")
-    keyed = df.select(F.col(key).cast("string").alias(key))
+    keyed = df.select(F.col(key).cast("string").alias(key)).filter(
+        F.col(key).isNotNull()
+    )
     cand = misra_gries_candidates(keyed, key, m)
     total = keyed.agg(F.count(F.lit(1)).alias("__n"))
     return (

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from . import (
     advanced,
+    ann_recall,
     chunking,
     clustering,
     contamination,
@@ -52,6 +53,7 @@ _MODULES = [
     lm_stats,
     dedup,
     similarity,
+    ann_recall,
     embedding_store,
     geo,
     stream_windows,

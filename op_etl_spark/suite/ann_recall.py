@@ -1,0 +1,253 @@
+"""IVF recall gate: recall@k of partition-pruned IVF search against the
+brute-force exact top-k, as an ORACLE-CHECKED query.
+
+The persisted IVF index (operators/ann_index.py:64,144) had build/search/
+append tests but no declared recall measurement — this module closes that:
+`ivf_recall_at_k` runs the same pipeline shape END TO END (deterministic
+seeding -> Lloyd iterations -> nearest-centroid assignment -> rank lists
+per probe -> search only the nprobe nearest lists -> top-k -> recall vs
+exact top-k) declaratively, with a DuckDB twin, so the recall fraction
+itself is hash-gated every round. tests/test_ann_index.py separately pins
+the persisted-index operator's recall on the same corpus.
+
+Cross-engine determinism: every distance/dot is computed on 1e-6-quantized
+integer-valued doubles (micro-units). Products are < 1e13 and 64-dim sums
+< 1e15 — all integers below 2^53, so double arithmetic is EXACT and
+argmin/top-k orderings are bit-identical on both engines; the only
+non-integer outputs are sqrt/divide applied to identical inputs.
+Centroid updates round the per-position mean back onto the micro grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_unit, hash_unit_sql
+from ._util import read_table
+
+RECALL_N_LISTS = 8
+RECALL_ITERS = 2
+RECALL_NPROBE = 2
+RECALL_K = 10
+RECALL_N_PROBES = 10  # probe set: vec_id < 10
+_QSCALE = 1_000_000
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings", fan=True)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * _QSCALE + F.lit(0.5)).cast("double"),
+    )
+    return e.select("vec_id", q.alias("q"))
+
+
+def _sqdist(a, b):
+    # |a|^2 + |b|^2 - 2 a.b — every term exact on integer-valued doubles
+    return _dot(a, a) + _dot(b, b) - 2 * _dot(a, b)
+
+
+def _assign_to(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmin_list sqdist(q, c); ties to the lowest list id."""
+    scored = qv.join(F.broadcast(cents)).withColumn(
+        "d", _sqdist(F.col("q"), F.col("c"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "list_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "list_id")
+    )
+
+
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@10 of nprobe=2 IVF search over an 8-list index
+    (deterministic seeds, 2 Lloyd rounds) vs the exact cosine top-10 —
+    the measured answer to 'what does partition pruning cost in recall?'
+    for the persisted index operator (operators/ann_index.py:144).
+
+    Plan shape: the quantized corpus is localCheckpoint-ed (ONE embeddings
+    scan feeds seeding, every Lloyd round, probing, and both search arms);
+    centroids live in an 8-row broadcast table; per-round update is one
+    posexplode groupBy; the search arms are a broadcast join of the
+    10-probe set onto (pruned or full) candidates + a per-probe top-k
+    window. At 100 TB the IVF arm reads nprobe/n_lists of the corpus —
+    exactly the production ivf_search partition-pruning contract."""
+    qv = _quantized(spark, sf_dir).localCheckpoint()
+    seeds = (
+        qv.orderBy(hash_unit(F.col("vec_id"), "ivf-seed"), F.col("vec_id"))
+        .limit(RECALL_N_LISTS)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, list(r.q)) for i, r in enumerate(seeds)], "list_id int, c array<double>"
+    )
+    for _ in range(RECALL_ITERS):
+        assigned = _assign_to(qv, cents)
+        upd = (
+            assigned.select("list_id", F.posexplode("q").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5)).cast("double").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+            .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("cu"))
+        )
+        cents = (
+            cents.join(upd, "list_id", "left")
+            .select("list_id", F.coalesce("cu", "c").alias("c"))
+            .localCheckpoint()  # 8 rows; keeps the loop plan flat
+        )
+    alist = _assign_to(qv, cents).localCheckpoint()
+
+    probes = qv.filter(F.col("vec_id") < RECALL_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    pscore = probes.join(F.broadcast(cents)).withColumn(
+        "d", _sqdist(F.col("pq"), F.col("c"))
+    )
+    wpl = W.partitionBy("probe_id").orderBy("d", "list_id")
+    plists = (
+        pscore.withColumn("rn", F.row_number().over(wpl))
+        .filter(F.col("rn") <= RECALL_NPROBE)
+        .select("probe_id", "pq", "list_id")
+    )
+
+    cos = _dot(F.col("pq"), F.col("q")) / (
+        F.sqrt(_dot(F.col("pq"), F.col("pq"))) * F.sqrt(_dot(F.col("q"), F.col("q")))
+    )
+    wk = W.partitionBy("probe_id").orderBy(F.desc("cos"), "cand_id")
+
+    ivf_cand = (
+        plists.join(alist, "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), cos.alias("cos"))
+    )
+    ivfk = (
+        ivf_cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("probe_id", "cand_id")
+    )
+
+    bf_cand = (
+        qv.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), cos.alias("cos"))
+    )
+    bfk = (
+        bf_cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("probe_id", "cand_id")
+    )
+
+    hit = ivfk.withColumn("hit", F.lit(1))
+    return (
+        bfk.join(hit, ["probe_id", "cand_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(RECALL_K))).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+_SQD = (
+    "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+    " - 2 * list_dot_product({a}, {b}))"
+)
+
+
+def _duck_lloyd() -> str:
+    """Unrolled CTE chain: qv, seeds/c0, then per-round assignment aN +
+    update cN, mirroring the Spark loop step for step."""
+    parts = [
+        f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {_QSCALE} + 0.5)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT list_id, q AS c FROM (
+    SELECT q, row_number() OVER (
+      ORDER BY {hash_unit_sql("vec_id", "ivf-seed")}, vec_id) - 1 AS list_id
+    FROM qv)
+  WHERE list_id < {RECALL_N_LISTS})"""
+    ]
+    for i in range(RECALL_ITERS):
+        d = _SQD.format(a="v.q", b="l.c")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, q, list_id FROM (
+    SELECT v.vec_id, v.q, l.list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d}, l.list_id) AS rn
+    FROM qv v CROSS JOIN c{i} l)
+  WHERE rn = 1),
+u{i} AS (
+  SELECT list_id, list(m ORDER BY pos) AS cu FROM (
+    SELECT list_id, pos, floor(sum(val) / count(*) + 0.5) AS m
+    FROM (SELECT list_id, generate_subscripts(q, 1) AS pos, unnest(q) AS val
+          FROM a{i})
+    GROUP BY 1, 2)
+  GROUP BY 1),
+c{i + 1} AS (
+  SELECT s.list_id, CASE WHEN u.cu IS NULL THEN s.c ELSE u.cu END AS c
+  FROM c{i} s LEFT JOIN u{i} u USING (list_id))""")
+    return ",\n".join(parts)
+
+
+_CF = RECALL_ITERS  # final centroid table index
+
+ORACLE_IVF_RECALL = f"""
+WITH {_duck_lloyd()},
+alist AS (
+  SELECT vec_id, q, list_id FROM (
+    SELECT v.vec_id, v.q, l.list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_SQD.format(a="v.q", b="l.c")}, l.list_id) AS rn
+    FROM qv v CROSS JOIN c{_CF} l)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < {RECALL_N_PROBES}),
+plists AS (
+  SELECT probe_id, pq, list_id FROM (
+    SELECT p.probe_id, p.pq, l.list_id,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {_SQD.format(a="p.pq", b="l.c")}, l.list_id) AS rn
+    FROM probes p CROSS JOIN c{_CF} l)
+  WHERE rn <= {RECALL_NPROBE}),
+ivfk AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT pl.probe_id, v.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY pl.probe_id ORDER BY
+             list_dot_product(pl.pq, v.q)
+               / (sqrt(list_dot_product(pl.pq, pl.pq))
+                  * sqrt(list_dot_product(v.q, v.q))) DESC, v.vec_id) AS rn
+    FROM plists pl JOIN alist v USING (list_id)
+    WHERE v.vec_id != pl.probe_id)
+  WHERE rn <= {RECALL_K}),
+bfk AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT p.probe_id, v.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+             list_dot_product(p.pq, v.q)
+               / (sqrt(list_dot_product(p.pq, p.pq))
+                  * sqrt(list_dot_product(v.q, v.q))) DESC, v.vec_id) AS rn
+    FROM probes p CROSS JOIN qv v
+    WHERE v.vec_id != p.probe_id)
+  WHERE rn <= {RECALL_K})
+SELECT b.probe_id,
+       CAST(sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap,
+       sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) / {float(RECALL_K)} AS recall
+FROM bfk b LEFT JOIN ivfk i USING (probe_id, cand_id)
+GROUP BY 1
+"""
+
+
+QUERIES = {"ivf_recall_at_k": ivf_recall_at_k}
+ORACLE = {"ivf_recall_at_k": ORACLE_IVF_RECALL}

@@ -83,3 +83,17 @@ def test_mg_batched_merge_matches_single_batch():
     one = run([pd.DataFrame({"key": rows})], 8)
     many = run([pd.DataFrame({"key": rows[i : i + 10]}) for i in range(0, 90, 10)], 8)
     assert "hot" in one and "hot" in many
+
+
+def test_null_keys_are_out_of_contract(spark):
+    """A null key over the threshold is explicitly filtered (documented
+    contract), not silently half-handled: it never appears in the output,
+    and it does not inflate N for the other keys' threshold."""
+    from pyspark.sql import functions as F
+
+    rows = [("a",)] * 60 + [(None,)] * 500 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = {(r.key, r.cnt) for r in heavy_hitters(df, "key", k=3, m=50).collect()}
+    # N excludes nulls: N=63, threshold 21 -> only 'a' qualifies. If nulls
+    # counted toward N (563 -> threshold 187), nothing would qualify.
+    assert got == {("a", 60)}
