@@ -81,3 +81,36 @@ class TestAllowlist:
         res = audit("moving_avg_7d_revenue", _plan(WIN_ORDER_ONLY))
         assert res["smells"] == []
         assert res["allowed"] == ["WindowNoPartition"]
+
+
+SCAN_BLOCK = (
+    "({n}) Scan parquet\n"
+    "Output [2]: [a#1L, b#2L]\n"
+    "Location: InMemoryFileIndex [file:/root/testdata/sf0.001/{tbl}.parquet]"
+)
+
+
+class TestTableRescan:
+    def _scans(self, *tbls):
+        return _plan(*[SCAN_BLOCK.format(n=i + 1, tbl=t) for i, t in enumerate(tbls)])
+
+    def test_two_scans_of_one_table_is_fine(self):
+        res = audit("x", self._scans("documents", "documents"))
+        assert res["smells"] == []
+        assert "rescans" not in res
+
+    def test_three_scans_of_one_table_flagged_with_counts(self):
+        res = audit("x", self._scans("documents", "documents", "documents", "orders"))
+        assert res["smells"] == ["TableRescan"]
+        assert res["rescans"] == {"documents.parquet": 3}
+
+    def test_many_tables_scanned_once_is_fine(self):
+        res = audit("x", self._scans("orders", "lineitem", "customer", "nation"))
+        assert res["smells"] == []
+
+    def test_allowlisted_rescan_moves_to_allowed(self):
+        res = audit(
+            "setops_priority_customers", self._scans("orders", "orders", "orders")
+        )
+        assert res["smells"] == []
+        assert res["allowed"] == ["TableRescan"]

@@ -22,8 +22,18 @@ Two probe families:
                     farther point on the curve. Documents AND embeddings
                     are fanned out (embeddings per-copy rotated so copies
                     are near-orthogonal, not 32x cross-copy duplicates).
+  geo             — the spatial near-join at CONSTANT DENSITY: fanning k
+                    event copies into the same coordinate area multiplies
+                    point density by k, so qualifying pairs grow ~k^2 by
+                    geometry and a naive probe measures output size, not
+                    the operator. This family translates each copy's
+                    points into its own disjoint coordinate tile (copy
+                    index = event_id div KEY_SHIFT), keeping density —
+                    and so pairs-per-point — constant while the corpus
+                    grows k-fold. Also reports the per-cell density cap's
+                    exclusion fraction at both scales.
 
-Usage: python tools/scale_probe.py [K] [base_sf_dir] [main|pairs]
+Usage: python tools/scale_probe.py [K] [base_sf_dir] [main|pairs|geo]
 Writes one JSON line; the caller merges it into SCALE_PROBE.json.
 """
 
@@ -126,12 +136,16 @@ def materialize_scaled(spark, base: str, out: str, k: int,
             out_df = out_df.unionByName(c)
         return out_df
 
+    ev_raw = spark.read.parquet(f"{base}/events.parquet")
+    fan(ev_raw, ["event_id"]).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    if family == "geo":
+        # the geo family reads only events (+ the copied dims above);
+        # skip the expensive documents/embeddings/fact fan-out entirely
+        return
     orders = spark.read.parquet(f"{base}/orders.parquet")
     fan(orders, ["o_orderkey"]).write.mode("overwrite").parquet(f"{out}/orders.parquet")
     li = spark.read.parquet(f"{base}/lineitem.parquet")
     fan(li, ["l_orderkey"]).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    ev_raw = spark.read.parquet(f"{base}/events.parquet")
-    fan(ev_raw, ["event_id"]).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     # documents: shift doc_id AND decorrelate the text per copy by
     # suffixing EVERY word with a copy tag. An earlier version appended a
@@ -205,6 +219,61 @@ def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
     return times
 
 
+GEO_TILE_STRIDE = 810_000.0  # > the 800k x-span: copies land in disjoint tiles
+
+
+def _const_density_points(spark, sf_dir: str):
+    """_synth_points with each fan copy translated into its own x-tile, so
+    point density (and hence near-join output per point) is scale-invariant."""
+    from op_etl_spark.session import read_events
+    from op_etl_spark.suite.geo import _synth_points
+
+    pts = _synth_points(read_events(spark, sf_dir))
+    tile = F.floor(F.col("event_id") / F.lit(KEY_SHIFT)).cast("double")
+    return pts.withColumn("x", F.col("x") + tile * F.lit(GEO_TILE_STRIDE))
+
+
+def geo_probe(spark, base: str, scaled: str, k: int) -> dict:
+    from op_etl_spark.suite.geo import GRID_CELL_CAP, GRID_DIST, grid_pairs
+
+    report = {}
+    for tag, sf_dir in (("1x", base), ("kx", scaled)):
+        pts = _const_density_points(spark, sf_dir)
+        q = grid_pairs(pts, GRID_DIST, GRID_CELL_CAP)
+        q.write.format("noop").mode("overwrite").save()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        n_pts = pts.count()
+        n_pairs = q.count()
+        # cap exclusion fraction: points whose home cell exceeds the cap
+        cell = pts.select(
+            (F.floor(F.col("x") / GRID_DIST)).alias("cx"),
+            (F.floor(F.col("y") / GRID_DIST)).alias("cy"),
+        )
+        n_kept = (
+            cell.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= GRID_CELL_CAP)
+            .agg(F.sum("n"))
+            .collect()[0][0]
+            or 0
+        )
+        report[tag] = {
+            "t": round(best, 3),
+            "n_points": n_pts,
+            "n_pairs": n_pairs,
+            "pairs_per_point": round(n_pairs / n_pts, 3) if n_pts else None,
+            "cap_excluded_frac": round(1.0 - n_kept / n_pts, 5) if n_pts else None,
+        }
+        print(f"  geo {tag}: {report[tag]}", file=sys.stderr, flush=True)
+    report["ratio"] = round(report["kx"]["t"] / report["1x"]["t"], 2)
+    return report
+
+
 def grade(median_ratio: float, k: int) -> str:
     if median_ratio > k:
         return "SUPERLINEAR"
@@ -225,6 +294,22 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     materialize_scaled(spark, base, scaled, k, family)
+    if family == "geo":
+        geo = geo_probe(spark, base, scaled, k)
+        report = {
+            "k": k,
+            "base": base,
+            "family": "geo",
+            "grid_distance_pairs_const_density": geo,
+            "verdict": grade(geo["ratio"], k),
+        }
+        print(json.dumps(report))
+        out_path = os.environ.get(
+            "SCALE_PROBE_OUT", f"/tmp/scale_probe_{family}_x{k}.json"
+        )
+        with open(out_path, "w") as f:
+            f.write(json.dumps(report) + "\n")
+        return
     queries = suite.all_queries()
 
     t1 = time_queries(spark, queries, names, base)
