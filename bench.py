@@ -97,6 +97,10 @@ HEADLINE = [
     # staleness-bounded as-of; quality-proportional importance sampling
     "asof_tolerance_join",
     "quality_weighted_sample",
+    # ANN recall gate (seed -> Lloyd -> prune -> top-k -> recall, measured
+    # end to end) and pointer-doubling connected components
+    "ivf_recall_at_k",
+    "dedup_cc_assign",
 ]
 
 

@@ -175,7 +175,7 @@ def _pair_cosine(a_emb, b_emb):
     return _dot(a_emb, b_emb) / (_norm(a_emb) * _norm(b_emb))
 
 
-NEARDUP_LEVELS = (4, 8, 12, 16)  # sign-bit prefix lengths, coarse -> fine
+NEARDUP_LEVELS = (4, 8, 12, 16, 20, 24)  # sign-bit prefix lengths, coarse -> fine
 NEARDUP_MAX_BITS = NEARDUP_LEVELS[-1]
 EMB_BLOCK_CAP = 1024  # max block size before pair expansion (terminal backstop)
 
@@ -228,35 +228,28 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("bn"))
         .localCheckpoint()
     )
-    b = blocks
-    for m in NEARDUP_LEVELS:
-        cm = (
-            blocks.groupBy("label", (F.col("pfull") % F.lit(2 ** m)).alias(f"p{m}"))
-            .agg(F.sum("bn").alias(f"c{m}"))
-        )
-        b = b.withColumn(f"p{m}", F.col("pfull") % F.lit(2 ** m)).join(
-            cm, ["label", f"p{m}"]
-        )
-    lvl = None
-    for m in NEARDUP_LEVELS[:-1]:
-        cond = F.when(F.col(f"c{m}") <= EMB_BLOCK_CAP, F.lit(m))
-        lvl = cond if lvl is None else lvl.when(F.col(f"c{m}") <= EMB_BLOCK_CAP, F.lit(m))
-    lvl = lvl.otherwise(F.lit(NEARDUP_LEVELS[-1]))
-    bkey = None
-    for m in NEARDUP_LEVELS:
-        cond_val = F.col("pfull") % F.lit(2 ** m)
-        bkey = (
-            F.when(lvl == m, cond_val) if bkey is None else bkey.when(lvl == m, cond_val)
-        )
+    # one (block x level) explode + one count aggregate + one argmin —
+    # NOT a join per level (6 sequential shuffle joins cost ~1s of pure
+    # per-stage overhead at local scale for identical semantics). A block
+    # keeps the SHALLOWEST level whose prefix population fits the cap;
+    # min-over-struct ignores the nulls from over-cap levels, and a block
+    # with NO qualifying level (sign-identical past the deepest split) is
+    # the terminal backstop drop.
+    lv = F.explode(F.array(*[F.lit(m) for m in NEARDUP_LEVELS])).alias("lvl")
+    exploded = blocks.select("label", "pfull", "bn", lv).withColumn(
+        "pref", F.col("pfull") % F.pow(F.lit(2.0), F.col("lvl")).cast("long")
+    )
+    counts = exploded.groupBy("label", "lvl", "pref").agg(F.sum("bn").alias("c"))
     keymap = (
-        b.withColumn("lvl", lvl)
-        .withColumn("bkey", bkey)
-        # terminal backstop: only a deepest-level block still over cap drops
-        .filter(
-            (F.col("lvl") < NEARDUP_MAX_BITS)
-            | (F.col(f"c{NEARDUP_MAX_BITS}") <= EMB_BLOCK_CAP)
+        exploded.join(counts, ["label", "lvl", "pref"])
+        .groupBy("label", "pfull")
+        .agg(
+            F.min(
+                F.when(F.col("c") <= EMB_BLOCK_CAP, F.struct("lvl", "pref"))
+            ).alias("t")
         )
-        .select("label", "pfull", "lvl", "bkey")
+        .filter(F.col("t").isNotNull())
+        .select("label", "pfull", F.col("t.lvl").alias("lvl"), F.col("t.pref").alias("bkey"))
         .localCheckpoint()
     )
     e3 = e2.join(keymap, ["label", "pfull"]).select("label", "lvl", "bkey", "vec_id", "emb")
