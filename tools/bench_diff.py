@@ -31,7 +31,7 @@ import sys
 GATE_ALLOW = {
     # r2 -> r3: hierarchical-block boundedness rework traded 0.43s -> 0.75s
     # for the recall-preserving block split (suite/similarity.py).
-    "embedding_neardup_pairs": "bounded hierarchical blocking rework (r3)",
+    "embedding_neardup_pairs": "recall-preserving hierarchical split rework (r3-r4): over-cap blocks now pay for the pairs the old drop-based cap lost",
 }
 
 
