@@ -61,6 +61,31 @@ def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFr
     )
 
 
+def _lloyd(vecs: DataFrame, centroids: list[list[float]], iters: int) -> list[list[float]]:
+    """Lloyd iterations over `vecs` (must carry `__v`): assign (narrow) ->
+    quantized per-(list, pos) mean (one shuffle) -> collect n_lists tiny
+    rows to the driver. Mean via exact scaled-integer sums (1e-6 quantized
+    values), not F.avg: double summation order varies with partitioning,
+    and ulp-level centroid drift flips boundary vectors between lists —
+    breaking the promised build reproducibility."""
+    q = F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long")
+    n_lists = len(centroids)
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids, "__v")
+        rows = (
+            assigned.select("list_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg((F.sum(q) / F.lit(1000000.0) / F.count(F.lit(1))).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+            .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        updated = {r.list_id: list(r.c) for r in rows}
+        centroids = [updated.get(i, centroids[i]) for i in range(n_lists)]
+    return centroids
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -73,9 +98,7 @@ def build_ivf_index(
 
     Layout: {path}/vectors/list_id=K/*.parquet (the corpus, partitioned by
     assigned list) and {path}/centroids/*.parquet (list_id, centroid).
-    Returns the final centroids. Each Lloyd iteration is one job: assign
-    (narrow) -> groupBy(list, pos) mean (one shuffle) -> collect n_lists
-    tiny rows to the driver."""
+    Returns the final centroids."""
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v")).persist()
     try:
         seeds = (
@@ -84,27 +107,9 @@ def build_ivf_index(
             .collect()
         )
         centroids = [list(r["__v"]) for r in seeds]
-        n_lists = len(centroids)  # corpus smaller than requested lists
         if not centroids:
             raise ValueError("cannot build an IVF index over an empty corpus")
-        # Mean via exact scaled-integer sums (1e-6 quantized values), not
-        # F.avg: double summation order varies with partitioning, and
-        # ulp-level centroid drift flips boundary vectors between lists —
-        # breaking the promised build reproducibility.
-        q = F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long")
-        for _ in range(iters):
-            assigned = _assign(vecs, centroids, "__v")
-            rows = (
-                assigned.select("list_id", F.posexplode("__v").alias("pos", "val"))
-                .groupBy("list_id", "pos")
-                .agg((F.sum(q) / F.lit(1000000.0) / F.count(F.lit(1))).alias("m"))
-                .groupBy("list_id")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
-                .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("c"))
-                .collect()
-            )
-            updated = {r.list_id: list(r.c) for r in rows}
-            centroids = [updated.get(i, centroids[i]) for i in range(n_lists)]
+        centroids = _lloyd(vecs, centroids, iters)
 
         final = _assign(
             df.withColumn("__v", F.col(vec_col).cast("array<double>")), centroids, "__v"
@@ -217,6 +222,260 @@ def ivf_append_batch(
             assigned.drop("__v")
             .write.mode("append")
             .partitionBy("list_id")
+            .parquet(f"{path}/{VECTORS_DIR}")
+        )
+    finally:
+        assigned.unpersist()
+    return touched
+
+
+# --- two-level IVF (coarse -> fine), the very-large-codebook scale path ---
+#
+# The flat index's assignment cost is O(n x n_lists) distance evaluations.
+# That is fine while the codebook is small, but at 100 TB the list count
+# must scale with the corpus (to keep list sizes bounded, n_lists ~ n /
+# target_list_size), which turns flat assignment quadratic in corpus
+# size. The standard fix (FAISS's IVF with a two-level / multi-index
+# quantizer) is a hierarchical codebook: n_coarse cells, each with its own
+# n_fine sub-codebook. Assignment is O(n x (n_coarse + n_fine)) — for the
+# same total list count L = n_coarse * n_fine, that is O(n * 2 * sqrt(L))
+# instead of O(n * L). Search prunes on BOTH partition columns
+# (coarse_id, fine_id), so a probe reads p_coarse*p_fine/L of the data.
+
+CENTROIDS_COARSE_DIR = "centroids_coarse"
+CENTROIDS_FINE_DIR = "centroids_fine"
+
+
+def _assign_fine(df: DataFrame, fine: dict[int, list[list[float]]], vec_col: str) -> DataFrame:
+    """argmin over the row's OWN cell's sub-codebook: a coarse_id-dispatched
+    when-chain of centroid-literal argmins — narrow, no shuffle, and each
+    row evaluates only its matching branch (n_fine distances, not
+    n_coarse*n_fine). With very large n_coarse you would switch this
+    literal dispatch to a broadcast join on coarse_id; the cost contract
+    (n_fine distances per row) is the same."""
+    expr = None
+    for c, cl in sorted(fine.items()):
+        cents = _centroid_literal(cl)
+        dists = F.transform(
+            cents,
+            lambda cc: F.aggregate(
+                F.zip_with(F.col(vec_col), cc, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        )
+        am = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        cond = F.col("coarse_id") == c
+        expr = F.when(cond, am) if expr is None else expr.when(cond, am)
+    return df.withColumn("fine_id", expr)
+
+
+def build_ivf2_index(
+    df: DataFrame,
+    path: str,
+    n_coarse: int = 8,
+    n_fine: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[int, list[list[float]]]:
+    """Two-level IVF build. Layout:
+    {path}/vectors/coarse_id=C/fine_id=F/*.parquet plus two centroid
+    tables. Coarse codebook = the same deterministic Lloyd as the flat
+    build; fine codebooks are trained for ALL cells at once (seeds via a
+    per-cell row_number window, update via one quantized
+    (coarse, fine, pos) mean shuffle per iteration — never one job per
+    cell). Returns {coarse_id: fine_centroids}."""
+    from pyspark.sql import Window as W
+
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v")).persist()
+    try:
+        seeds = (
+            vecs.orderBy(hash_unit(F.col(id_col), "ivf-seed"), F.col(id_col))
+            .limit(n_coarse)
+            .collect()
+        )
+        coarse = [list(r["__v"]) for r in seeds]
+        if not coarse:
+            raise ValueError("cannot build an IVF index over an empty corpus")
+        coarse = _lloyd(vecs, coarse, iters)
+
+        cvecs = _assign(vecs, coarse, "__v").withColumnRenamed("list_id", "coarse_id")
+        w = W.partitionBy("coarse_id").orderBy(
+            hash_unit(F.col(id_col), "ivf2-fine-seed"), F.col(id_col)
+        )
+        seed_rows = (
+            cvecs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_fine)
+            .select("coarse_id", (F.col("rn") - 1).alias("fine_id"), "__v")
+            .collect()
+        )
+        fine: dict[int, list[list[float]]] = {}
+        for r in sorted(seed_rows, key=lambda r: (r.coarse_id, r.fine_id)):
+            fine.setdefault(r.coarse_id, []).append(list(r["__v"]))
+
+        q = F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long")
+        for _ in range(iters):
+            assigned = _assign_fine(cvecs, fine, "__v")
+            rows = (
+                assigned.select(
+                    "coarse_id", "fine_id", F.posexplode("__v").alias("pos", "val")
+                )
+                .groupBy("coarse_id", "fine_id", "pos")
+                .agg((F.sum(q) / F.lit(1000000.0) / F.count(F.lit(1))).alias("m"))
+                .groupBy("coarse_id", "fine_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+                .select(
+                    "coarse_id",
+                    "fine_id",
+                    F.transform("pairs", lambda s: s["m"]).alias("c"),
+                )
+                .collect()
+            )
+            updated = {(r.coarse_id, r.fine_id): list(r.c) for r in rows}
+            fine = {
+                c: [updated.get((c, f), cl[f]) for f in range(len(cl))]
+                for c, cl in fine.items()
+            }
+
+        final = _assign_fine(
+            _assign(
+                df.withColumn("__v", F.col(vec_col).cast("array<double>")),
+                coarse,
+                "__v",
+            ).withColumnRenamed("list_id", "coarse_id"),
+            fine,
+            "__v",
+        )
+        (
+            final.drop("__v")
+            .write.mode("overwrite")
+            .partitionBy("coarse_id", "fine_id")
+            .parquet(f"{path}/{VECTORS_DIR}")
+        )
+    finally:
+        vecs.unpersist()
+    spark = df.sparkSession
+    c_structs = [
+        F.struct(F.lit(i).alias("coarse_id"),
+                 F.array(*[F.lit(float(v)) for v in c]).alias("centroid"))
+        for i, c in enumerate(coarse)
+    ]
+    (
+        spark.range(1)
+        .select(F.explode(F.array(*c_structs)).alias("s"))
+        .select("s.coarse_id", "s.centroid")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{CENTROIDS_COARSE_DIR}")
+    )
+    f_structs = [
+        F.struct(F.lit(c).alias("coarse_id"), F.lit(f).alias("fine_id"),
+                 F.array(*[F.lit(float(v)) for v in cl[f]]).alias("centroid"))
+        for c, cl in sorted(fine.items())
+        for f in range(len(cl))
+    ]
+    (
+        spark.range(1)
+        .select(F.explode(F.array(*f_structs)).alias("s"))
+        .select("s.coarse_id", "s.fine_id", "s.centroid")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{CENTROIDS_FINE_DIR}")
+    )
+    return fine
+
+
+def _load_ivf2_codebooks(spark: SparkSession, path: str):
+    coarse = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{path}/{CENTROIDS_COARSE_DIR}")
+        .orderBy("coarse_id")
+        .collect()
+    ]
+    fine: dict[int, list[list[float]]] = {}
+    for r in (
+        spark.read.parquet(f"{path}/{CENTROIDS_FINE_DIR}")
+        .orderBy("coarse_id", "fine_id")
+        .collect()
+    ):
+        fine.setdefault(r.coarse_id, []).append(list(r.centroid))
+    return coarse, fine
+
+
+def ivf2_search(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    p_coarse: int = 2,
+    p_fine: int = 4,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine among the p_coarse nearest coarse cells' p_fine
+    nearest sub-lists. Both codebook rankings are driver-side (bounded);
+    the corpus scan carries literal coarse_id/fine_id predicates — both
+    partition columns, so unprobed directories are never listed."""
+    coarse, fine = _load_ivf2_codebooks(spark, path)
+    qn = math.sqrt(sum(v * v for v in query))
+
+    def cos_to(c: list[float]) -> float:
+        cn = math.sqrt(sum(v * v for v in c))
+        d = sum(x * y for x, y in zip(query, c))
+        return d / (qn * cn) if qn and cn else -1.0
+
+    cids = sorted(range(len(coarse)), key=lambda i: (-cos_to(coarse[i]), i))[:p_coarse]
+    pred = None
+    for c in cids:
+        fl = fine.get(c, [])
+        fids = sorted(range(len(fl)), key=lambda f: (-cos_to(fl[f]), f))[:p_fine]
+        leg = (F.col("coarse_id") == c) & F.col("fine_id").isin(fids)
+        pred = leg if pred is None else pred | leg
+
+    vecs = spark.read.parquet(f"{path}/{VECTORS_DIR}").filter(pred)
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    emb = F.col(vec_col).cast("array<double>")
+    cos = _dot(emb, qcol) / (F.sqrt(_dot(emb, emb)) * F.lit(qn))
+    return (
+        vecs.withColumn("cosine", cos)
+        .select(id_col, "coarse_id", "fine_id", "cosine")
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(topk)
+    )
+
+
+def ivf2_append_batch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[int, int]]:
+    """Frozen-codebook append for the two-level index: assign coarse then
+    fine, append parquet into exactly the touched (coarse, fine)
+    partitions. Same contract as ivf_append_batch."""
+    coarse, fine = _load_ivf2_codebooks(spark, path)
+    assigned = _assign_fine(
+        _assign(
+            batch.withColumn("__v", F.col(vec_col).cast("array<double>")),
+            coarse,
+            "__v",
+        ).withColumnRenamed("list_id", "coarse_id"),
+        fine,
+        "__v",
+    ).persist()
+    try:
+        touched = [
+            (r.coarse_id, r.fine_id)
+            for r in assigned.select("coarse_id", "fine_id")
+            .distinct()
+            .orderBy("coarse_id", "fine_id")
+            .collect()
+        ]
+        (
+            assigned.drop("__v")
+            .write.mode("append")
+            .partitionBy("coarse_id", "fine_id")
             .parquet(f"{path}/{VECTORS_DIR}")
         )
     finally:
