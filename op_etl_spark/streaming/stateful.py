@@ -70,6 +70,13 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     """events(ts timestamp, user_id, event_id, ...) -> per-session rows,
     re-emitted as sessions grow. Works on streaming DataFrames; for a
     batch DataFrame use the window-function twin in the suite."""
+    from op_etl_spark.session import ensure_shipped
+
+    # _sessionize_group is a module-level function, so workers deserialize
+    # it BY REFERENCE and must be able to import op_etl_spark — under an
+    # externally-created session from a foreign cwd that needs the package
+    # zip shipped (same contract as the source connectors / geometry UDFs)
+    ensure_shipped(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=OUTPUT_DDL,
