@@ -188,13 +188,151 @@ def byte_entropy_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURES_DDL)
 
 
-# --- resize (real-or-raise stub + deterministic fake) ---
+# --- raw-raster kernels (REAL image math, no codec needed) ---
+#
+# Decoding a compressed format needs a codec library; OPERATING on a
+# decoded raster does not. Production pipelines run decode once and then
+# chains of raster kernels (resize, crop, normalize) on raw uint8 arrays
+# — that second stage is implemented here for real: numpy over Arrow
+# batches, deterministic, oracle-checkable (the suite replays
+# nearest-neighbor indexing arithmetic in DuckDB byte-for-byte).
+
+RAW_DDL = "media_id bigint, height int, width int, channels int, content binary"
+
+RESIZED_CHECK_DDL = (
+    "media_id bigint, src_h int, src_w int, n_bytes int, "
+    "byte_sum bigint, tl int, br int"
+)
+
+
+def raw_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw uint8 RGB rasters derived from `documents`:
+    dims (8..15 x 8..15 x 3) from the two leading text bytes, buffer =
+    text bytes cycled to h*w*3. Construction is pure column expressions
+    (repeat + substring + encode) — the raster bytes never touch Python
+    until a kernel consumes them."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = (F.lit(8) + F.ascii(F.substring("text", 1, 1)) % 8).cast("int")
+    w = (F.lit(8) + F.ascii(F.substring("text", 2, 1)) % 8).cast("int")
+    return (
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            h.alias("height"),
+            w.alias("width"),
+            F.lit(3).alias("channels"),
+            "text",
+        )
+        .withColumn("target", (F.col("height") * F.col("width") * 3).cast("int"))
+        .withColumn(
+            "content",
+            F.encode(
+                F.expr(
+                    "substring(repeat(text, CAST(target / length(text) AS INT) + 1),"
+                    " 1, target)"
+                ),
+                "UTF-8",
+            ),
+        )
+        .drop("text", "target")
+    )
+
+
+def resize_raw_nearest(raw: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize of raw (h, w, c) uint8 rasters.
+    Source index = (i * src_dim) // out_dim (pure integer arithmetic, so
+    the suite's DuckDB oracle replays it exactly). Returns the resized
+    raster plus integrity projections (byte_sum, corner bytes) computed
+    in the same kernel."""
+    from op_etl_spark.session import ensure_shipped
+
+    ensure_shipped(raw.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, hh, ww, cc, buf in zip(
+                pdf["media_id"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["content"],
+            ):
+                img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(hh, ww, cc)
+                ry = (np.arange(out_h) * hh) // out_h
+                rx = (np.arange(out_w) * ww) // out_w
+                out = img[ry][:, rx]
+                rows.append(
+                    {
+                        "media_id": mid, "src_h": int(hh), "src_w": int(ww),
+                        "n_bytes": int(out.size),
+                        "byte_sum": int(out.sum(dtype=np.int64)),
+                        "tl": int(out[0, 0, 0]), "br": int(out[-1, -1, -1]),
+                        "content": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "src_h", "src_w", "n_bytes",
+                         "byte_sum", "tl", "br", "content"],
+            )
+
+    return raw.mapInPandas(run, RESIZED_CHECK_DDL + ", content binary")
+
+
+def resize_raw_bilinear(raw: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL bilinear resize (pixel-center convention: src = (i + 0.5) *
+    src/out - 0.5, clamped; round-half-up back to uint8). Identity sizes
+    reproduce the input exactly; constant rasters stay constant — both
+    unit-pinned. Not oracle-checked (float interpolation has no clean
+    SQL twin); the nearest kernel carries the cross-engine gate."""
+    from op_etl_spark.session import ensure_shipped
+
+    ensure_shipped(raw.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, hh, ww, cc, buf in zip(
+                pdf["media_id"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["content"],
+            ):
+                img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+                    hh, ww, cc
+                ).astype(np.float64)
+                sy = np.clip((np.arange(out_h) + 0.5) * hh / out_h - 0.5, 0, hh - 1)
+                sx = np.clip((np.arange(out_w) + 0.5) * ww / out_w - 0.5, 0, ww - 1)
+                y0 = np.floor(sy).astype(np.int64)
+                x0 = np.floor(sx).astype(np.int64)
+                y1 = np.minimum(y0 + 1, hh - 1)
+                x1 = np.minimum(x0 + 1, ww - 1)
+                fy = (sy - y0)[:, None, None]
+                fx = (sx - x0)[None, :, None]
+                out = (
+                    img[y0][:, x0] * (1 - fy) * (1 - fx)
+                    + img[y0][:, x1] * (1 - fy) * fx
+                    + img[y1][:, x0] * fy * (1 - fx)
+                    + img[y1][:, x1] * fy * fx
+                )
+                out8 = np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": mid, "height": out_h, "width": out_w,
+                        "channels": int(cc), "content": out8.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "height", "width", "channels", "content"]
+            )
+
+    return raw.mapInPandas(run, RAW_DDL)
+
+
+# --- resize of CODEC formats (real-or-raise stub + deterministic fake) ---
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Real image resize. The container ships no codec libraries, so this
-    raises NotImplementedError at plan-build time when PIL is absent —
-    the clearly-marked stub boundary. Use `fake_resize` for plumbing
-    tests and `decode_media` for the metadata path."""
+    """Resize for codec-compressed formats (jpeg/png/...). The container
+    ships no codec libraries, so this raises NotImplementedError at
+    plan-build time when PIL is absent — the clearly-marked stub
+    boundary. The raster-level resize itself is NOT stubbed: see
+    `resize_raw_nearest` / `resize_raw_bilinear`, real numpy kernels
+    over raw uint8 buffers (what runs after decode in production)."""
     try:
         import PIL  # noqa: F401
     except ImportError as exc:  # pragma: no cover - PIL absent by design

@@ -16,6 +16,8 @@ from op_etl_spark.operators.multimodal import (
     byte_entropy_features,
     decode_media,
     media_table,
+    raw_image_table,
+    resize_raw_nearest,
     sample_frames,
 )
 
@@ -89,14 +91,58 @@ FROM (
   FROM documents WHERE doc_id % 3 = 2)
 """
 
+RESIZE_OUT = 16  # resize every raster to 16x16x3
+
+
+def raw_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL nearest-neighbor raster resize, cross-engine gated: every
+    document-derived raw RGB raster (8..15 square, bytes = cycled text)
+    is resized to 16x16 and reduced to integrity projections the DuckDB
+    twin recomputes from pure index arithmetic — source index =
+    (i * src) // out, byte = text[(linear index) mod len]. A wrong
+    stride, transposed axis, or off-by-one in the kernel flips byte_sum
+    or a corner byte and the hash mismatches."""
+    out = resize_raw_nearest(
+        raw_image_table(spark, sf_dir), RESIZE_OUT, RESIZE_OUT
+    )
+    return out.select("media_id", "src_h", "src_w", "n_bytes", "byte_sum", "tl", "br")
+
+
+ORACLE_RAW_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id, text, len(text) AS n,
+         8 + ascii(substr(text, 1, 1)) % 8 AS h,
+         8 + ascii(substr(text, 2, 1)) % 8 AS w
+  FROM documents),
+px AS (
+  SELECT doc_id, h, w, y, x, ch,
+         ascii(substr(text,
+           CAST((((y * h) // {RESIZE_OUT}) * w + ((x * w) // {RESIZE_OUT})) * 3 + ch AS BIGINT) % n + 1,
+           1)) AS b
+  FROM dims,
+       (SELECT unnest(range(0, {RESIZE_OUT})) AS y),
+       (SELECT unnest(range(0, {RESIZE_OUT})) AS x),
+       (SELECT unnest(range(0, 3)) AS ch))
+SELECT doc_id AS media_id,
+       CAST(h AS INT) AS src_h, CAST(w AS INT) AS src_w,
+       CAST({RESIZE_OUT * RESIZE_OUT * 3} AS INT) AS n_bytes,
+       CAST(sum(b) AS BIGINT) AS byte_sum,
+       CAST(max(CASE WHEN y = 0 AND x = 0 AND ch = 0 THEN b END) AS INT) AS tl,
+       CAST(max(CASE WHEN y = {RESIZE_OUT - 1} AND x = {RESIZE_OUT - 1} AND ch = 2 THEN b END) AS INT) AS br
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "media_decode_meta": media_decode_meta,
     "media_byte_entropy": media_byte_entropy,
     "media_frame_samples": media_frame_samples,
+    "raw_resize_checksum": raw_resize_checksum,
 }
 
 ORACLE = {
     "media_decode_meta": ORACLE_DECODE,
     "media_byte_entropy": ORACLE_ENTROPY,
     "media_frame_samples": ORACLE_FRAMES,
+    "raw_resize_checksum": ORACLE_RAW_RESIZE,
 }

@@ -98,3 +98,66 @@ class TestFrames:
             for i in range(0, max(1, len(buf) // 64))
         }
         assert got == want
+
+
+class TestRawResizeKernels:
+    """Real raster math (no codec): nearest + bilinear over raw uint8."""
+
+    def _raw(self, spark, rows):
+        # rows: (media_id, h, w, c, np_array)
+        import numpy as np  # noqa: F401
+
+        data = [
+            (mid, h, w, c, arr.tobytes()) for mid, h, w, c, arr in rows
+        ]
+        return spark.createDataFrame(
+            data, "media_id bigint, height int, width int, channels int, content binary"
+        )
+
+    def test_nearest_identity_is_exact_copy(self, spark):
+        import numpy as np
+
+        from op_etl_spark.operators.multimodal import resize_raw_nearest
+
+        rng = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+        out = resize_raw_nearest(self._raw(spark, [(1, 6, 5, 3, rng)]), 5, 6).collect()[0]
+        assert bytes(out.content) == rng.tobytes()
+        assert out.byte_sum == int(rng.sum())
+
+    def test_nearest_downscale_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from op_etl_spark.operators.multimodal import resize_raw_nearest
+
+        img = (np.arange(8 * 8 * 3, dtype=np.int64) * 7 % 256).astype(np.uint8).reshape(8, 8, 3)
+        out = resize_raw_nearest(self._raw(spark, [(1, 8, 8, 3, img)]), 4, 4).collect()[0]
+        ref = img[(np.arange(4) * 8) // 4][:, (np.arange(4) * 8) // 4]
+        assert bytes(out.content) == ref.tobytes()
+        assert out.tl == int(ref[0, 0, 0]) and out.br == int(ref[-1, -1, -1])
+
+    def test_bilinear_identity_is_exact_copy(self, spark):
+        import numpy as np
+
+        from op_etl_spark.operators.multimodal import resize_raw_bilinear
+
+        img = (np.arange(5 * 7 * 3, dtype=np.int64) * 11 % 256).astype(np.uint8).reshape(5, 7, 3)
+        out = resize_raw_bilinear(self._raw(spark, [(1, 5, 7, 3, img)]), 7, 5).collect()[0]
+        assert bytes(out.content) == img.tobytes()
+
+    def test_bilinear_constant_stays_constant(self, spark):
+        import numpy as np
+
+        from op_etl_spark.operators.multimodal import resize_raw_bilinear
+
+        img = np.full((4, 4, 3), 131, dtype=np.uint8)
+        out = resize_raw_bilinear(self._raw(spark, [(1, 4, 4, 3, img)]), 9, 6).collect()[0]
+        arr = np.frombuffer(bytes(out.content), dtype=np.uint8)
+        assert arr.shape[0] == 9 * 6 * 3 and (arr == 131).all()
+
+    def test_raw_table_buffers_cycle_text(self, spark):
+        from op_etl_spark.operators.multimodal import raw_image_table
+
+        rows = raw_image_table(spark, "/root/testdata/sf0.001").limit(3).collect()
+        for r in rows:
+            assert len(bytes(r.content)) == r.height * r.width * 3
+            assert 8 <= r.height <= 15 and 8 <= r.width <= 15
