@@ -406,3 +406,78 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_md5"])
 
     return media.mapInPandas(run, FRAMES_DDL)
+
+
+# --- raw-PCM kernels (REAL audio DSP, no codec needed) ---
+#
+# Same contract as the raster kernels: decoding mp3/flac needs a codec,
+# but the DSP a pipeline runs on DECODED PCM (frame energy, RMS,
+# zero-crossing rate — the standard cheap audio-quality / speech-activity
+# signals) is plain integer/float math, implemented here for real.
+
+PCM_FEATURES_DDL = (
+    "media_id bigint, frame_idx int, n_samples int, "
+    "energy_sum bigint, rms double, n_zero_cross int"
+)
+
+PCM_FRAME_LEN = 64  # samples per analysis frame
+
+
+def raw_pcm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic int16-LE PCM buffers from `documents`: each sample is
+    two consecutive text bytes (b0 + 256*b1) centered by -16384 at
+    interpretation time, content truncated to an even byte count. Pure
+    column expressions; bytes reach Python only inside a kernel."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    even_len = (F.length("text") - F.length("text") % 2).cast("int")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(16000).alias("sample_rate"),
+        F.encode(F.expr("substring(text, 1, length(text) - length(text) % 2)"), "UTF-8").alias("content"),
+        even_len.alias("n_bytes"),
+    )
+
+
+def pcm_frame_features(pcm: DataFrame, frame_len: int = PCM_FRAME_LEN) -> DataFrame:
+    """REAL per-frame DSP over int16-LE PCM: for each full
+    non-overlapping `frame_len`-sample frame — exact integer energy sum,
+    RMS (sqrt of identical integer ratios, so cross-engine stable), and
+    the strict zero-crossing count (s[i-1] * s[i] < 0, within-frame
+    pairs only). Partial trailing frames are dropped (defined contract).
+    Arrow-batched numpy; at production scale this is the map stage of a
+    voice-activity / loudness corpus filter."""
+    from op_etl_spark.session import ensure_shipped
+
+    ensure_shipped(pcm.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                raw = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n_samp = raw.size // 2
+                if n_samp < frame_len:
+                    continue
+                pairs = raw[: n_samp * 2].reshape(n_samp, 2).astype(np.int64)
+                v = pairs[:, 0] + 256 * pairs[:, 1] - 16384
+                n_frames = n_samp // frame_len
+                fr = v[: n_frames * frame_len].reshape(n_frames, frame_len)
+                energy = (fr * fr).sum(axis=1)
+                zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": mid, "frame_idx": i,
+                            "n_samples": frame_len,
+                            "energy_sum": int(energy[i]),
+                            "rms": float(np.sqrt(energy[i] / frame_len)),
+                            "n_zero_cross": int(zc[i]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_samples", "energy_sum",
+                         "rms", "n_zero_cross"],
+            )
+
+    return pcm.mapInPandas(run, PCM_FEATURES_DDL)

@@ -16,7 +16,9 @@ from op_etl_spark.operators.multimodal import (
     byte_entropy_features,
     decode_media,
     media_table,
+    pcm_frame_features,
     raw_image_table,
+    raw_pcm_table,
     resize_raw_nearest,
     sample_frames,
 )
@@ -133,11 +135,56 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+def pcm_frame_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL PCM DSP kernels, cross-engine gated: per full 64-sample
+    frame of every document-derived int16 buffer — exact integer energy
+    sum, RMS, and strict zero-crossing count, with DuckDB replaying the
+    byte-pair sample decode and the within-frame lag product."""
+    feats = pcm_frame_features(raw_pcm_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "n_samples",
+        "energy_sum",
+        fround("rms", 4).alias("rms"),
+        "n_zero_cross",
+    )
+
+
+ORACLE_PCM_FRAMES = """
+WITH s AS (
+  SELECT doc_id, text, unnest(range(0, len(text) // 2)) AS i
+  FROM documents),
+v AS (
+  SELECT doc_id, i, CAST(i // 64 AS INT) AS frame_idx,
+         (ascii(substr(text, CAST(2 * i + 1 AS BIGINT), 1))
+          + 256 * ascii(substr(text, CAST(2 * i + 2 AS BIGINT), 1))) - 16384 AS val
+  FROM s),
+f AS (SELECT doc_id, frame_idx FROM v GROUP BY 1, 2 HAVING count(*) = 64),
+z AS (
+  SELECT doc_id, frame_idx, i, val,
+         lag(val) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS pv
+  FROM v),
+agg AS (
+  SELECT doc_id, frame_idx,
+         sum(val * val) AS energy,
+         sum(CASE WHEN pv IS NOT NULL AND pv * val < 0 THEN 1 ELSE 0 END) AS zc
+  FROM z GROUP BY 1, 2)
+SELECT a.doc_id AS media_id, CAST(a.frame_idx AS INT) AS frame_idx,
+       CAST(64 AS INT) AS n_samples,
+       CAST(energy AS BIGINT) AS energy_sum,
+       floor(sqrt(energy / 64.0) * 10000 + 0.5) / 10000.0 AS rms,
+       CAST(zc AS INT) AS n_zero_cross
+FROM agg a JOIN f USING (doc_id, frame_idx)
+"""
+
+
 QUERIES = {
     "media_decode_meta": media_decode_meta,
     "media_byte_entropy": media_byte_entropy,
     "media_frame_samples": media_frame_samples,
     "raw_resize_checksum": raw_resize_checksum,
+    "pcm_frame_report": pcm_frame_report,
 }
 
 ORACLE = {
@@ -145,4 +192,5 @@ ORACLE = {
     "media_byte_entropy": ORACLE_ENTROPY,
     "media_frame_samples": ORACLE_FRAMES,
     "raw_resize_checksum": ORACLE_RAW_RESIZE,
+    "pcm_frame_report": ORACLE_PCM_FRAMES,
 }

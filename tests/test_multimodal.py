@@ -161,3 +161,43 @@ class TestRawResizeKernels:
         for r in rows:
             assert len(bytes(r.content)) == r.height * r.width * 3
             assert 8 <= r.height <= 15 and 8 <= r.width <= 15
+
+
+class TestPcmKernels:
+    """Real PCM DSP: int16 decode, frame energy/RMS, zero crossings."""
+
+    def _pcm(self, spark, samples):
+        import numpy as np
+
+        v = np.asarray(samples, dtype=np.int64) + 16384
+        raw = np.stack([v % 256, v // 256], axis=1).astype(np.uint8).tobytes()
+        return spark.createDataFrame(
+            [(1, 16000, raw, len(raw))],
+            "media_id bigint, sample_rate int, content binary, n_bytes int",
+        )
+
+    def test_energy_rms_zero_cross_hand_checked(self, spark):
+        import numpy as np
+
+        from op_etl_spark.operators.multimodal import pcm_frame_features
+
+        # alternating +100/-100: 63 sign changes, energy 64*100^2
+        samples = [100 if i % 2 == 0 else -100 for i in range(64)]
+        row = pcm_frame_features(self._pcm(spark, samples), frame_len=64).collect()[0]
+        assert row.energy_sum == 64 * 100 * 100
+        assert row.n_zero_cross == 63
+        assert abs(row.rms - 100.0) < 1e-9
+
+    def test_partial_trailing_frame_dropped(self, spark):
+        from op_etl_spark.operators.multimodal import pcm_frame_features
+
+        samples = [5] * 100  # one full 64-frame + 36 leftover
+        rows = pcm_frame_features(self._pcm(spark, samples), frame_len=64).collect()
+        assert len(rows) == 1 and rows[0].frame_idx == 0
+
+    def test_constant_signal_has_no_crossings(self, spark):
+        from op_etl_spark.operators.multimodal import pcm_frame_features
+
+        rows = pcm_frame_features(self._pcm(spark, [7] * 128), frame_len=64).collect()
+        assert {r.n_zero_cross for r in rows} == {0}
+        assert {r.energy_sum for r in rows} == {128 * 49 // 2}
