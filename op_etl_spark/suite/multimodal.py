@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from op_etl_spark.operators.multimodal import (
     byte_entropy_features,
     decode_media,
+    frame_delta_features,
     media_table,
     pcm_frame_features,
     raw_image_table,
@@ -179,12 +180,44 @@ FROM agg a JOIN f USING (doc_id, frame_idx)
 """
 
 
+def frame_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL frame-delta motion kernel, cross-engine gated: per
+    consecutive full 64-byte frame pair of every video blob, the exact
+    integer sum and the mean of absolute byte differences — DuckDB
+    replays the per-position substr arithmetic."""
+    deltas = frame_delta_features(media_table(spark, sf_dir), frame_bytes=64)
+    return deltas.select(
+        "media_id",
+        "frame_idx",
+        "sum_abs_diff",
+        fround("mean_abs_diff", 4).alias("mean_abs_diff"),
+    )
+
+
+ORACLE_FRAME_DELTA = """
+WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+pairs AS (
+  SELECT doc_id, text, unnest(range(0, len(text) // 64 - 1)) AS f
+  FROM v WHERE len(text) // 64 >= 2),
+d AS (
+  SELECT doc_id, f,
+         abs(ascii(substr(text, CAST(f * 64 + j + 1 AS BIGINT), 1))
+             - ascii(substr(text, CAST((f + 1) * 64 + j + 1 AS BIGINT), 1))) AS ad
+  FROM pairs, (SELECT unnest(range(0, 64)) AS j))
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST(sum(ad) AS BIGINT) AS sum_abs_diff,
+       floor((sum(ad) / 64.0) * 10000 + 0.5) / 10000.0 AS mean_abs_diff
+FROM d GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "media_decode_meta": media_decode_meta,
     "media_byte_entropy": media_byte_entropy,
     "media_frame_samples": media_frame_samples,
     "raw_resize_checksum": raw_resize_checksum,
     "pcm_frame_report": pcm_frame_report,
+    "frame_delta_report": frame_delta_report,
 }
 
 ORACLE = {
@@ -193,4 +226,5 @@ ORACLE = {
     "media_frame_samples": ORACLE_FRAMES,
     "raw_resize_checksum": ORACLE_RAW_RESIZE,
     "pcm_frame_report": ORACLE_PCM_FRAMES,
+    "frame_delta_report": ORACLE_FRAME_DELTA,
 }

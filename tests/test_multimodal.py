@@ -201,3 +201,36 @@ class TestPcmKernels:
         rows = pcm_frame_features(self._pcm(spark, [7] * 128), frame_len=64).collect()
         assert {r.n_zero_cross for r in rows} == {0}
         assert {r.energy_sum for r in rows} == {128 * 49 // 2}
+
+
+class TestFrameDeltaKernel:
+    def _media(self, spark, buf, kind="video"):
+        return spark.createDataFrame(
+            [(1, kind, buf, {"n_bytes": len(buf), "tag": "t"})],
+            "media_id bigint, kind string, content binary, meta struct<n_bytes:int, tag:string>",
+        )
+
+    def test_identical_frames_have_zero_delta(self, spark):
+        from op_etl_spark.operators.multimodal import frame_delta_features
+
+        buf = bytes(range(64)) * 3  # 3 identical frames
+        rows = frame_delta_features(self._media(spark, buf), frame_bytes=64).collect()
+        assert len(rows) == 2
+        assert {r.sum_abs_diff for r in rows} == {0}
+
+    def test_hand_checked_delta(self, spark):
+        from op_etl_spark.operators.multimodal import frame_delta_features
+
+        buf = bytes([10] * 64) + bytes([13] * 64)  # |13-10| * 64 = 192
+        row = frame_delta_features(self._media(spark, buf), frame_bytes=64).collect()[0]
+        assert row.sum_abs_diff == 192 and abs(row.mean_abs_diff - 3.0) < 1e-9
+
+    def test_non_video_and_short_blobs_skipped(self, spark):
+        from op_etl_spark.operators.multimodal import frame_delta_features
+
+        assert frame_delta_features(
+            self._media(spark, bytes(200), kind="image"), frame_bytes=64
+        ).count() == 0
+        assert frame_delta_features(
+            self._media(spark, bytes(63)), frame_bytes=64
+        ).count() == 0
