@@ -123,12 +123,101 @@ WHERE r.rnk <= {TOP_CONTINUATIONS}
 """
 
 
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's OWN add-one-
+    smoothed bigram LM — the no-dependency analog of the CCNet/KenLM
+    perplexity filter: documents whose token transitions are improbable
+    under the corpus distribution (gibberish, boilerplate soup, wrong
+    language) score high and get filtered.
+
+    score(doc) = mean over its bigram occurrences of
+    -log2((c2(w1,w2) + 1) / (c1(w1) + V)), V = observed bigram vocab.
+
+    Plan shape: ONE corpus scan explodes (doc_id, w1, w2) multiplicities
+    (persisted — it feeds both the corpus count table and the per-doc
+    join); the LM tables c2/c1 are aggregates OF that table (the corpus
+    is never re-read); the scoring join is key-partitioned on (w1, w2)
+    then w1; V is a scalar. Per-bigram surprisal is quantized to 1e-6
+    and summed as exact integers (the money_sum pattern), so the per-doc
+    mean is partitioning- and engine-independent."""
+    from pyspark import StorageLevel
+
+    toks = F.split(F.col("text"), " ")
+    bgd = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id"), toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = bgd.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        c2.select("w1").union(c2.select(F.col("w2").alias("w1"))).distinct().count()
+    )
+    micro = F.floor(
+        -F.log2((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab))) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bgd.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * micro).alias("tot_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            fround(F.col("tot_micro") / F.lit(1000000.0) / F.col("n_bigrams"), 4).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
+ORACLE_SURPRISAL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bgd AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, count(*) AS m
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, sum(m) AS c2 FROM bgd GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(*) AS v FROM (SELECT w1 FROM c2 UNION SELECT w2 FROM c2)),
+j AS (
+  SELECT b.doc_id, b.m,
+         CAST(floor(-log2((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM bgd b
+  JOIN c2 USING (w1, w2)
+  JOIN c1 USING (w1)
+  CROSS JOIN v)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       floor((sum(m * micro) / 1000000.0 / sum(m)) * 10000 + 0.5) / 10000.0 AS mean_surprisal
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "bigram_next_token": bigram_next_token,
+    "bigram_surprisal_scores": bigram_surprisal_scores,
 }
 
 ORACLE = {
     "heavy_hitter_users": ORACLE_HEAVY_HITTERS,
     "bigram_next_token": ORACLE_BIGRAM,
+    "bigram_surprisal_scores": ORACLE_SURPRISAL,
 }
