@@ -101,6 +101,12 @@ HEADLINE = [
     # end to end) and pointer-doubling connected components
     "ivf_recall_at_k",
     "dedup_cc_assign",
+    # real multimodal kernels (raster resize, PCM DSP, frame delta) and
+    # the corpus-trained bigram-surprisal quality filter
+    "raw_resize_checksum",
+    "pcm_frame_report",
+    "frame_delta_report",
+    "bigram_surprisal_scores",
 ]
 
 

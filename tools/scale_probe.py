@@ -84,6 +84,7 @@ MAIN_QUERIES = [
     # measure output cardinality, not operator efficiency.
     "heavy_hitter_users",
     "bigram_next_token",
+    "bigram_surprisal_scores",
     "shuffle_shard_manifest",
     "global_topk_docs",
     "dq_constraint_report",
