@@ -211,6 +211,81 @@ FROM d GROUP BY 1, 2
 """
 
 
+ENTROPY_MIN = 3.0  # degenerate / constant-ish blobs drop here
+
+
+def media_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal twin of `training_corpus_funnel`: the whole media
+    hygiene pipeline as one DAG, reported per kind —
+
+      raw -> entropy gate (degenerate blobs out) -> per-kind decode gate
+      (images: <= 3 channels; audio: sample_rate >= 16 kHz; video: >= 2
+      frames) -> kept counts + id checksum.
+
+    Plan shape: the entropy kernel and the decode kernel each make one
+    pass over the media table; their outputs join key-partitioned on
+    media_id; the report is one aggregate over |kinds| groups. Every
+    gate value is deterministic (fake decode + exact entropy), so the
+    funnel is fully oracle-checked."""
+    media = media_table(spark, sf_dir)
+    ent = byte_entropy_features(media).select(
+        "media_id", F.col("byte_entropy").alias("ent"), F.col("n_bytes").alias("nb")
+    )
+    meta = decode_media(media).select(
+        "media_id", "kind", "channels", "sample_rate", "n_frames"
+    )
+    flags = (
+        meta.join(ent, "media_id")
+        .withColumn("f_entropy", (F.col("ent") >= ENTROPY_MIN) & (F.col("nb") >= 64))
+        .withColumn(
+            "f_kept",
+            F.col("f_entropy")
+            & (
+                ((F.col("kind") == "image") & (F.col("channels") <= 3))
+                | ((F.col("kind") == "audio") & (F.col("sample_rate") >= 16000))
+                | ((F.col("kind") == "video") & (F.col("n_frames") >= 2))
+            ),
+        )
+    )
+    return flags.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("f_entropy").cast("long")).alias("n_entropy_ok"),
+        F.sum(F.col("f_kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("f_kept"), F.col("media_id")).otherwise(0)).alias(
+            "id_sum_kept"
+        ),
+    )
+
+
+ORACLE_MEDIA_FUNNEL = f"""
+WITH cnt AS (
+  SELECT doc_id, c, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+  WHERE c != '' GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id,
+         CASE WHEN sum(n) > 1 THEN log2(sum(n)) - sum(n * log2(n)) / sum(n)
+              ELSE 0.0 END AS ent,
+         sum(n) AS nb
+  FROM cnt GROUP BY 1),
+flags AS (
+  SELECT d.doc_id, {_KIND_SQL.replace("doc_id", "d.doc_id")} AS kind,
+         (ent.ent >= {ENTROPY_MIN} AND ent.nb >= 64) AS f_entropy,
+         (ent.ent >= {ENTROPY_MIN} AND ent.nb >= 64) AND (
+           (d.doc_id % 3 = 0 AND 1 + ascii(substr(d.text, 3, 1)) % 4 <= 3)
+           OR (d.doc_id % 3 = 1 AND 8000 * (1 + ascii(substr(d.text, 1, 1)) % 6) >= 16000)
+           OR (d.doc_id % 3 = 2 AND greatest(1, len(d.text) // 256) >= 2)
+         ) AS f_kept
+  FROM documents d JOIN ent ON ent.doc_id = d.doc_id)
+SELECT kind,
+       count(*) AS n_raw,
+       CAST(sum(CASE WHEN f_entropy THEN 1 ELSE 0 END) AS BIGINT) AS n_entropy_ok,
+       CAST(sum(CASE WHEN f_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f_kept THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum_kept
+FROM flags GROUP BY 1
+"""
+
+
 QUERIES = {
     "media_decode_meta": media_decode_meta,
     "media_byte_entropy": media_byte_entropy,
@@ -218,6 +293,7 @@ QUERIES = {
     "raw_resize_checksum": raw_resize_checksum,
     "pcm_frame_report": pcm_frame_report,
     "frame_delta_report": frame_delta_report,
+    "media_curation_funnel": media_curation_funnel,
 }
 
 ORACLE = {
@@ -227,4 +303,5 @@ ORACLE = {
     "raw_resize_checksum": ORACLE_RAW_RESIZE,
     "pcm_frame_report": ORACLE_PCM_FRAMES,
     "frame_delta_report": ORACLE_FRAME_DELTA,
+    "media_curation_funnel": ORACLE_MEDIA_FUNNEL,
 }
