@@ -67,19 +67,11 @@ def _assign_to(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-probe recall@10 of nprobe=2 IVF search over an 8-list index
-    (deterministic seeds, 2 Lloyd rounds) vs the exact cosine top-10 —
-    the measured answer to 'what does partition pruning cost in recall?'
-    for the persisted index operator (operators/ann_index.py:144).
-
-    Plan shape: the quantized corpus is localCheckpoint-ed (ONE embeddings
-    scan feeds seeding, every Lloyd round, probing, and both search arms);
-    centroids live in an 8-row broadcast table; per-round update is one
-    posexplode groupBy; the search arms are a broadcast join of the
-    10-probe set onto (pruned or full) candidates + a per-probe top-k
-    window. At 100 TB the IVF arm reads nprobe/n_lists of the corpus —
-    exactly the production ivf_search partition-pruning contract."""
+def _index_tables(spark: SparkSession, sf_dir: str):
+    """Shared build for the recall gates: quantized corpus (checkpointed —
+    ONE embeddings scan feeds seeding, every Lloyd round, probing, and
+    both search arms), trained centroid table, final assignment, and the
+    probe set."""
     qv = _quantized(spark, sf_dir).localCheckpoint()
     seeds = (
         qv.orderBy(hash_unit(F.col("vec_id"), "ivf-seed"), F.col("vec_id"))
@@ -105,10 +97,24 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # 8 rows; keeps the loop plan flat
         )
     alist = _assign_to(qv, cents).localCheckpoint()
-
     probes = qv.filter(F.col("vec_id") < RECALL_N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
+    return qv, cents, alist, probes
+
+
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@10 of nprobe=2 IVF search over an 8-list index
+    (deterministic seeds, 2 Lloyd rounds) vs the exact cosine top-10 —
+    the measured answer to 'what does partition pruning cost in recall?'
+    for the persisted index operator (operators/ann_index.py:144).
+
+    Plan shape: see `_index_tables`; centroids live in an 8-row broadcast
+    table; the search arms are a broadcast join of the 10-probe set onto
+    (pruned or full) candidates + a per-probe top-k window. At 100 TB the
+    IVF arm reads nprobe/n_lists of the corpus — exactly the production
+    ivf_search partition-pruning contract."""
+    qv, cents, alist, probes = _index_tables(spark, sf_dir)
     pscore = probes.join(F.broadcast(cents)).withColumn(
         "d", _sqdist(F.col("pq"), F.col("c"))
     )
@@ -249,5 +255,126 @@ GROUP BY 1
 """
 
 
-QUERIES = {"ivf_recall_at_k": ivf_recall_at_k}
-ORACLE = {"ivf_recall_at_k": ORACLE_IVF_RECALL}
+RECALL_CURVE = (1, 2, 4, 8)
+
+
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pruning-vs-recall trade as data: mean recall@10 over the
+    probe set at nprobe = 1/2/4/8 of 8 lists (i.e. reading 12.5% ... 100%
+    of the corpus), one row per operating point — nprobe=8 must read
+    1.0 exactly (full probe == brute force), which pins the instrument
+    itself. Lists are ranked ONCE per probe; each candidate carries its
+    list's rank, so the four operating points are a filter + window over
+    the same candidate table (no rebuild per point)."""
+    qv, cents, alist, probes = _index_tables(spark, sf_dir)
+    pscore = probes.join(F.broadcast(cents)).withColumn(
+        "d", _sqdist(F.col("pq"), F.col("c"))
+    )
+    wpl = W.partitionBy("probe_id").orderBy("d", "list_id")
+    plr = (
+        pscore.withColumn("rl", F.row_number().over(wpl))
+        .select("probe_id", "pq", "list_id", "rl")
+    )
+    cos = _dot(F.col("pq"), F.col("q")) / (
+        F.sqrt(_dot(F.col("pq"), F.col("pq"))) * F.sqrt(_dot(F.col("q"), F.col("q")))
+    )
+    cand = (
+        plr.join(alist, "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), "rl", cos.alias("cos"))
+    )
+    npv = F.explode(F.array(*[F.lit(p) for p in RECALL_CURVE])).alias("np")
+    wk = W.partitionBy("np", "probe_id").orderBy(F.desc("cos"), "cand_id")
+    ivfk = (
+        cand.select("*", npv)
+        .filter(F.col("rl") <= F.col("np"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("np", "probe_id", "cand_id")
+    )
+
+    bf_cand = (
+        qv.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), cos.alias("cos"))
+    )
+    wbf = W.partitionBy("probe_id").orderBy(F.desc("cos"), "cand_id")
+    bfk = (
+        bf_cand.withColumn("rn", F.row_number().over(wbf))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("probe_id", "cand_id")
+    )
+    hit = ivfk.withColumn("hit", F.lit(1))
+    denom = float(RECALL_N_PROBES * RECALL_K)
+    return (
+        bfk.select("*", npv)
+        .join(hit, ["np", "probe_id", "cand_id"], "left")
+        .groupBy(F.col("np").alias("nprobe"))
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.lit(denom)).alias("mean_recall"),
+        )
+    )
+
+
+_CURVE_SQL = ", ".join(str(p) for p in RECALL_CURVE)
+
+ORACLE_IVF_CURVE = f"""
+WITH {_duck_lloyd()},
+alist AS (
+  SELECT vec_id, q, list_id FROM (
+    SELECT v.vec_id, v.q, l.list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_SQD.format(a="v.q", b="l.c")}, l.list_id) AS rn
+    FROM qv v CROSS JOIN c{_CF} l)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < {RECALL_N_PROBES}),
+plr AS (
+  SELECT p.probe_id, p.pq, l.list_id,
+         row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY {_SQD.format(a="p.pq", b="l.c")}, l.list_id) AS rl
+  FROM probes p CROSS JOIN c{_CF} l),
+cand AS (
+  SELECT pl.probe_id, v.vec_id AS cand_id, pl.rl,
+         list_dot_product(pl.pq, v.q)
+           / (sqrt(list_dot_product(pl.pq, pl.pq))
+              * sqrt(list_dot_product(v.q, v.q))) AS cos
+  FROM plr pl JOIN alist v USING (list_id)
+  WHERE v.vec_id != pl.probe_id),
+npts AS (SELECT unnest([{_CURVE_SQL}]) AS np),
+ivfk AS (
+  SELECT np, probe_id, cand_id FROM (
+    SELECT n.np, c.probe_id, c.cand_id,
+           row_number() OVER (PARTITION BY n.np, c.probe_id
+                              ORDER BY c.cos DESC, c.cand_id) AS rn
+    FROM cand c CROSS JOIN npts n WHERE c.rl <= n.np)
+  WHERE rn <= {RECALL_K}),
+bfk AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT p.probe_id, v.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+             list_dot_product(p.pq, v.q)
+               / (sqrt(list_dot_product(p.pq, p.pq))
+                  * sqrt(list_dot_product(v.q, v.q))) DESC, v.vec_id) AS rn
+    FROM probes p CROSS JOIN qv v
+    WHERE v.vec_id != p.probe_id)
+  WHERE rn <= {RECALL_K})
+SELECT n.np AS nprobe,
+       CAST(sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+       sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END)
+         / {float(RECALL_N_PROBES * RECALL_K)} AS mean_recall
+FROM bfk b
+CROSS JOIN npts n
+LEFT JOIN ivfk i ON i.np = n.np AND i.probe_id = b.probe_id AND i.cand_id = b.cand_id
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "ivf_recall_at_k": ivf_recall_at_k,
+    "ivf_recall_curve": ivf_recall_curve,
+}
+ORACLE = {
+    "ivf_recall_at_k": ORACLE_IVF_RECALL,
+    "ivf_recall_curve": ORACLE_IVF_CURVE,
+}
