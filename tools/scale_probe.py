@@ -85,6 +85,9 @@ MAIN_QUERIES = [
     "heavy_hitter_users",
     "bigram_next_token",
     "bigram_surprisal_scores",
+    # real multimodal kernels: corpus-linear Arrow-batched numpy maps
+    "raw_resize_checksum",
+    "pcm_frame_report",
     "shuffle_shard_manifest",
     "global_topk_docs",
     "dq_constraint_report",
