@@ -141,6 +141,18 @@ def build_ivf_index(
     return centroids
 
 
+def _cosine_to_query(query: list[float], qn: float, vec_col: str):
+    """Cosine to a literal query vector, zero-norm-safe: a zero corpus
+    vector (padding/defective row) or zero query scores -1.0 instead of
+    raising DIVIDE_BY_ZERO under ANSI mode."""
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    emb = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(_dot(emb, emb))
+    if qn <= 0:
+        return F.lit(-1.0)
+    return F.when(nrm > 0, _dot(emb, qcol) / (nrm * F.lit(qn))).otherwise(F.lit(-1.0))
+
+
 def load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
     rows = spark.read.parquet(f"{path}/{CENTROIDS_DIR}").orderBy("list_id").collect()
     return [list(r.centroid) for r in rows]
@@ -175,11 +187,8 @@ def ivf_search(
     vecs = spark.read.parquet(f"{path}/{VECTORS_DIR}").filter(
         F.col("list_id").isin(probe_ids)
     )
-    qcol = F.array(*[F.lit(float(v)) for v in query])
-    emb = F.col(vec_col).cast("array<double>")
-    cos = _dot(emb, qcol) / (F.sqrt(_dot(emb, emb)) * F.lit(qn))
     return (
-        vecs.withColumn("cosine", cos)
+        vecs.withColumn("cosine", _cosine_to_query(query, qn, vec_col))
         .select(id_col, "list_id", "cosine")
         .orderBy(F.desc("cosine"), id_col)
         .limit(topk)
@@ -313,6 +322,13 @@ def build_ivf2_index(
         fine: dict[int, list[list[float]]] = {}
         for r in sorted(seed_rows, key=lambda r: (r.coarse_id, r.fine_id)):
             fine.setdefault(r.coarse_id, []).append(list(r["__v"]))
+        # a coarse cell empty at build time still needs a sub-codebook:
+        # a later frozen-codebook APPEND can assign vectors to it (its
+        # centroid survives Lloyd unchanged), and without a fine branch
+        # those rows would get a NULL fine_id and land in a default
+        # partition. Seed empty cells with their coarse centroid.
+        for c in range(len(coarse)):
+            fine.setdefault(c, [list(coarse[c])])
 
         q = F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long")
         for _ in range(iters):
@@ -434,11 +450,8 @@ def ivf2_search(
         pred = leg if pred is None else pred | leg
 
     vecs = spark.read.parquet(f"{path}/{VECTORS_DIR}").filter(pred)
-    qcol = F.array(*[F.lit(float(v)) for v in query])
-    emb = F.col(vec_col).cast("array<double>")
-    cos = _dot(emb, qcol) / (F.sqrt(_dot(emb, emb)) * F.lit(qn))
     return (
-        vecs.withColumn("cosine", cos)
+        vecs.withColumn("cosine", _cosine_to_query(query, qn, vec_col))
         .select(id_col, "coarse_id", "fine_id", "cosine")
         .orderBy(F.desc("cosine"), id_col)
         .limit(topk)

@@ -142,3 +142,37 @@ def test_append_touches_only_assigned_partitions(spark, tmp_path):
     allv = spark.read.parquet(f"{path}/vectors")
     assert allv.count() == emb.count()
     assert allv.select("vec_id").distinct().count() == emb.count()
+
+
+def test_append_into_coarse_cell_empty_at_build(spark, tmp_path):
+    """A coarse cell can end the build with ZERO members (its seed keeps
+    its centroid through Lloyd) — a frozen-codebook append must still
+    give vectors assigned there a valid fine_id, not a NULL landing in a
+    default partition. Build on two tight clusters far from a third
+    seed's region, then append a vector at that region."""
+    import numpy as np
+
+    path = str(tmp_path / "idx")
+    rows = []
+    # seeds are hash-ordered, so just make 4+ distinct vectors; two tight
+    # clusters around A=(0,...) and B=(100,...); appended C=(1000,...)
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, [base + (i % 5) * 0.01] * 8, 0))
+    base_df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    build_ivf2_index(base_df, path, n_coarse=4, n_fine=2, iters=2)
+
+    # a direction the base corpus (all along the all-ones axis) never has
+    away = [1000.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    batch = spark.createDataFrame(
+        [(999, away, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    touched = ivf2_append_batch(spark, path, batch)
+    assert touched
+    allv = spark.read.parquet(f"{path}/vectors")
+    got = allv.filter("vec_id = 999").collect()
+    assert len(got) == 1
+    assert got[0].fine_id is not None and got[0].coarse_id is not None
+    # and the appended vector is findable by search at full probe
+    res = ivf2_search(spark, path, away, p_coarse=4, p_fine=2, topk=1).collect()
+    assert res and res[0].vec_id == 999
