@@ -45,6 +45,7 @@ ALLOW = {
     "above_nation_avg_suppliers": {"BroadcastNestedLoopJoin"},
     "ann_bruteforce_topk": {"BroadcastNestedLoopJoin"},  # probe vectors (k rows) broadcast over the corpus: brute-force ANN IS an all-pairs scan
     "ivf_recall_at_k": {"BroadcastNestedLoopJoin"},  # 8-row centroid table / 10-row probe set broadcast over the corpus: k-means assignment and the exact-recall baseline are all-pairs by definition, with a bounded build side
+    "ivf_recall_curve": {"BroadcastNestedLoopJoin"},  # same bounded broadcasts as ivf_recall_at_k, shared across the four operating points
     "ivf_centroid_rank": {"BroadcastNestedLoopJoin"},    # centroid table (n_lists rows) broadcast; corpus never shuffles
     "negative_pair_sample": {"BroadcastNestedLoopJoin"}, # 1-row corpus-size aggregate broadcast into the index math
     "temperature_mix_sample": {"BroadcastNestedLoopJoin"},  # 1-row (ntot, Z) normalizer broadcast onto the |sources| rate table
