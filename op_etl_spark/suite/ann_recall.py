@@ -54,49 +54,49 @@ def _sqdist(a, b):
     return _dot(a, a) + _dot(b, b) - 2 * _dot(a, b)
 
 
-def _assign_to(qv: DataFrame, cents: DataFrame) -> DataFrame:
-    """argmin_list sqdist(q, c); ties to the lowest list id."""
-    scored = qv.join(F.broadcast(cents)).withColumn(
-        "d", _sqdist(F.col("q"), F.col("c"))
-    )
-    w = W.partitionBy("vec_id").orderBy("d", "list_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "list_id")
+def _assign_literal(qv: DataFrame, cent_list: list[list[float]]) -> DataFrame:
+    """argmin_list sqdist(q, c) via a centroid-literal distance array —
+    NARROW, zero shuffles (the earlier join+window form paid two shuffles
+    per Lloyd round for the identical result). Distances are exact
+    integers held in doubles, and array_position returns the FIRST
+    minimum, so tie-breaking matches the SQL twin's (d, list_id)
+    row_number ordering exactly."""
+    cents = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cent_list])
+    dists = F.transform(cents, lambda c: _sqdist(F.col("q"), c))
+    return qv.withColumn(
+        "list_id", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     )
 
 
 def _index_tables(spark: SparkSession, sf_dir: str):
     """Shared build for the recall gates: quantized corpus (checkpointed —
     ONE embeddings scan feeds seeding, every Lloyd round, probing, and
-    both search arms), trained centroid table, final assignment, and the
-    probe set."""
+    both search arms), trained centroids (driver-side list + an 8-row
+    DataFrame for probe ranking), final assignment, and the probe set."""
     qv = _quantized(spark, sf_dir).localCheckpoint()
     seeds = (
         qv.orderBy(hash_unit(F.col("vec_id"), "ivf-seed"), F.col("vec_id"))
         .limit(RECALL_N_LISTS)
         .collect()
     )
-    cents = spark.createDataFrame(
-        [(i, list(r.q)) for i, r in enumerate(seeds)], "list_id int, c array<double>"
-    )
+    cent_list = [list(r.q) for r in seeds]
     for _ in range(RECALL_ITERS):
-        assigned = _assign_to(qv, cents)
-        upd = (
+        assigned = _assign_literal(qv, cent_list)
+        rows = (
             assigned.select("list_id", F.posexplode("q").alias("pos", "val"))
             .groupBy("list_id", "pos")
             .agg(F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5)).cast("double").alias("m"))
             .groupBy("list_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
             .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("cu"))
+            .collect()
         )
-        cents = (
-            cents.join(upd, "list_id", "left")
-            .select("list_id", F.coalesce("cu", "c").alias("c"))
-            .localCheckpoint()  # 8 rows; keeps the loop plan flat
-        )
-    alist = _assign_to(qv, cents).localCheckpoint()
+        updated = {r.list_id: list(r.cu) for r in rows}
+        cent_list = [updated.get(i, cent_list[i]) for i in range(len(cent_list))]
+    alist = _assign_literal(qv, cent_list).localCheckpoint()
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent_list)], "list_id int, c array<double>"
+    )
     probes = qv.filter(F.col("vec_id") < RECALL_N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
