@@ -18,7 +18,6 @@ Preserved behaviors, each cited:
 
 from __future__ import annotations
 
-from typing import Any
 
 from op_etl_spark.functions.naming import slug_py
 

@@ -64,7 +64,6 @@ def ensure_shipped(spark: SparkSession) -> None:
     """
     if getattr(spark, "_op_etl_shipped", False):
         return
-    import importlib.util
     import os
     import shutil
     import tempfile

@@ -17,7 +17,7 @@ from op_etl_spark.streaming.joins import (
     ATTRIBUTION_WINDOW_SECONDS,
     attribute_purchases_to_clicks,
 )
-from op_etl_spark.streaming.windows import session_window_rollup, sliding_event_rate
+from op_etl_spark.streaming.windows import session_window_rollup
 
 
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
