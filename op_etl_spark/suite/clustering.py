@@ -43,6 +43,8 @@ from pyspark.sql import functions as F
 from ._util import read_table
 from .dedup import (
     DF_CAP,
+    INC_MOD,
+    INC_REMAINDER,
     _DUCK_SHINGLES,
     _docs,
     _hashed_shingle_arrays,
@@ -53,8 +55,8 @@ MIN_COMMON_TRIGRAMS = 6
 MAX_ROUNDS = 15
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric near-dup edge list (src, dst), both directions.
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) near-dup pairs, DF-capped.
 
     Shingles above DF_CAP are dropped before pair expansion — the same
     bounded-pair-cost contract as ngram_jaccard_pairs_capped (the scale
@@ -72,16 +74,24 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("m").alias("m"))
         .filter((F.size("m") >= 2) & (F.size("m") <= DF_CAP))
     )
-    pairs = (
+    return (
         _posting_pairs(posts)
         .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= MIN_COMMON_TRIGRAMS)
         .select("a", "b")
     )
+
+
+def _symmetrize(pairs: DataFrame) -> DataFrame:
     return pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric near-dup edge list (src, dst), both directions."""
+    return _symmetrize(_pairs(spark, sf_dir))
 
 
 def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS):
@@ -157,6 +167,43 @@ comp(id, m) AS (
 SELECT id AS doc_id, min(m) AS cluster_id
 FROM comp GROUP BY id ORDER BY doc_id
 """
+
+
+def incremental_cc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: yesterday's corpus labels plus
+    today's delta, WITHOUT re-propagating the old graph.
+
+    The standard union-find insight, distributed: a converged label
+    assignment IS a star forest (every node points at its component
+    minimum), so the prior state enters the fixpoint as |old_docs|
+    doc->label star edges — diameter 2 — instead of the full old edge
+    set, and the new fixpoint touches propagation work proportional to
+    the DELTA, converging in O(log) rounds over stars + delta edges.
+    The delta is every capped near-dup pair incident to a NEW doc (the
+    same batch split as `incremental_lsh_dedup`; generating those pairs
+    against a PERSISTED corpus without reshuffling it is demonstrated
+    there — here the subject is the label propagation).
+
+    The correctness claim is the strongest available: the incremental
+    result must equal the from-scratch batch recompute BIT FOR BIT — the
+    oracle is literally ORACLE_CC_ASSIGN, the batch CC oracle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    is_new = F.col("doc_id") % INC_MOD == INC_REMAINDER
+    pairs = _pairs(spark, sf_dir).localCheckpoint()
+    a_new = F.col("a") % INC_MOD == INC_REMAINDER
+    b_new = F.col("b") % INC_MOD == INC_REMAINDER
+
+    # "persisted" prior state: labels over the old slice and its edges
+    old_docs = docs.filter(~is_new)
+    old_labels, _ = cc_fixpoint(old_docs, _symmetrize(pairs.filter(~a_new & ~b_new)))
+    star = old_labels.filter(F.col("doc_id") != F.col("label"))
+    star_pairs = star.select(F.col("doc_id").alias("a"), F.col("label").alias("b"))
+
+    delta = pairs.filter(a_new | b_new)
+    labels, _ = cc_fixpoint(
+        docs, _symmetrize(star_pairs.unionAll(delta)).localCheckpoint()
+    )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +407,7 @@ ORACLE_PAGERANK = _pr_oracle()
 
 QUERIES = {
     "dedup_pagerank": dedup_pagerank,
+    "incremental_cc_assign": incremental_cc_assign,
     "dedup_cc_assign": dedup_cc_assign,
     "dedup_cc_survivors": dedup_cc_survivors,
     "dedup_quality_survivors": dedup_quality_survivors,
@@ -367,6 +415,8 @@ QUERIES = {
 
 ORACLE = {
     "dedup_pagerank": ORACLE_PAGERANK,
+    # incremental == batch recompute, bit for bit: same oracle
+    "incremental_cc_assign": ORACLE_CC_ASSIGN,
     "dedup_cc_assign": ORACLE_CC_ASSIGN,
     "dedup_cc_survivors": ORACLE_CC_SURVIVORS,
     "dedup_quality_survivors": ORACLE_QUALITY_SURVIVORS,
