@@ -184,3 +184,28 @@ class TestDoublingModel:
         got, rounds = _doubling_model(n, edges)
         assert got == {i: 0 for i in range(n)}
         assert rounds <= math.ceil(math.log2(n)) + 3
+
+
+class TestIncrementalStarForest:
+    """The property incremental_cc_assign rests on: replacing an already-
+    converged subgraph's edges with its star forest (node -> component
+    min) changes NOTHING about the components of the combined graph."""
+
+    @given(st.integers(min_value=2, max_value=30), st.data())
+    @settings(max_examples=200, deadline=None)
+    def test_star_plus_delta_equals_full(self, n, data):
+        n_old = data.draw(st.integers(0, 2 * n))
+        n_delta = data.draw(st.integers(0, n))
+        old = [
+            (data.draw(st.integers(0, n - 1)), data.draw(st.integers(0, n - 1)))
+            for _ in range(n_old)
+        ]
+        delta = [
+            (data.draw(st.integers(0, n - 1)), data.draw(st.integers(0, n - 1)))
+            for _ in range(n_delta)
+        ]
+        labels_old = _union_find_minima(n, old)
+        star = [(i, m) for i, m in labels_old.items() if m != i]
+        assert _union_find_minima(n, star + delta) == _union_find_minima(
+            n, old + delta
+        )
