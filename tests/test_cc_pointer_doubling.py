@@ -47,3 +47,37 @@ class TestPointerDoubling:
         assert rounds == 1  # first round already a fixpoint
         got = {r.doc_id: r.label for r in labels.collect()}
         assert got == {i: i for i in range(5)}
+
+
+class TestIncrementalConvergence:
+    def test_star_plus_delta_converges_in_constant_rounds(self, spark):
+        """The incremental path's payoff: once the old graph is a star
+        forest (diameter 2), adding a small delta converges in a handful
+        of rounds regardless of how long the ORIGINAL chains were."""
+        n = 512
+        nodes, edges = _chain(spark, n)
+        labels, full_rounds = cc_fixpoint(nodes, edges, max_rounds=50)
+        # rebuild the second phase's inputs with clean lineage (the
+        # production query gets this from its own table reads +
+        # checkpoints; reusing the first fixpoint's DataFrames here trips
+        # a Spark attribute-map quirk inside localCheckpoint)
+        star_rows = [
+            (r.doc_id, r.label) for r in labels.collect() if r.doc_id != r.label
+        ]
+        star_sym = spark.createDataFrame(
+            star_rows + [(b, a) for a, b in star_rows], "src bigint, dst bigint"
+        )
+        new_nodes = spark.createDataFrame(
+            [(i,) for i in range(n)] + [(9999,)], "doc_id bigint"
+        )
+        # delta: a new node 9999 bridging into the chain's middle
+        delta = spark.createDataFrame(
+            [(9999, 256), (256, 9999)], "src bigint, dst bigint"
+        )
+        labels2, inc_rounds = cc_fixpoint(
+            new_nodes, star_sym.unionAll(delta), max_rounds=50
+        )
+        got = {r.doc_id: r.label for r in labels2.collect()}
+        assert got[9999] == 0 and all(got[i] == 0 for i in range(n))
+        assert inc_rounds <= 3  # star diameter 2 + the bridge
+        assert inc_rounds < full_rounds  # strictly cheaper than from-scratch
