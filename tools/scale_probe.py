@@ -108,6 +108,7 @@ PAIR_QUERIES = [
     "simhash64_near_pairs",
     "editdist_verified_pairs",
     "dedup_cc_assign",
+    "incremental_cc_assign",
     "dedup_pagerank",
     "embedding_signlsh_neardup",
     "embedding_neardup_pairs",
