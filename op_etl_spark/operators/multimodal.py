@@ -210,8 +210,19 @@ def raw_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims (8..15 x 8..15 x 3) from the two leading text bytes, buffer =
     text bytes cycled to h*w*3. Construction is pure column expressions
     (repeat + substring + encode) — the raster bytes never touch Python
-    until a kernel consumes them."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    until a kernel consumes them.
+
+    Contract: empty-text documents produce NO raster (filtered here and in
+    the DuckDB oracle alike — repeat over an empty string cannot fill a
+    buffer, and target/length(text) would divide by zero). The repeat/
+    substring construction counts CHARS while the kernel consumes BYTES,
+    so the cycled-buffer equivalence assumes single-byte (ASCII) text —
+    true of the synthetic corpus and asserted cheaply via the
+    char-length==byte-length filter below."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        (F.length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))  # ASCII-only contract
+    )
     h = (F.lit(8) + F.ascii(F.substring("text", 1, 1)) % 8).cast("int")
     w = (F.lit(8) + F.ascii(F.substring("text", 2, 1)) % 8).cast("int")
     return (

@@ -204,8 +204,17 @@ class Pipeline:
                 loaded[row.source_name] = target
             result["loaded"] = loaded
 
-        metrics = self.spark.createDataFrame(self.metrics_rows, METRICS_SCHEMA)
+        # metrics rows are produced by the download step only; a partial
+        # --process/--load run must not clobber the download run's metrics
+        # table with an empty one (round-4 advice)
         metrics_path = f"{workspace}/metrics"
-        metrics.write.mode("overwrite").json(metrics_path)
-        result["metrics"] = metrics_path
+        if "download" in steps:
+            metrics = self.spark.createDataFrame(self.metrics_rows, METRICS_SCHEMA)
+            metrics.write.mode("overwrite").json(metrics_path)
+            result["metrics"] = metrics_path
+        else:
+            import os
+
+            if os.path.isdir(metrics_path):
+                result["metrics"] = metrics_path
         return result

@@ -139,7 +139,22 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never re-read); the scoring join is key-partitioned on (w1, w2)
     then w1; V is a scalar. Per-bigram surprisal is quantized to 1e-6
     and summed as exact integers (the money_sum pattern), so the per-doc
-    mean is partitioning- and engine-independent."""
+    mean is partitioning-independent.
+
+    Cross-engine exactness caveat (weaker than ann_recall.py's
+    sqrt/divide-only discipline): (c2+1) and (c1+V) are exact integers,
+    and IEEE-754 division is correctly rounded, so BOTH engines feed
+    log2 the bit-identical double quotient. log2 itself, however, is not
+    guaranteed correctly rounded (JVM StrictMath vs libm), so the two
+    engines may disagree by ~1 ulp (2^-46 relative); the 1e-6
+    quantization flips only when the true surprisal sits within that ulp
+    of a x.xxxxxx5 boundary — ~1e-10 probability per distinct bigram,
+    and deterministic per (corpus, platform): the gate cannot flap
+    between runs, only between platforms, and has held on every sf
+    tested. The fully exact alternative (binary-searching the micro unit
+    via integer cross-multiplication against 2^(n/1e6)) needs exact
+    bignum pow — out of proportion for a quality-score filter whose
+    downstream consumer thresholds at whole-bit granularity."""
     from pyspark import StorageLevel
 
     toks = F.split(F.col("text"), " ")

@@ -116,7 +116,9 @@ WITH dims AS (
   SELECT doc_id, text, len(text) AS n,
          8 + ascii(substr(text, 1, 1)) % 8 AS h,
          8 + ascii(substr(text, 2, 1)) % 8 AS w
-  FROM documents),
+  FROM documents
+  -- empty-doc + ASCII contract, mirroring raw_image_table's filter
+  WHERE len(text) > 0 AND len(text) = octet_length(CAST(text AS BLOB))),
 px AS (
   SELECT doc_id, h, w, y, x, ch,
          ascii(substr(text,

@@ -192,7 +192,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       EMB_BLOCK_CAP — bounded cost, but a silent recall cliff: every
       near-dup pair inside a popular (label, sbits) block vanished.
       v3 (this one): hierarchical split. Each vector carries its sign-bit
-      prefix at levels 4/8/12/16; its block is the SHORTEST prefix level
+      prefix at levels 4/8/12/16/20/24 (NEARDUP_LEVELS); its block is the
+      SHORTEST prefix level
       whose (label, prefix) population is <= EMB_BLOCK_CAP. Because a
       level-m prefix determines every coarser prefix, two vectors sharing
       a terminal block agree on the whole path, so this closed-form

@@ -160,6 +160,9 @@ def test_cli_per_step_execution(spark, tmp_path, capsys):
     assert "loaded" not in out["stages"]  # load did NOT run
     assert spark.read.parquet(out["stages"]["processed"]).count() == 1
 
+    metrics_before = spark.read.json(out["stages"]["metrics"]).collect()
+    assert len(metrics_before) == 1  # download step recorded its source
+
     rc = run_mod.main(["--config", cfg_path, "--workspace", ws, "--load"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -167,6 +170,11 @@ def test_cli_per_step_execution(spark, tmp_path, capsys):
     loaded = spark.read.parquet(out["stages"]["loaded"]["roads"])
     rows = loaded.collect()
     assert len(rows) == 1 and rows[0].props["name"] == "inside-aoi"
+
+    # a load-only run must NOT clobber the download run's metrics table
+    # with an empty one (round-4 advice, plans/pipeline.py)
+    metrics_after = spark.read.json(out["stages"]["metrics"]).collect()
+    assert metrics_after == metrics_before
 
 
 def test_cli_load_without_staged_workspace_fails_clearly(tmp_path):
