@@ -107,6 +107,13 @@ HEADLINE = [
     "pcm_frame_report",
     "frame_delta_report",
     "bigram_surprisal_scores",
+    # mergeable sketches: bottom-k/HLL distinct, count-min point
+    # estimates, Bloom join pruning — constant-size summaries in place of
+    # corpus-scale shuffles
+    "kmv_distinct_users",
+    "hll_distinct_users",
+    "cms_user_event_counts",
+    "bloom_prune_orders",
 ]
 
 

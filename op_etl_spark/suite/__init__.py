@@ -35,6 +35,7 @@ from . import (
     relational,
     sampling,
     similarity,
+    sketches,
     stream_windows,
     text,
     tpch_batch3,
@@ -53,6 +54,7 @@ _MODULES = [
     lm_stats,
     dedup,
     similarity,
+    sketches,
     ann_recall,
     embedding_store,
     geo,

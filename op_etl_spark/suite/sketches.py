@@ -1,0 +1,332 @@
+"""Mergeable-sketch queries: approximate distinct / count / membership with
+exact-vs-estimate accounting, all oracle-replayed bit-for-bit by DuckDB.
+
+Why these exist in a 100 TB engine: exact COUNT(DISTINCT), per-key exact
+counts, and semi-join membership all shuffle corpus-scale data. The sketch
+versions shuffle constant-size summaries (KMV bottom-k arrays, HLL
+registers, CMS cells, Bloom bit positions) that merge associatively across
+partitions/days/shards — Agarwal et al., "Mergeable Summaries", PODS 2012.
+At gate scale each query ALSO computes the exact answer and reports the
+estimation error; at 100 TB the exact column is what you delete, the
+sketch column is what you keep.
+
+Determinism contract: every estimate is a deterministic function of md5
+(operators/sketches.h60 — the suite-wide 60-bit contract), with
+exact-integer accumulators and a single correctly-rounded divide before
+the half-up floor, so Spark and DuckDB agree bit-for-bit (the HLL
+small-range ln branch carries the same documented ulp caveat as
+suite/lm_stats.py).
+
+The reference (an ArcPy geospatial ETL, no sketch surface) is not cited
+here: this module is part of the training-data-pipeline extension surface
+the build brief mandates beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from op_etl_spark.operators.sketches import (
+    HLL_ALPHA_64,
+    KMV_MAX,
+    bloom_positions,
+    bloom_probe,
+    bloom_size_bits,
+    bottom_k_hashes,
+    cms_lookup,
+    cms_table,
+    h60,
+    hll_estimate,
+    hll_register_table,
+    kmv_estimate,
+)
+
+from ._util import read_table
+
+KMV_K = 64
+HLL_M = 64
+CMS_D, CMS_W = 4, 1024
+BLOOM_K = 7
+
+H60_SQL = "('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT"
+H60_SALTED_SQL = (
+    "('0x' || substr(md5(CAST({s} AS VARCHAR) || ':' || CAST({x} AS VARCHAR)),"
+    " 1, 15))::BIGINT"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from op_etl_spark.session import read_events
+
+    return read_events(spark, sf_dir)
+
+
+def _err_bp(est, exact) -> F.Column:
+    return F.floor(
+        F.abs(est.cast("double") - exact.cast("double")) * 10000.0
+        / exact.cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+
+
+# --- KMV bottom-k distinct ---
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via a k=64 bottom-k (KMV/theta)
+    sketch, with the exact count and the error in basis points alongside.
+
+    Plan shape: distinct (type, h60) with map-side partial dedup, then two
+    bounded-state roll-ups (per-salt bottom-k, then per-group merge) — see
+    operators/sketches.bottom_k_hashes. The n_exact column counts distinct
+    60-bit hashes (== distinct users barring a 2^-60 collision, and the
+    DuckDB twin counts the identical quantity, so the gate is exact either
+    way); at 100 TB you keep the sketch column and drop the exact one."""
+    ev = _events(spark, sf_dir)
+    bk = bottom_k_hashes(ev, ["event_type"], h60(F.col("user_id")), KMV_K)
+    return bk.select(
+        "event_type",
+        F.col("n_distinct").alias("n_exact"),
+        kmv_estimate(KMV_K).alias("kmv_estimate"),
+    ).withColumn("err_bp", _err_bp(F.col("kmv_estimate"), F.col("n_exact")))
+
+
+ORACLE_KMV = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type, {H60_SQL.format(x="user_id")} AS h FROM events),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM dh),
+k AS (
+  SELECT event_type, max(nd) AS n_exact,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM r GROUP BY 1),
+e AS (
+  SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+         CAST(CASE WHEN n_exact < {KMV_K} THEN n_exact
+              ELSE floor({float(KMV_K - 1)!r} * {KMV_MAX!r} / CAST(hk AS DOUBLE)
+                         + 0.5) END AS BIGINT) AS kmv_estimate
+  FROM k)
+SELECT event_type, n_exact, kmv_estimate,
+       CAST(floor(abs(CAST(kmv_estimate AS DOUBLE) - CAST(n_exact AS DOUBLE))
+                  * 10000.0 / CAST(n_exact AS DOUBLE) + 0.5) AS BIGINT) AS err_bp
+FROM e
+"""
+
+
+# --- HyperLogLog ---
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via m=64 HyperLogLog registers
+    (Flajolet et al. 2007), linear-counting small-range branch included.
+
+    Plan shape: ONE map-side-combining groupBy builds the register table
+    (64 rows per group — the mergeable sketch); the estimate is pure
+    column arithmetic on it. The exact count is a second aggregate of the
+    same scan (2 scans total, under the plan-audit rescan threshold);
+    at 100 TB the exact branch is the one you delete."""
+    ev = _events(spark, sf_dir).select("event_type", h60(F.col("user_id")).alias("h"))
+    regs = hll_register_table(ev, ["event_type"], F.col("h"), HLL_M)
+    est = hll_estimate(regs, ["event_type"], HLL_M)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("h").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", "hll_estimate")
+        .withColumn("err_bp", _err_bp(F.col("hll_estimate"), F.col("n_exact")))
+    )
+
+
+_HLL_WIDTH = 60 - HLL_M.bit_length() + 1  # 54
+_HLL_SCALE = 2 ** (_HLL_WIDTH + 1)
+
+ORACLE_HLL = f"""
+WITH h AS (
+  SELECT event_type, {H60_SQL.format(x="user_id")} AS h FROM events),
+rr AS (
+  SELECT event_type, h % {HLL_M} AS reg,
+         CASE WHEN h // {HLL_M} = 0 THEN {_HLL_WIDTH + 1}
+              ELSE {_HLL_WIDTH + 1} - length(ltrim(bin(h // {HLL_M}), '0'))
+         END AS rho
+  FROM h),
+regs AS (SELECT event_type, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << ({_HLL_WIDTH + 1} - max_rho)) AS z_used,
+         count(*) AS n_regs
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT event_type,
+         CAST(z_used + ({HLL_M} - n_regs) * {_HLL_SCALE} AS DOUBLE) AS zp,
+         CAST({HLL_M} - n_regs AS DOUBLE) AS v
+  FROM agg),
+fin AS (
+  SELECT event_type,
+         {HLL_ALPHA_64 * HLL_M * HLL_M!r} * {float(_HLL_SCALE)!r} / zp AS raw, v
+  FROM est),
+ex AS (SELECT event_type, count(DISTINCT h) AS n_exact FROM h GROUP BY 1)
+SELECT f.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(floor(CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0
+                       THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                       ELSE raw END + 0.5) AS BIGINT) AS hll_estimate,
+       CAST(floor(abs(CAST(floor(CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0
+                                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                                      ELSE raw END + 0.5) AS DOUBLE)
+                      - CAST(ex.n_exact AS DOUBLE)) * 10000.0
+                  / CAST(ex.n_exact AS DOUBLE) + 0.5) AS BIGINT) AS err_bp
+FROM fin f JOIN ex ON ex.event_type = f.event_type
+"""
+
+
+# --- Count-min sketch ---
+
+
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count point estimates from a 4x1024 count-min
+    sketch, with the exact count and the (always >= 0) overcount.
+
+    Plan shape: the sketch is ONE map-side-combining groupBy over the
+    d-cell explosion (4096 cells total — a constant, broadcast to the
+    probe join); the exact per-key counts are the verification payload the
+    sketch is meant to replace at scale."""
+    ev = _events(spark, sf_dir)
+    cms = cms_table(ev, F.col("user_id"), CMS_D, CMS_W)
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    looked = cms_lookup(cms, keys, "user_id", CMS_D, CMS_W)
+    return looked.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+ORACLE_CMS = f"""
+WITH cells AS (
+  SELECT j AS rj, {H60_SALTED_SQL.format(s="j", x="user_id")} % {CMS_W} AS bucket
+  FROM events, (SELECT unnest(range(0, {CMS_D})) AS j)),
+cms AS (SELECT rj, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+keys AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+probes AS (
+  SELECT user_id, exact_cnt, j AS rj,
+         {H60_SALTED_SQL.format(s="j", x="user_id")} % {CMS_W} AS bucket
+  FROM keys, (SELECT unnest(range(0, {CMS_D})) AS j))
+SELECT p.user_id, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(c.cnt) AS BIGINT) AS cms_est,
+       CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p JOIN cms c ON c.rj = p.rj AND c.bucket = p.bucket
+GROUP BY p.user_id, p.exact_cnt
+"""
+
+
+# --- Bloom-filter join pruning ---
+
+
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning, fully accounted: build a ~10
+    bits/key power-of-two Bloom filter (k=7) over BUILDING-segment
+    customer keys, probe every order, and report pass/member/false-positive
+    counts plus the measured false-positive rate in basis points.
+
+    This is the shuffle-avoidance pattern for 100 TB joins: the bit-set
+    (<= k * n_dim positions, broadcast) filters the fact table down to
+    ~members + fpp before the real join pays a shuffle. No false negatives
+    by construction (tests/test_sketches.py proves it on an adversarial
+    fixture); the builder's n_keys -> m sizing is replayed by the oracle in
+    SQL so the plan and the gate can never disagree on the filter size.
+    The dimension count() driving the sizing is a bounded driver-side
+    scalar (same class as the suite's centroid/manifest lists)."""
+    cust = read_table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    ).distinct()
+    n_keys = build.count()
+    m_bits = bloom_size_bits(n_keys)
+    pos = bloom_positions(build, "c_custkey", m_bits, BLOOM_K)
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probed = bloom_probe(orders, "o_custkey", pos, m_bits, BLOOM_K)
+    flagged = probed.join(
+        F.broadcast(build.withColumn("is_member", F.lit(1))),
+        probed.o_custkey == build.c_custkey,
+        "left",
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+        F.sum(F.coalesce(F.col("is_member"), F.lit(0)).cast("long")).alias("n_member"),
+        F.sum(
+            (F.col("bloom_pass") & F.col("is_member").isNull()).cast("long")
+        ).alias("n_false_pos"),
+    )
+    return agg.select(
+        F.lit(n_keys).cast("long").alias("n_build_keys"),
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        "n_probe",
+        "n_pass",
+        "n_member",
+        "n_false_pos",
+        F.floor(
+            F.col("n_false_pos").cast("double") * 10000.0
+            / (F.col("n_probe") - F.col("n_member")).cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("fpp_bp"),
+    )
+
+
+ORACLE_BLOOM = f"""
+WITH bk AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+n AS (SELECT count(*) AS nk FROM bk),
+mb AS (
+  SELECT CAST(1 AS BIGINT) << CAST(ceil(log2(10.0 * nk)) AS INT) AS m FROM n),
+pos AS (
+  SELECT DISTINCT {H60_SALTED_SQL.format(s="j", x="c_custkey")} % m AS pos
+  FROM bk, (SELECT unnest(range(0, {BLOOM_K})) AS j), mb),
+probe AS (SELECT o_orderkey, o_custkey FROM orders),
+hits AS (
+  SELECT o_orderkey, count(*) AS nh
+  FROM (SELECT p.o_orderkey,
+               {H60_SALTED_SQL.format(s="j", x="p.o_custkey")} % m AS pp
+        FROM probe p, (SELECT unnest(range(0, {BLOOM_K})) AS j), mb) e
+  JOIN pos ON pos.pos = e.pp
+  GROUP BY 1),
+flags AS (
+  SELECT p.o_orderkey,
+         CASE WHEN coalesce(h.nh, 0) = {BLOOM_K} THEN 1 ELSE 0 END AS pass,
+         CASE WHEN p.o_custkey IN (SELECT c_custkey FROM bk) THEN 1 ELSE 0
+         END AS member
+  FROM probe p LEFT JOIN hits h ON h.o_orderkey = p.o_orderkey),
+agg AS (
+  SELECT count(*) AS n_probe, sum(pass) AS n_pass, sum(member) AS n_member,
+         sum(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END) AS n_false_pos
+  FROM flags)
+SELECT CAST((SELECT nk FROM n) AS BIGINT) AS n_build_keys,
+       CAST((SELECT m FROM mb) AS BIGINT) AS m_bits,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_member AS BIGINT) AS n_member,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       CAST(floor(CAST(n_false_pos AS DOUBLE) * 10000.0
+                  / CAST(n_probe - n_member AS DOUBLE) + 0.5) AS BIGINT) AS fpp_bp
+FROM agg
+"""
+
+
+QUERIES = {
+    "kmv_distinct_users": kmv_distinct_users,
+    "hll_distinct_users": hll_distinct_users,
+    "cms_user_event_counts": cms_user_event_counts,
+    "bloom_prune_orders": bloom_prune_orders,
+}
+
+ORACLE = {
+    "kmv_distinct_users": ORACLE_KMV,
+    "hll_distinct_users": ORACLE_HLL,
+    "cms_user_event_counts": ORACLE_CMS,
+    "bloom_prune_orders": ORACLE_BLOOM,
+}

@@ -32,8 +32,13 @@ Two probe families:
                     and so pairs-per-point — constant while the corpus
                     grows k-fold. Also reports the per-cell density cap's
                     exclusion fraction at both scales.
+  sketches        — the mergeable-sketch family: events/orders grow Kx
+                    while the user/customer key domains stay fixed; the
+                    sketch state is constant-size, so anything beyond
+                    scan-linear growth means sketch state leaked into a
+                    corpus-sized shuffle.
 
-Usage: python tools/scale_probe.py [K] [base_sf_dir] [main|pairs|geo]
+Usage: python tools/scale_probe.py [K] [base_sf_dir] [main|pairs|geo|sketches]
 Writes one JSON line; the caller merges it into SCALE_PROBE.json.
 """
 
@@ -115,6 +120,19 @@ PAIR_QUERIES = [
     "ann_bruteforce_topk",
 ]
 
+# Mergeable-sketch family: events/orders grow Kx while the key domains
+# (users, customers) stay fixed — exactly the regime sketches target. The
+# sketch tables themselves (registers, bottom-k arrays, CMS cells, Bloom
+# positions) are constant-size, so the expected curve is the corpus-linear
+# scan cost only; a superlinear reading here means sketch state leaked
+# into a corpus-sized shuffle.
+SKETCH_QUERIES = [
+    "kmv_distinct_users",
+    "hll_distinct_users",
+    "cms_user_event_counts",
+    "bloom_prune_orders",
+]
+
 KEY_SHIFT = 10_000_000
 
 
@@ -149,6 +167,10 @@ def materialize_scaled(spark, base: str, out: str, k: int,
         return
     orders = spark.read.parquet(f"{base}/orders.parquet")
     fan(orders, ["o_orderkey"]).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    if family == "sketches":
+        # the sketch family reads only events/orders/customer; skip the
+        # expensive documents/lineitem fan-out
+        return
     li = spark.read.parquet(f"{base}/lineitem.parquet")
     fan(li, ["l_orderkey"]).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
@@ -291,7 +313,9 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     family = sys.argv[3] if len(sys.argv) > 3 else "main"
-    names = PAIR_QUERIES if family == "pairs" else MAIN_QUERIES
+    names = {"pairs": PAIR_QUERIES, "sketches": SKETCH_QUERIES}.get(
+        family, MAIN_QUERIES
+    )
     scaled = f"/tmp/scale_probe_{family}_x{k}"
 
     from op_etl_spark.session import get_spark
