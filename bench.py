@@ -114,6 +114,10 @@ HEADLINE = [
     "hll_distinct_users",
     "cms_user_event_counts",
     "bloom_prune_orders",
+    # exact-k weighted sampling (A-ES) and the near-dup graph's triangle
+    # census (degree-oriented O(m^1.5) count + clustering coefficient)
+    "weighted_reservoir_sample",
+    "neardup_triangle_stats",
 ]
 
 

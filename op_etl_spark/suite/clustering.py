@@ -405,12 +405,114 @@ SELECT doc_id, r AS microrank FROM r{PR_ITER}
 ORACLE_PAGERANK = _pr_oracle()
 
 
+def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph: edge/wedge/triangle
+    counts and the global clustering coefficient — the standard structural
+    check on a dedup graph (near-dup components should be triangle-dense
+    cliques; a low coefficient means the LSH threshold is admitting chains
+    of false positives that CC will then glue into mega-clusters).
+
+    Algorithm: degree-ordered edge orientation (u -> v iff (deg(u), u) <
+    (deg(v), v)), then count wedges at each apex and close them against
+    the undirected edge set — the classic O(m^(3/2)) bound (Schank &
+    Wagner 2005): every triangle has exactly ONE apex with two outgoing
+    edges in the orientation DAG, so each is counted exactly once, and no
+    vertex fans out more than O(sqrt(m)) oriented edges. Plan shape: the
+    capped pair builder (same bounded contract as dedup_cc_assign), one
+    degree aggregate, a self-join on the apex, and an equi-join back to
+    the edge list — no unoriented neighborhood explosion. The clustering
+    coefficient 3T/wedges is computed in pure integer arithmetic
+    ((60000*T + W) DIV (2*W) — round-half-up basis points), so the gate
+    has zero float surface."""
+    pairs = _pairs(spark, sf_dir).localCheckpoint()  # (a < b), unique
+    deg = (
+        _symmetrize(pairs)
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("doc_id", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("doc_id", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = oriented.join(o2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        pairs, (wedges.v == pairs.a) & (wedges.w == pairs.b)
+    ).agg(F.count(F.lit(1)).alias("t"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("w"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("w").alias("n_wedges"),
+            F.col("t").alias("n_triangles"),
+            F.when(F.col("w") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(60000 * t + w) DIV (2 * w)"))
+            .alias("global_cc_bp"),
+        )
+    )
+
+
+ORACLE_TRIANGLES = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COMMON_TRIGRAMS}),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.a ELSE e0.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.b ELSE e0.a END AS v
+  FROM e0
+  JOIN deg da ON da.doc_id = e0.a
+  JOIN deg db ON db.doc_id = e0.b),
+w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+tri AS (
+  SELECT count(*) AS t FROM w JOIN e0 ON e0.a = w.x AND e0.b = w.y),
+st AS (
+  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM e0) AS n_edges,
+         (SELECT sum(deg * (deg - 1)) // 2 FROM deg) AS wdg,
+         (SELECT t FROM tri) AS t)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(wdg AS BIGINT) AS n_wedges,
+       CAST(t AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN wdg = 0 THEN 0
+                 ELSE (60000 * t + wdg) // (2 * wdg) END AS BIGINT) AS global_cc_bp
+FROM st
+"""
+
+
 QUERIES = {
     "dedup_pagerank": dedup_pagerank,
     "incremental_cc_assign": incremental_cc_assign,
     "dedup_cc_assign": dedup_cc_assign,
     "dedup_cc_survivors": dedup_cc_survivors,
     "dedup_quality_survivors": dedup_quality_survivors,
+    "neardup_triangle_stats": neardup_triangle_stats,
 }
 
 ORACLE = {
@@ -420,4 +522,5 @@ ORACLE = {
     "dedup_cc_assign": ORACLE_CC_ASSIGN,
     "dedup_cc_survivors": ORACLE_CC_SURVIVORS,
     "dedup_quality_survivors": ORACLE_QUALITY_SURVIVORS,
+    "neardup_triangle_stats": ORACLE_TRIANGLES,
 }

@@ -221,6 +221,85 @@ FROM kept GROUP BY lang
 """
 
 
+AES_K = 20  # sample size per language
+AES_SALTS = 8  # per-salt pre-aggregation fan (bounds collect state)
+_U52 = float(2**52)
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k per language, by
+    the Efraimidis-Spirakis A-ES scheme: each doc draws key = ln(u)/w
+    (u = md5-uniform in (0,1], w = its type-token-ratio quality weight)
+    and the k LARGEST keys win — inclusion probability proportional to
+    weight, no replacement, single pass, and (unlike sequential reservoir
+    algorithms) embarrassingly parallel because the keys are independent.
+
+    Contrast with quality_weighted_sample (Bernoulli keep, random sample
+    SIZE): this one guarantees an exact-k quota per group — the shape a
+    curriculum builder needs.
+
+    Plan shape: the key is a pure column expression (no shuffle to draw
+    it); selection is the same bounded-state two-level top-k as
+    operators/sketches.bottom_k_hashes — per (lang, salt) sort+slice to
+    k, then a <= salts*k merge per lang. No per-lang global sort, no
+    corpus window.
+
+    Determinism: u is an exact 52-bit-integer ratio and both engines
+    divide/ln/divide the identical doubles; ln's last-ulp freedom (the
+    documented suite-wide caveat, see lm_stats) could in principle flip
+    an order only when two keys collide within ~1 ulp. Oracle: DuckDB
+    replays the keys and takes row_number() per lang."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    ttr = (
+        F.floor(F.size(F.array_distinct(toks)) / F.size(toks) * 10000 + F.lit(0.5))
+        / 10000.0
+    )
+    hx = F.md5(F.concat(F.lit("aes|"), F.col("doc_id").cast("string")).cast("binary"))
+    h52 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
+    u = (h52 + 1) / F.lit(_U52)  # (0, 1] — ln is always finite
+    base = d.select(
+        "lang",
+        (h52 % AES_SALTS).alias("salt"),
+        F.struct(
+            (-(F.log(u) / ttr)).alias("nk"),  # ascending nk == key DESC
+            F.col("doc_id").alias("doc_id"),
+            F.floor(ttr * 10000 + F.lit(0.5)).cast("long").alias("t4"),
+        ).alias("st"),
+    )
+    per_salt = base.groupBy("lang", "salt").agg(
+        F.slice(F.array_sort(F.collect_list("st")), 1, AES_K).alias("hs")
+    )
+    merged = per_salt.groupBy("lang").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("hs"))), 1, AES_K).alias("hs")
+    )
+    return merged.select(
+        "lang", F.posexplode("hs").alias("pos", "st")
+    ).select(
+        "lang",
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        F.col("st.doc_id").alias("doc_id"),
+        (F.col("st.t4") / 10000.0).alias("ttr"),
+    )
+
+
+ORACLE_AES = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' '))::DOUBLE) * 10000 + 0.5) / 10000.0 AS ttr,
+         ('0x' || substr(md5('aes|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM documents),
+k AS (
+  SELECT lang, doc_id, ttr, ln((h + 1) / {_U52!r}) / ttr AS key FROM q),
+r AS (
+  SELECT lang, doc_id, ttr,
+         row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+  FROM k)
+SELECT lang, CAST(rk AS INT) AS rk, doc_id, ttr FROM r WHERE rk <= {AES_K}
+"""
+
+
 QUERIES = {
     "split_cohort_counts": split_cohort_counts,
     "stratified_lang_sample": stratified_lang_sample,
@@ -228,6 +307,7 @@ QUERIES = {
     "negative_pair_sample": negative_pair_sample,
     "shuffle_shard_manifest": shuffle_shard_manifest,
     "quality_weighted_sample": quality_weighted_sample,
+    "weighted_reservoir_sample": weighted_reservoir_sample,
 }
 
 ORACLE = {
@@ -237,4 +317,5 @@ ORACLE = {
     "negative_pair_sample": ORACLE_NEG_PAIRS,
     "shuffle_shard_manifest": ORACLE_SHUFFLE,
     "quality_weighted_sample": ORACLE_QW_SAMPLE,
+    "weighted_reservoir_sample": ORACLE_AES,
 }

@@ -102,3 +102,32 @@ def test_shuffle_shards_reproducible_permutation(spark):
         .collect()
     }
     assert set(rows) != other
+
+
+def test_weighted_reservoir_sample_exact_k_and_weight_bias(spark):
+    """A-ES invariants on the real fixture: exactly AES_K rows per lang
+    (or the whole group when smaller), no duplicates (without
+    replacement), ranks contiguous from 1, and the selected docs'
+    mean weight exceeds the population mean (weighted inclusion bias)."""
+    from op_etl_spark.suite.sampling import AES_K, _docs, weighted_reservoir_sample
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    out = weighted_reservoir_sample(spark, sf).collect()
+    d = _docs(spark, sf)
+    pop = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(pop)
+    for lang, rows in by_lang.items():
+        assert len(rows) == min(AES_K, pop[lang])
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+        ids = [r["doc_id"] for r in rows]
+        assert len(set(ids)) == len(ids)  # without replacement
+
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    pop_mean = d.agg(F.avg(ttr)).collect()[0][0]
+    sample_mean = sum(r["ttr"] for r in out) / len(out)
+    assert sample_mean > pop_mean  # quality-weighted keys bias the draw up

@@ -48,6 +48,7 @@ ALLOW = {
     "ivf_recall_curve": {"BroadcastNestedLoopJoin"},  # same bounded broadcasts as ivf_recall_at_k, shared across the four operating points
     "ivf_centroid_rank": {"BroadcastNestedLoopJoin"},    # centroid table (n_lists rows) broadcast; corpus never shuffles
     "negative_pair_sample": {"BroadcastNestedLoopJoin"}, # 1-row corpus-size aggregate broadcast into the index math
+    "neardup_triangle_stats": {"BroadcastNestedLoopJoin"},  # final assembly cross-join of three 1-row aggregates (node/edge stats, wedge count, triangle count)
     "temperature_mix_sample": {"BroadcastNestedLoopJoin"},  # 1-row (ntot, Z) normalizer broadcast onto the |sources| rate table
     "training_corpus_funnel": {"BroadcastNestedLoopJoin"},  # same 1-row mix normalizer inside the capstone funnel
     # Presentation ORDER BY over a group-bounded aggregate output: the
