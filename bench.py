@@ -118,6 +118,9 @@ HEADLINE = [
     # census (degree-oriented O(m^1.5) count + clustering coefficient)
     "weighted_reservoir_sample",
     "neardup_triangle_stats",
+    # exact Jaccard join with guaranteed recall via rare-first prefix
+    # filtering (PPJoin-style) — the lossless counterpart to LSH/caps
+    "prefix_filter_jaccard_pairs",
 ]
 
 

@@ -854,6 +854,104 @@ WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) /
 )
 
 
+# --- prefix-filtering exact Jaccard join (PPJoin-style, no false negatives) ---
+
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= t via prefix filtering (Chaudhuri et al.
+    ICDE 2006; Xiao et al. "PPJoin", WWW 2008) — the guaranteed-recall
+    counterpart to the LSH/capped probabilistic paths: NO false negatives,
+    yet never the corpus-wide posting expansion of the retired exact
+    variant.
+
+    The filter: order every document's shingles by a single global rank
+    (document frequency asc, then shingle id — rarest first) and index
+    only each doc's PREFIX of length p = n - ceil(t*n) + 1. Lemma: if
+    J(A,B) >= t then |A and B| >= ceil(t*max(nA,nB)), and two sets whose
+    (n - alpha + 1)-prefixes under a COMMON total order are disjoint share
+    fewer than alpha elements (pigeonhole on the order: all common
+    elements would have to sit in one side's last alpha-1 positions) — so
+    every qualifying pair collides on at least one prefix token, and
+    because prefixes hold each doc's globally RAREST shingles, prefix
+    posting lists are short exactly where naive posting lists explode.
+    ceil(t*n) for t = 3/10 is computed as (3n + 9) // 10 — exact integer
+    arithmetic, no float boundary.
+
+    Stage 2 verifies candidates exactly (array_intersect on the persisted
+    hashed-shingle table, same as jaccard_verified_pairs) after a
+    size-ratio prune (J <= min/max, so 10*min(n1,n2) >= 3*max(n1,n2) is
+    necessary). The oracle is the straight corpus-wide exact SQL — the
+    gate therefore re-proves the no-false-negative property end to end on
+    every run, not just in a unit test.
+
+    Plan shape: one scan + persist of the shingle arrays; df ranks join
+    back on the shingle key; prefix posting lists are ~0.7x the exploded
+    shingle stream with the frequent-token tail REMOVED (the quadratic
+    part of the retired plan); verify joins are candidate-bounded."""
+    from pyspark import StorageLevel
+
+    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_tab, "shingle")
+    docs_sorted = ranked.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+        ).alias("ss")
+    )
+    n = F.size("ss")
+    # p = n - ceil(3n/10) + 1; (3n+9)/10 divides small exact ints — floor
+    # lands exactly (quotients that are integers are exactly representable)
+    p = (n - F.floor((F.lit(3) * n + 9) / 10) + 1).cast("int")
+    pre = docs_sorted.select(
+        F.struct(F.col("doc_id"), n.alias("n_sh")).alias("m"),
+        F.explode(F.slice(F.col("ss"), 1, p)).alias("tok"),
+    )
+    posts = (
+        pre.groupBy(F.col("tok.shingle").alias("shingle"))
+        .agg(F.collect_list("m").alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    least_n = F.least(F.col("n1"), F.col("n2"))
+    greatest_n = F.greatest(F.col("n1"), F.col("n2"))
+    cand = (
+        _posting_pairs(posts)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .filter(F.lit(10) * least_n >= F.lit(3) * greatest_n)
+        .select("id1", "id2")
+        .distinct()
+    )
+    a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            fround(
+                F.col("n_common")
+                / (F.size("sh1") + F.size("sh2") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id1", "id2", "n_common", "jaccard")
+    )
+
+
+# the oracle IS the corpus-wide exact join: hash equality re-proves the
+# prefix filter's no-false-negative guarantee on every gate run
+ORACLE_PREFIX_FILTER = ORACLE_JACCARD
+
+
 # --- incremental dedup: new batch vs existing corpus, no corpus reshuffle ---
 
 INC_MOD = 10
@@ -999,6 +1097,7 @@ QUERIES = {
     "simhash64_near_pairs": simhash64_near_pairs,
     "editdist_verified_pairs": editdist_verified_pairs,
     "jaccard_verified_pairs": jaccard_verified_pairs,
+    "prefix_filter_jaccard_pairs": prefix_filter_jaccard_pairs,
 }
 
 ORACLE = {
@@ -1013,4 +1112,5 @@ ORACLE = {
     "simhash64_near_pairs": ORACLE_SIMHASH64_PAIRS,
     "editdist_verified_pairs": ORACLE_EDITDIST_PAIRS,
     "jaccard_verified_pairs": ORACLE_JACCARD_VERIFIED,
+    "prefix_filter_jaccard_pairs": ORACLE_PREFIX_FILTER,
 }

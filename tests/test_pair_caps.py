@@ -195,3 +195,25 @@ class TestEmbeddingBlockSplit:
         ids = {r.id1 for r in rows} | {r.id2 for r in rows}
         assert not any(i < N_EMB_CLONES for i in ids)  # mega bucket dropped
         assert any(r.id1 == 9000 and r.id2 == 9001 for r in rows)  # pair found
+
+
+class TestPrefixFilterExactness:
+    def test_prefix_filter_equals_exact_baseline(self, spark, corpus):
+        """The no-false-negative contract, adversarially: on the clone-
+        heavy corpus the prefix-filtered join must produce EXACTLY the
+        corpus-wide exact join's output — including every pair inside the
+        200-clone cluster (prefix filtering, unlike the DF cap, is
+        lossless; its cost control is the rare-first prefix, not a
+        drop)."""
+        exact = {
+            (r.id1, r.id2, r.n_common, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(spark, corpus).collect()
+        }
+        prefixed = {
+            (r.id1, r.id2, r.n_common, r.jaccard)
+            for r in dedup.prefix_filter_jaccard_pairs(spark, corpus).collect()
+        }
+        assert prefixed == exact
+        # and the clone cluster IS present (lossless where the cap drops)
+        clone_pairs = [p for p in prefixed if p[0] < N_CLONES and p[1] < N_CLONES]
+        assert len(clone_pairs) == N_CLONES * (N_CLONES - 1) // 2

@@ -109,6 +109,7 @@ PAIR_QUERIES = [
     "ngram_jaccard_pairs_capped",
     "minhash_lsh_candidates",
     "jaccard_verified_pairs",
+    "prefix_filter_jaccard_pairs",
     "simhash64_fingerprints",
     "simhash64_near_pairs",
     "editdist_verified_pairs",
