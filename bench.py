@@ -121,6 +121,10 @@ HEADLINE = [
     # exact Jaccard join with guaranteed recall via rare-first prefix
     # filtering (PPJoin-style) — the lossless counterpart to LSH/caps
     "prefix_filter_jaccard_pairs",
+    # directed set-containment (quoted/subsumed docs) and JL sign projection
+    # with measured distortion
+    "containment_pairs",
+    "jl_projection_distortion",
 ]
 
 

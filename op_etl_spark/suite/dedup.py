@@ -952,6 +952,110 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PREFIX_FILTER = ORACLE_JACCARD
 
 
+# --- asymmetric set-containment join (quoted/subsumed-document detector) ---
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment pairs: (inner_id, outer_id) where
+    |S_inner and S_outer| / |S_inner| >= t — the subsumed/quoted-document
+    detector that symmetric Jaccard structurally misses: a short document
+    quoted verbatim inside a long one has low Jaccard (the union is
+    dominated by the long doc) but containment ~1. Training-data dedup
+    cares: the quoted copy is the redundant one, and the direction tells
+    you which doc to drop.
+
+    Candidates: unordered pairs sharing >= 1 DF-capped shingle (the same
+    bounded contract as the capped Jaccard — pairs per shingle <= cap^2;
+    recall on boilerplate-only containment is traded, as there). Verify:
+    exact intersection against the persisted hashed-shingle arrays, then
+    BOTH directions tested — each unordered candidate yields up to two
+    directed rows. The oracle applies the identical cap and direction
+    expansion."""
+    from pyspark import StorageLevel
+
+    arrs = _hashed_shingle_arrays(_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = arrs.select(
+        F.struct(F.col("doc_id")).alias("m"), F.explode("shingles").alias("shingle")
+    )
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("m").alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= DF_CAP))
+    )
+    cand = (
+        _posting_pairs(posts)
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    verified = (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("n_common"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+        )
+    )
+    fwd = verified.select(
+        F.col("id1").alias("inner_id"),
+        F.col("id2").alias("outer_id"),
+        "n_common",
+        F.col("n1").alias("n_inner"),
+    )
+    rev = verified.select(
+        F.col("id2").alias("inner_id"),
+        F.col("id1").alias("outer_id"),
+        "n_common",
+        F.col("n2").alias("n_inner"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn(
+            "containment", fround(F.col("n_common") / F.col("n_inner"), 4)
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("inner_id", "outer_id", "n_common", "containment")
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle),
+common AS (
+  SELECT c.id1, c.id2, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+dirs AS (
+  SELECT id1 AS inner_id, id2 AS outer_id, n_common, sa.n_sh AS n_inner
+  FROM common JOIN sizes sa ON sa.doc_id = id1
+  UNION ALL
+  SELECT id2 AS inner_id, id1 AS outer_id, n_common, sb.n_sh AS n_inner
+  FROM common JOIN sizes sb ON sb.doc_id = id2)
+SELECT inner_id, outer_id, CAST(n_common AS BIGINT) AS n_common,
+       floor((n_common::DOUBLE / n_inner) * 10000 + 0.5) / 10000.0 AS containment
+FROM dirs
+WHERE floor((n_common::DOUBLE / n_inner) * 10000 + 0.5) / 10000.0
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # --- incremental dedup: new batch vs existing corpus, no corpus reshuffle ---
 
 INC_MOD = 10
@@ -1098,6 +1202,7 @@ QUERIES = {
     "editdist_verified_pairs": editdist_verified_pairs,
     "jaccard_verified_pairs": jaccard_verified_pairs,
     "prefix_filter_jaccard_pairs": prefix_filter_jaccard_pairs,
+    "containment_pairs": containment_pairs,
 }
 
 ORACLE = {
@@ -1113,4 +1218,5 @@ ORACLE = {
     "editdist_verified_pairs": ORACLE_EDITDIST_PAIRS,
     "jaccard_verified_pairs": ORACLE_JACCARD_VERIFIED,
     "prefix_filter_jaccard_pairs": ORACLE_PREFIX_FILTER,
+    "containment_pairs": ORACLE_CONTAINMENT,
 }

@@ -375,8 +375,144 @@ FROM pairs WHERE cosine >= {SIGNLSH_THRESHOLD}
 """
 
 
+# --- Johnson-Lindenstrauss sign projection with distortion accounting ---
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+JL_TICK = 1_000_000
+
+
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random sign projection (Achlioptas 2001, the database-friendly
+    Johnson-Lindenstrauss transform) from 64 to 16 dims, with the
+    distortion it induces measured pair by pair: for every consecutive
+    vector pair, the exact squared distance in the original space and in
+    the projected space (scaled by 1/k), and their ratio — the quantity
+    the JL lemma bounds. This is the corpus-scale dimensionality-reduction
+    primitive: a 4x cheaper embedding column for downstream LSH/ANN, with
+    the quality loss REPORTED rather than assumed.
+
+    Determinism (the reason this gate can hash-match): vectors are
+    quantized to exact micro-tick integers FIRST, the +/-1 sign matrix
+    comes from md5 parity, and every inner product / squared distance is
+    then exact int64 arithmetic — no float accumulation order anywhere;
+    the single final ratio is two correctly-rounded divides.
+
+    Plan shape: signs (64x16 rows) broadcast; ticks are a narrow
+    posexplode; the projection is one map-side-combining groupBy
+    (vec_id, j); the pair joins are co-partitioned on vec_id. Everything
+    is corpus-linear — at 100 TB this is exactly a distributed dense
+    matmul against a broadcast matrix."""
+    from pyspark import StorageLevel
+
+    e = read_table(spark, sf_dir, "embeddings", fan=True)
+    # persisted: feeds the projection AND both sides of the original-space
+    # distance join — one corpus scan, not three (plan-audit rescan axis)
+    ticks = (
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("x") * JL_TICK + F.lit(0.5)).cast("long").alias("t"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the 64x16 sign matrix from ONE range (no cross join): id -> (i, j)
+    cell = spark.range(JL_IN_DIM * JL_OUT_DIM).select(
+        (F.col("id") / JL_OUT_DIM).cast("long").alias("i"),
+        (F.col("id") % JL_OUT_DIM).alias("j"),
+    )
+    hx = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("jl|"),
+                    F.col("i").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    signs = cell.select(
+        "i", "j", F.when(hx % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s")
+    )
+    proj = (
+        ticks.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("t")).alias("p"))
+    )
+    p2 = proj.select((F.col("vec_id") - 1).alias("vec_id"), "j", F.col("p").alias("q"))
+    d2p = (
+        proj.join(p2, ["vec_id", "j"])
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("p") - F.col("q")) * (F.col("p") - F.col("q"))).alias("d2_proj"))
+    )
+    t2 = ticks.select((F.col("vec_id") - 1).alias("vec_id"), "i", F.col("t").alias("u"))
+    d2o = (
+        ticks.join(t2, ["vec_id", "i"])
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("t") - F.col("u")) * (F.col("t") - F.col("u"))).alias("d2_orig"))
+    )
+    return (
+        d2o.join(d2p, "vec_id")
+        .filter(F.col("d2_orig") > 0)
+        .select(
+            F.col("vec_id").alias("id1"),
+            (F.col("vec_id") + 1).alias("id2"),
+            "d2_orig",
+            "d2_proj",
+            fround(
+                F.col("d2_proj") / F.lit(float(JL_OUT_DIM)) / F.col("d2_orig"), 4
+            ).alias("jl_ratio"),
+        )
+    )
+
+
+ORACLE_JL = f"""
+WITH signs AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5('jl|' || CAST(i AS VARCHAR) || '|'
+                    || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, {JL_IN_DIM})) AS i),
+       (SELECT unnest(range(0, {JL_OUT_DIM})) AS j)),
+ticks AS (
+  SELECT vec_id, i,
+         CAST(floor(embedding[i + 1]::DOUBLE * {JL_TICK} + 0.5) AS BIGINT) AS t
+  FROM embeddings, (SELECT unnest(range(0, {JL_IN_DIM})) AS i)),
+proj AS (
+  SELECT t.vec_id, s.j, sum(s.s * t.t) AS p
+  FROM ticks t JOIN signs s ON s.i = t.i
+  GROUP BY 1, 2),
+d2p AS (
+  SELECT a.vec_id, sum((a.p - b.p) * (a.p - b.p)) AS d2_proj
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+  GROUP BY 1),
+d2o AS (
+  SELECT a.vec_id, sum((a.t - b.t) * (a.t - b.t)) AS d2_orig
+  FROM ticks a JOIN ticks b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+  GROUP BY 1)
+SELECT o.vec_id AS id1, o.vec_id + 1 AS id2,
+       CAST(o.d2_orig AS BIGINT) AS d2_orig,
+       CAST(p.d2_proj AS BIGINT) AS d2_proj,
+       floor((p.d2_proj / {float(JL_OUT_DIM)!r} / o.d2_orig) * 10000 + 0.5)
+         / 10000.0 AS jl_ratio
+FROM d2o o JOIN d2p p ON p.vec_id = o.vec_id
+WHERE o.d2_orig > 0
+"""
+
+
 QUERIES = {
     "embedding_stats": embedding_stats,
+    "jl_projection_distortion": jl_projection_distortion,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ivf_centroid_rank": ivf_centroid_rank,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -385,6 +521,7 @@ QUERIES = {
 
 ORACLE = {
     "embedding_stats": ORACLE_STATS,
+    "jl_projection_distortion": ORACLE_JL,
     "ann_bruteforce_topk": ORACLE_BRUTEFORCE,
     "ivf_centroid_rank": ORACLE_IVF,
     "embedding_neardup_pairs": ORACLE_NEARDUP,

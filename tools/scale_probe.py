@@ -110,6 +110,7 @@ PAIR_QUERIES = [
     "minhash_lsh_candidates",
     "jaccard_verified_pairs",
     "prefix_filter_jaccard_pairs",
+    "containment_pairs",
     "simhash64_fingerprints",
     "simhash64_near_pairs",
     "editdist_verified_pairs",
