@@ -968,28 +968,69 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates: unordered pairs sharing >= 1 DF-capped shingle (the same
     bounded contract as the capped Jaccard — pairs per shingle <= cap^2;
-    recall on boilerplate-only containment is traded, as there). Verify:
-    exact intersection against the persisted hashed-shingle arrays, then
-    BOTH directions tested — each unordered candidate yields up to two
-    directed rows. The oracle applies the identical cap and direction
-    expansion."""
+    recall on boilerplate-only containment is traded, as there), PRUNED by
+    an exact upper bound before the verify join: true common <=
+    capped_common + min(hot_1, hot_2), where hot_i = inner's shingles
+    above the DF cap (a common shingle either survives the cap and is
+    counted, or is hot on BOTH sides). Only pairs whose bound clears
+    t * min(n1, n2) — the easier direction — reach the array
+    intersection; the K=32 probe measured the unpruned version verifying
+    ~16x more pairs than qualify. Verify: exact intersection against the
+    persisted hashed-shingle arrays, then BOTH directions tested — each
+    surviving candidate yields up to two directed rows. The oracle applies
+    the identical cap (the prune is invisible to it: a pure upper-bound
+    rejection can only discard pairs that fail both directions)."""
     from pyspark import StorageLevel
 
     arrs = _hashed_shingle_arrays(_docs(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sh = arrs.select(
-        F.struct(F.col("doc_id")).alias("m"), F.explode("shingles").alias("shingle")
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    # hot shingles (df > cap) are FEW by definition — broadcast them back
+    # instead of joining the df table onto the full exploded stream (the
+    # unpruned version's dominant shuffle)
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = df_tab.filter(F.col("df") > DF_CAP).select("shingle")
+    n_hot_tab = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    per_doc = (
+        arrs.select("doc_id", F.size("shingles").alias("n_sh"))
+        .join(n_hot_tab, "doc_id", "left")
+        .select("doc_id", "n_sh", F.coalesce("n_hot", F.lit(0)).alias("n_hot"))
     )
     posts = (
-        sh.groupBy("shingle")
+        sh.select(F.struct(F.col("doc_id")).alias("m"), "shingle")
+        .groupBy("shingle")
         .agg(F.collect_list("m").alias("m"))
         .filter((F.size("m") >= 2) & (F.size("m") <= DF_CAP))
     )
-    cand = (
+    cc = (
         _posting_pairs(posts)
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("capped_common"))
+    )
+    d1 = per_doc.select(
+        F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"), F.col("n_hot").alias("h1")
+    )
+    d2 = per_doc.select(
+        F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"), F.col("n_hot").alias("h2")
+    )
+    bound = F.col("capped_common") + F.least("h1", "h2")
+    cand = (
+        cc.join(d1, "id1")
+        .join(d2, "id2")
+        .filter(
+            # t = 1/2 with the gate's 4-decimal half-up rounding: a ratio
+            # down to 0.49995 still rounds to the threshold, so prune with
+            # integer cross-multiplication at 0.4999 (one rounding unit of
+            # extra slack — a handful of spare verifications, zero recall
+            # risk at any n)
+            F.lit(20000) * bound >= F.lit(9998) * F.least("n1", "n2")
+        )
+        .select("id1", "id2")
     )
     a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
