@@ -114,6 +114,7 @@ HEADLINE = [
     "hll_distinct_users",
     "cms_user_event_counts",
     "bloom_prune_orders",
+    "hll_merge_days",
     # exact-k weighted sampling (A-ES) and the near-dup graph's triangle
     # census (degree-oriented O(m^1.5) count + clustering coefficient)
     "weighted_reservoir_sample",

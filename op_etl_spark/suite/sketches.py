@@ -183,6 +183,96 @@ FROM fin f JOIN ex ON ex.event_type = f.event_type
 """
 
 
+def hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY as a declared gate, not just a unit test: the
+    corpus is split into two "days" (event_id parity), per-day HLL
+    register tables are built independently, max-merged, and estimated —
+    alongside the estimate from a single full-corpus sketch. Because
+    registers are a pure max-reduction, the two must be EQUAL (not
+    approximately equal), and `merge_exact` pins it per group. This is the
+    operational property that lets daily 100 TB sketches roll up into
+    monthly distincts without re-reading any raw data (Agarwal et al.,
+    PODS 2012).
+
+    Plan shape: day registers come from ONE scan (day is a derived
+    column, the roll-up is a second tiny aggregate of the register
+    table); the full sketch is a second scan — 2 total, under the
+    plan-audit rescan threshold."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 2).alias("day"),
+        h60(F.col("user_id")).alias("h"),
+    )
+    regs_day = hll_register_table(ev, ["event_type", "day"], F.col("h"), HLL_M)
+    merged_regs = regs_day.groupBy("event_type", "reg").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    merged = hll_estimate(merged_regs, ["event_type"], HLL_M).withColumnRenamed(
+        "hll_estimate", "hll_merged"
+    )
+    full = hll_estimate(
+        hll_register_table(ev, ["event_type"], F.col("h"), HLL_M),
+        ["event_type"],
+        HLL_M,
+    ).withColumnRenamed("hll_estimate", "hll_full")
+    return (
+        merged.join(full, "event_type")
+        .select(
+            "event_type",
+            "hll_merged",
+            "hll_full",
+            (F.col("hll_merged") == F.col("hll_full")).cast("int").alias("merge_exact"),
+        )
+    )
+
+
+ORACLE_HLL_MERGE = f"""
+WITH h AS (
+  SELECT event_type, event_id % 2 AS day,
+         {H60_SQL.format(x="user_id")} AS h
+  FROM events),
+rr AS (
+  SELECT event_type, day, h % {HLL_M} AS reg,
+         CASE WHEN h // {HLL_M} = 0 THEN {_HLL_WIDTH + 1}
+              ELSE {_HLL_WIDTH + 1} - length(ltrim(bin(h // {HLL_M}), '0'))
+         END AS rho
+  FROM h),
+day_regs AS (
+  SELECT event_type, day, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2, 3),
+merged_regs AS (
+  SELECT event_type, reg, max(max_rho) AS max_rho FROM day_regs GROUP BY 1, 2),
+full_regs AS (
+  SELECT event_type, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+est AS (
+  SELECT 'm' AS side, event_type,
+         sum(CAST(1 AS BIGINT) << ({_HLL_WIDTH + 1} - max_rho)) AS z_used,
+         count(*) AS n_regs
+  FROM merged_regs GROUP BY 2
+  UNION ALL
+  SELECT 'f' AS side, event_type,
+         sum(CAST(1 AS BIGINT) << ({_HLL_WIDTH + 1} - max_rho)) AS z_used,
+         count(*) AS n_regs
+  FROM full_regs GROUP BY 2),
+fin AS (
+  SELECT side, event_type,
+         {HLL_ALPHA_64 * HLL_M * HLL_M!r} * {float(_HLL_SCALE)!r}
+           / CAST(z_used + ({HLL_M} - n_regs) * {_HLL_SCALE} AS DOUBLE) AS raw,
+         CAST({HLL_M} - n_regs AS DOUBLE) AS v
+  FROM est),
+e2 AS (
+  SELECT side, event_type,
+         CAST(floor(CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0
+                         THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                         ELSE raw END + 0.5) AS BIGINT) AS est
+  FROM fin)
+SELECT m.event_type, m.est AS hll_merged, f.est AS hll_full,
+       CAST(CASE WHEN m.est = f.est THEN 1 ELSE 0 END AS INT) AS merge_exact
+FROM (SELECT event_type, est FROM e2 WHERE side = 'm') m
+JOIN (SELECT event_type, est FROM e2 WHERE side = 'f') f
+  ON f.event_type = m.event_type
+"""
+
+
 # --- Count-min sketch ---
 
 
@@ -320,6 +410,7 @@ FROM agg
 QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
     "hll_distinct_users": hll_distinct_users,
+    "hll_merge_days": hll_merge_days,
     "cms_user_event_counts": cms_user_event_counts,
     "bloom_prune_orders": bloom_prune_orders,
 }
@@ -327,6 +418,7 @@ QUERIES = {
 ORACLE = {
     "kmv_distinct_users": ORACLE_KMV,
     "hll_distinct_users": ORACLE_HLL,
+    "hll_merge_days": ORACLE_HLL_MERGE,
     "cms_user_event_counts": ORACLE_CMS,
     "bloom_prune_orders": ORACLE_BLOOM,
 }

@@ -131,6 +131,7 @@ PAIR_QUERIES = [
 SKETCH_QUERIES = [
     "kmv_distinct_users",
     "hll_distinct_users",
+    "hll_merge_days",
     "cms_user_event_counts",
     "bloom_prune_orders",
 ]
