@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 # Known, accepted regressions (query -> why). A gate failure on one of
@@ -37,11 +38,24 @@ GATE_ALLOW = {
 
 def _queries(path: str) -> dict:
     """Accept either a raw bench.py line or the driver's BENCH_r{N}.json
-    wrapper (which nests the parsed line under 'parsed')."""
+    wrapper (which nests the parsed line under 'parsed'). Some driver
+    rounds record 'parsed': null with the raw line only in 'tail' (the
+    tail may start mid-object, e.g. 'total_runtime", "value": ...') —
+    reconstruct the queries dict from the tail in that case."""
     d = json.load(open(path))
     if "queries" in d:
         return d["queries"]
-    return d["parsed"]["queries"]
+    if d.get("parsed"):
+        return d["parsed"]["queries"]
+    tail = d.get("tail", "")
+    start = tail.find('{"metric')
+    if start < 0:
+        # tail truncated mid-object: find the queries sub-object directly
+        m = re.search(r'"queries"\s*:\s*(\{[^{}]*\})', tail)
+        if not m:
+            raise ValueError(f"{path}: no parsable bench line in 'tail'")
+        return json.loads(m.group(1))
+    return json.loads(tail[start:].strip())["queries"]
 
 
 def diff(old: dict, new: dict, threshold: float, floor: float, gate: bool):
