@@ -97,6 +97,12 @@ MAIN_QUERIES = [
     "global_topk_docs",
     "dq_constraint_report",
     "drift_bucket_report",
+    # round-5 additions that fit the main-family regime (corpus-linear
+    # work, non-pair-shaped): exact-k weighted sampling, JL projection,
+    # HLL merge gate
+    "weighted_reservoir_sample",
+    "jl_projection_distortion",
+    "hll_merge_days",
 ]
 
 # Every bounded-pair-cost contract in the dedup/similarity/clustering
