@@ -72,6 +72,7 @@ HEADLINE = [
     "scd2_user_value_history",
     "funnel_click_purchase",
     "click_attribution",
+    "multitouch_attribution",
     # training-data hygiene: broadcast eval-ngram decontamination,
     # temperature-flattened source mixing, and the full hygiene funnel
     # (split -> quality -> exact dedup -> near-dup -> decontam -> mix)

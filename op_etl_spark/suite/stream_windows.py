@@ -286,8 +286,72 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution over the interval join: each
+    purchase's value is split across ALL its qualifying clicks with
+    weights proportional to recency rank (the later the click, the larger
+    the share — weight_i = i / (n(n+1)/2) for the i-th click by time).
+    Last-touch (click_attribution's pair listing collapsed to the max
+    rank) and first-touch are degenerate cases; linear is the standard
+    multi-touch baseline.
+
+    Exact arithmetic: value -> micro ticks, per-pair share =
+    floor(ticks * i * 2 / (n * (n + 1))) — integer division both engines;
+    floor remainders are deliberately dropped rather than redistributed
+    (deterministic, and the report sums shares, so the invariant
+    sum(shares) <= value holds per purchase). The rank window partitions
+    by purchase_id — state bounded by clicks-per-attribution-window, the
+    same bound that makes the streaming join viable."""
+    from pyspark.sql import Window as W
+
+    ev = read_events(spark, sf_dir)
+    pairs = attribute_purchases_to_clicks(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    w = W.partitionBy("purchase_id")
+    pos = F.row_number().over(w.orderBy("click_ts", "click_id"))
+    n = F.count(F.lit(1)).over(w)
+    ticks = F.floor(F.col("purchase_value") * 1000000 + F.lit(0.5)).cast("long")
+    share = F.expr(
+        "CAST(ticks * pos * 2 DIV (n * (n + 1)) AS BIGINT)"
+    )
+    scored = pairs.withColumn("pos", pos).withColumn("n", n).withColumn(
+        "ticks", ticks
+    ).withColumn("share_micro", share)
+    return scored.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_touched"),
+        F.sum("share_micro").alias("attributed_micro"),
+    )
+
+
+ORACLE_MULTITOUCH = f"""
+WITH pairs AS (
+  SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+         p.event_id AS purchase_id, p.value AS purchase_value
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS),
+ranked AS (
+  SELECT user_id, click_id, purchase_id,
+         CAST(floor(purchase_value * 1000000 + 0.5) AS BIGINT) AS ticks,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts, click_id) AS pos,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM pairs)
+SELECT click_id, user_id,
+       count(*) AS n_purchases_touched,
+       CAST(sum(ticks * pos * 2 // (n * (n + 1))) AS BIGINT) AS attributed_micro
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "session_windows": session_windows,
+    "multitouch_attribution": multitouch_attribution,
     "sliding_windows": sliding_windows,
     "stateful_sessionize_stream": stateful_sessionize_stream,
     "stream_dedup_events": stream_dedup_events,
@@ -300,4 +364,5 @@ ORACLE = {
     "stateful_sessionize_stream": ORACLE_STATEFUL_SESSIONIZE,
     "stream_dedup_events": ORACLE_STREAM_DEDUP,
     "click_attribution": ORACLE_CLICK_ATTRIBUTION,
+    "multitouch_attribution": ORACLE_MULTITOUCH,
 }
