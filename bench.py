@@ -69,6 +69,7 @@ HEADLINE = [
     "label_centroids",
     "unpivot_lineitem_measures",
     "order_price_histogram",
+    "equidepth_price_histogram",
     "scd2_user_value_history",
     "funnel_click_purchase",
     "click_attribution",

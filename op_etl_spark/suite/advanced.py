@@ -312,6 +312,71 @@ GROUP BY bucket
 """
 
 
+EQD_K = 8  # equi-depth bucket count
+
+
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order totals: bucket boundaries are the
+    exact order statistics at ranks ceil(i*n/k), fetched with
+    `operators.ranks.rows_at_ranks` — range partition + per-partition
+    counts + sorting ONLY the partitions containing a requested rank.
+    No `row_number() OVER (ORDER BY ...)` single-reducer sort anywhere
+    (the plan-audit axis that killed that shape), and no approximation:
+    these are the true quantiles, not percentile_approx sketches (the
+    accuracy of which `approx_quantile_gate` measures separately).
+
+    Assignment compares each row against the k-1 boundary literals
+    (price-only comparison, so ties share a bucket deterministically on
+    both engines); counts deviate from n/k exactly where ties straddle a
+    boundary — the honest equi-depth semantics. The k-1 boundary fetch is
+    a bounded driver-side collect (same class as centroid lists)."""
+    from ..operators.ranks import rows_at_ranks
+
+    o = _t(spark, sf_dir, "orders")
+    n = o.count()
+    ranks = [(i * n + EQD_K - 1) // EQD_K for i in range(1, EQD_K)]
+    ranks_rows, _n2 = rows_at_ranks(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        ranks,
+    )
+    bounds = [r["o_totalprice"] for r in ranks_rows]
+    bucket = sum(
+        ((F.col("o_totalprice") > F.lit(b)).cast("int") for b in bounds),
+        F.lit(0),
+    )
+    return (
+        o.select(bucket.cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+ORACLE_EQUIDEPTH = f"""
+WITH n AS (SELECT count(*) AS n FROM orders),
+r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders),
+b AS (
+  SELECT r.o_totalprice AS bp
+  FROM r, n, (SELECT unnest(range(1, {EQD_K})) AS i)
+  WHERE r.rn = (i * n.n + {EQD_K - 1}) // {EQD_K}),
+assigned AS (
+  SELECT o.o_totalprice,
+         (SELECT count(*) FROM b WHERE o.o_totalprice > b.bp) AS bucket
+  FROM orders o)
+SELECT CAST(bucket AS INT) AS bucket,
+       count(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total_price
+FROM assigned
+GROUP BY bucket
+"""
+
+
 # --- SCD Type-2 history build: change events -> validity intervals ---
 
 def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,6 +632,7 @@ QUERIES = {
     "scd2_user_value_history": scd2_user_value_history,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "order_price_histogram": order_price_histogram,
+    "equidepth_price_histogram": equidepth_price_histogram,
     "grouping_sets_status_priority": grouping_sets_status_priority,
     "moving_avg_7d_revenue": moving_avg_7d_revenue,
     "string_agg_priorities": string_agg_priorities,
@@ -583,6 +649,7 @@ ORACLE = {
     "scd2_user_value_history": ORACLE_SCD2,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "order_price_histogram": ORACLE_HISTOGRAM,
+    "equidepth_price_histogram": ORACLE_EQUIDEPTH,
     "grouping_sets_status_priority": ORACLE_GROUPING_SETS,
     "moving_avg_7d_revenue": ORACLE_MOVING_AVG,
     "string_agg_priorities": ORACLE_STRING_AGG,
