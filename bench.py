@@ -127,6 +127,7 @@ HEADLINE = [
     # directed set-containment (quoted/subsumed docs) and JL sign projection
     # with measured distortion
     "containment_pairs",
+    "weighted_jaccard_pairs",
     "jl_projection_distortion",
 ]
 

@@ -1097,6 +1097,114 @@ WHERE floor((n_common::DOUBLE / n_inner) * 10000 + 0.5) / 10000.0
 """
 
 
+# --- weighted (min/max) Jaccard over token multiplicities ---
+
+WJ_THRESHOLD = 0.3
+
+
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Jaccard near-dup pairs over 3-gram shingle
+    MULTIPLICITIES: J_w(A,B) = sum_t min(a_t, b_t) / sum_t max(a_t, b_t)
+    — the variant that distinguishes "same shingle set" from "same text"
+    (a doc and its 2x self-concatenation have unweighted shingle Jaccard
+    ~1.0 but J_w ~0.5, since every shared shingle counts once vs twice).
+    Completes the set-similarity quartet: unweighted set Jaccard
+    (capped/prefix-exact), directed containment, and weighted multiset.
+
+    Identity used: sum max = S_A + S_B - sum min (non-shared shingles
+    contribute their full count to max and 0 to min), so only the shared
+    min-sum needs pair computation — it rides the posting-pair expansion
+    directly (min of the two multiplicities per shared shingle, summed
+    per pair), no second verify join. All exact integer arithmetic until
+    the final ratio.
+
+    Bounded contract: shingle postings are DF-capped like the capped
+    Jaccard (boilerplate shingles dropped before pair expansion; min-sum
+    is then a lower bound and the reported score conservative). Oracle
+    applies the identical cap."""
+    d = _docs(spark, sf_dir)
+    # shingles WITH multiplicity: same 3-gram construction as
+    # _shingle_arrays but without array_distinct
+    dd = d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    words = F.col("words")
+    nw = F.size(words)
+    zipped = F.arrays_zip(
+        F.slice(words, 1, nw - 2), F.slice(words, 2, nw - 2), F.slice(words, 3, nw - 2)
+    )
+    sh = F.when(
+        nw >= 3,
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    counts = (
+        dd.select("doc_id", F.explode(sh).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("cnt").alias("s"))
+    posts = (
+        counts.join(totals, "doc_id")
+        .select(
+            F.struct(F.col("doc_id"), F.col("cnt"), F.col("s")).alias("m"), "tok"
+        )
+        .groupBy("tok")
+        .agg(F.collect_list("m").alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= DF_CAP))
+    )
+    pair_min = (
+        _posting_pairs(posts)
+        .groupBy(
+            F.col("a.doc_id").alias("id1"),
+            F.col("a.s").alias("s1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("b.s").alias("s2"),
+        )
+        .agg(F.sum(F.least(F.col("a.cnt"), F.col("b.cnt"))).alias("minsum"))
+    )
+    return (
+        pair_min.withColumn(
+            "w_jaccard",
+            fround(
+                F.col("minsum") / (F.col("s1") + F.col("s2") - F.col("minsum")), 4
+            ),
+        )
+        .filter(F.col("w_jaccard") >= WJ_THRESHOLD)
+        .select("id1", "id2", F.col("minsum").cast("long").alias("minsum"), "w_jaccard")
+    )
+
+
+ORACLE_WEIGHTED_JACCARD = f"""
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                    [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                     for i in range(1, len(string_split(text,' ')) - 1)]
+                  ELSE [text] END) AS tok
+    FROM documents)
+  GROUP BY 1, 2),
+totals AS (SELECT doc_id, sum(cnt) AS s FROM tc GROUP BY 1),
+capped AS (
+  SELECT tok FROM tc GROUP BY tok
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+pair_min AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         sum(least(a.cnt, b.cnt)) AS minsum
+  FROM tc a
+  JOIN tc b ON b.tok = a.tok AND a.doc_id < b.doc_id
+  JOIN capped c ON c.tok = a.tok
+  GROUP BY 1, 2)
+SELECT id1, id2, CAST(minsum AS BIGINT) AS minsum,
+       floor((minsum::DOUBLE / (ta.s + tb.s - minsum)) * 10000 + 0.5) / 10000.0
+         AS w_jaccard
+FROM pair_min
+JOIN totals ta ON ta.doc_id = id1
+JOIN totals tb ON tb.doc_id = id2
+WHERE floor((minsum::DOUBLE / (ta.s + tb.s - minsum)) * 10000 + 0.5) / 10000.0
+      >= {WJ_THRESHOLD}
+"""
+
+
 # --- incremental dedup: new batch vs existing corpus, no corpus reshuffle ---
 
 INC_MOD = 10
@@ -1244,6 +1352,7 @@ QUERIES = {
     "jaccard_verified_pairs": jaccard_verified_pairs,
     "prefix_filter_jaccard_pairs": prefix_filter_jaccard_pairs,
     "containment_pairs": containment_pairs,
+    "weighted_jaccard_pairs": weighted_jaccard_pairs,
 }
 
 ORACLE = {
@@ -1260,4 +1369,5 @@ ORACLE = {
     "jaccard_verified_pairs": ORACLE_JACCARD_VERIFIED,
     "prefix_filter_jaccard_pairs": ORACLE_PREFIX_FILTER,
     "containment_pairs": ORACLE_CONTAINMENT,
+    "weighted_jaccard_pairs": ORACLE_WEIGHTED_JACCARD,
 }

@@ -117,6 +117,7 @@ PAIR_QUERIES = [
     "jaccard_verified_pairs",
     "prefix_filter_jaccard_pairs",
     "containment_pairs",
+    "weighted_jaccard_pairs",
     "simhash64_fingerprints",
     "simhash64_near_pairs",
     "editdist_verified_pairs",
