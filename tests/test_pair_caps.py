@@ -217,3 +217,30 @@ class TestPrefixFilterExactness:
         # and the clone cluster IS present (lossless where the cap drops)
         clone_pairs = [p for p in prefixed if p[0] < N_CLONES and p[1] < N_CLONES]
         assert len(clone_pairs) == N_CLONES * (N_CLONES - 1) // 2
+
+
+class TestWeightedJaccardDiscrimination:
+    def test_doubled_text_scores_half_not_one(self, spark, tmp_path):
+        """The docstring's motivating claim: a doc and its 2x
+        self-concatenation share every shingle as a SET (unweighted
+        Jaccard ~1.0) but the multiset min/max ratio is ~0.5 — weighted
+        Jaccard sees the repetition unweighted Jaccard cannot."""
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        doubled = base + " " + base
+        rows = [(1, base), (2, doubled)]
+        df = spark.createDataFrame(
+            [(d, t, "en", "synthetic", len(t)) for d, t in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        out = str(tmp_path / "wjcorpus")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+        pairs = {
+            (r.id1, r.id2): r.w_jaccard
+            for r in dedup.weighted_jaccard_pairs(spark, out).collect()
+        }
+        assert (1, 2) in pairs
+        # doubled doc: every shared shingle has count ~2 on one side and 1
+        # on the other, plus the single seam shingles -> J_w near 0.5,
+        # far from the ~1.0 the set version reports
+        assert 0.3 <= pairs[(1, 2)] <= 0.6
