@@ -76,6 +76,67 @@ def global_row_index(
     )
 
 
+def grouped_row_index(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_cols: str | list[str],
+    out: str = "__idx",
+) -> DataFrame:
+    """0-based dense index WITHIN each group by the total order on
+    `order_cols` — the distributed twin of
+    `row_number() OVER (PARTITION BY g ORDER BY o) - 1` for groups too
+    large to fit one reducer.
+
+    Same three-step shape as `global_row_index`, generalized: range
+    partition on (group_cols + order_cols) keeps each partition's rows in
+    contiguous (group, order) runs; the collected count table is one row
+    per (partition, group-present-in-it) — a contiguous group touches
+    ~|group|/|partition| partitions, so the collect is
+    O(n_partitions + n_groups) rows of pure metadata, NOT data. Contract:
+    meant for low-cardinality groups (event types, languages, status
+    codes) whose individual populations are corpus-scale; for
+    high-cardinality groups a plain partitioned window is already
+    scale-safe and this machinery buys nothing.
+
+    `order_cols` must total-order rows within a group (include a unique
+    key) or index assignment within ties is partition-dependent."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sp = df.sparkSession
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n = int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+    keyed = (
+        df.repartitionByRange(n, *[F.col(c) for c in gcols + ocols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    rows = keyed.groupBy("__pid", *gcols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    if not rows:
+        return keyed.drop("__pid").withColumn(out, F.lit(0).cast("long"))
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        by_group.setdefault(tuple(r[g] for g in gcols), []).append(r)
+    off_rows = []
+    for key, rs in by_group.items():
+        acc = 0
+        for r in sorted(rs, key=lambda r: r["__pid"]):
+            off_rows.append((r["__pid"], *key, acc))
+            acc += r["__n"]
+    schema = StructType(
+        [StructField("__pid", keyed.schema["__pid"].dataType)]
+        + [keyed.schema[g] for g in gcols]
+        + [StructField("__off", LongType())]
+    )
+    offs = sp.createDataFrame(off_rows, schema)
+    w = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+    return (
+        keyed.join(F.broadcast(offs), ["__pid", *gcols])
+        .withColumn(out, (F.col("__off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
 def rows_at_ranks(
     df: DataFrame, cols: list[str], ranks: list[int]
 ) -> tuple[list[Row], int]:

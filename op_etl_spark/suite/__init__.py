@@ -33,6 +33,7 @@ from . import (
     packing,
     profile,
     relational,
+    robust,
     sampling,
     similarity,
     sketches,
@@ -62,6 +63,7 @@ _MODULES = [
     multimodal,
     layout,
     sampling,
+    robust,
     contamination,
     profile,
     packing,

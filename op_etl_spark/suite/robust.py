@@ -1,0 +1,206 @@
+"""Robust statistics over corpus-scale groups: exact per-group median /
+MAD (median absolute deviation) outlier detection and winsorized means.
+
+Why this exists in a 100 TB engine: z-score outlier gates (mean ± k·stddev)
+are themselves corrupted by the outliers they're meant to find; the robust
+estimator pair (median, MAD) has a 50% breakdown point and is the standard
+anomaly gate for telemetry value columns (Hampel 1974; Leys et al. 2013).
+The hard part at scale is EXACT medians per group when a single group
+(event_type here — 5 values over the whole corpus) is itself corpus-sized:
+`percentile_approx` is approximate, `collect_list` is a driver bomb, and
+`row_number() OVER (PARTITION BY type ORDER BY value)` funnels each group
+through ONE reducer. `operators/ranks.grouped_row_index` solves it with
+range partitioning + per-(partition, group) offsets — every window in the
+plan is partitioned by (range-partition id, group), so per-reducer work is
+|partition|, not |group|.
+
+Two rank passes (values, then absolute deviations), both over the same
+5-row broadcast of per-group medians/counts. Determinism: the median IS an
+input double (no arithmetic); dev = |x - med| is one correctly-rounded
+IEEE754 subtraction; 3·MAD one multiplication — bit-identical on Spark and
+DuckDB, so the outlier predicate and all aggregates hash-match exactly.
+
+Reference parity note: the reference (ArcPy geospatial ETL) has no robust
+stats; this module is part of the training-data-pipeline extension surface
+(anomalous telemetry / label-noise gating) the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ranks import grouped_row_index
+from ._util import fround, sql_cents
+
+OUTLIER_K = 3  # the classic Hampel identifier: |x - med| > 3 * MAD
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, value, dev, med, mad, n) — every event with its
+    group's exact lower median, MAD, and population; the shared input of
+    both declared queries. Lower median = element at 0-based rank
+    (n-1)//2 in (value, event_id) order — a real data point, defined for
+    odd and even n alike, and exactly reproducible in SQL."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select("event_type", "value", "event_id")
+    mid = F.floor((F.col("n") - F.lit(1)) / F.lit(2)).cast("long")
+
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    idx = grouped_row_index(ev, "event_type", ["value", "event_id"], out="rn")
+    med = (
+        idx.join(F.broadcast(cnt), "event_type")
+        .filter(F.col("rn") == mid)
+        .select("event_type", F.col("value").alias("med"), "n")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    idx2 = grouped_row_index(dev, "event_type", ["dev", "event_id"], out="rn2")
+    mad = idx2.filter(F.col("rn2") == mid).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type")
+
+
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: population, exact lower median, exact MAD, and the
+    Hampel outlier count/fraction (|value - median| > 3·MAD).
+
+    Plan: two grouped-rank passes (operators/ranks.py) + three 5-row
+    broadcasts + one final aggregate — no unpartitioned window, no
+    collect of data rows, group size unbounded."""
+    s = _scored(spark, sf_dir)
+    out = F.when(F.col("dev") > OUTLIER_K * F.col("mad"), 1).otherwise(0)
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("med_value"),
+            F.min("mad").alias("mad_value"),
+            F.sum(out).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "med_value",
+            "mad_value",
+            "n_outliers",
+            fround(F.col("n_outliers") / F.col("n_events"), 6).alias("outlier_frac"),
+        )
+    )
+
+
+ORACLE_MAD = f"""
+WITH r AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (SELECT event_type, value AS med, n FROM r WHERE rn - 1 = (n - 1) // 2),
+d AS (
+  SELECT e.event_type, e.value, e.event_id,
+         abs(e.value - m.med) AS dev, m.med, m.n
+  FROM events e JOIN med m USING (event_type)),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev, event_id) AS rn2
+  FROM d),
+mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 - 1 = (n - 1) // 2)
+SELECT d.event_type,
+       count(*) AS n_events,
+       min(d.med) AS med_value,
+       min(m2.mad) AS mad_value,
+       CAST(sum(CASE WHEN d.dev > {OUTLIER_K} * m2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       floor(CAST(sum(CASE WHEN d.dev > {OUTLIER_K} * m2.mad THEN 1 ELSE 0 END)
+                  AS BIGINT)::DOUBLE / count(*) * 1000000 + 0.5)
+         / 1000000.0 AS outlier_frac
+FROM d JOIN mad m2 USING (event_type)
+GROUP BY 1
+"""
+
+
+def winsorized_event_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type mean of values CLAMPED to median ± 3·MAD — the
+    winsorized estimator that reports a stable central tendency next to
+    the raw mean so the gap itself is the outlier-pressure signal.
+
+    The clamp bounds are derived from the same robust pair; clamped
+    values are re-quantized to exact integer cents before summing
+    (_util.money_sum discipline) so the mean is order-independent and
+    engine-exact."""
+    s = _scored(spark, sf_dir)
+    lo = F.col("med") - OUTLIER_K * F.col("mad")
+    hi = F.col("med") + OUTLIER_K * F.col("mad")
+    w = F.greatest(lo, F.least(hi, F.col("value")))
+    wc = F.floor(w * 100 + F.lit(0.5)).cast("long")
+    rc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    clamped = F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(clamped).alias("n_clamped"),
+            F.sum(wc).alias("wsum"),
+            F.sum(rc).alias("rsum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_clamped",
+            fround(F.col("wsum") / F.lit(100.0) / F.col("n_events"), 6).alias(
+                "win_mean"
+            ),
+            fround(F.col("rsum") / F.lit(100.0) / F.col("n_events"), 6).alias(
+                "raw_mean"
+            ),
+        )
+    )
+
+
+ORACLE_WINSOR = f"""
+WITH r AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (SELECT event_type, value AS med, n FROM r WHERE rn - 1 = (n - 1) // 2),
+d AS (
+  SELECT e.event_type, e.value, e.event_id,
+         abs(e.value - m.med) AS dev, m.med, m.n
+  FROM events e JOIN med m USING (event_type)),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev, event_id) AS rn2
+  FROM d),
+mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 - 1 = (n - 1) // 2),
+s AS (
+  SELECT d.event_type, d.value,
+         d.med - {OUTLIER_K} * m2.mad AS lo,
+         d.med + {OUTLIER_K} * m2.mad AS hi
+  FROM d JOIN mad m2 USING (event_type))
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped,
+       floor(sum({sql_cents("greatest(lo, least(hi, value))")}) / 100.0
+             / count(*) * 1000000 + 0.5) / 1000000.0 AS win_mean,
+       floor(sum({sql_cents("value")}) / 100.0
+             / count(*) * 1000000 + 0.5) / 1000000.0 AS raw_mean
+FROM s
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "mad_outlier_report": mad_outlier_report,
+    "winsorized_event_means": winsorized_event_means,
+}
+ORACLE = {
+    "mad_outlier_report": ORACLE_MAD,
+    "winsorized_event_means": ORACLE_WINSOR,
+}

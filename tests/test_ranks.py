@@ -69,3 +69,64 @@ def test_rows_at_ranks_rejects_out_of_range(spark):
     df = spark.createDataFrame([(1,), (2,)], "k int")
     with pytest.raises(ValueError):
         rows_at_ranks(df, ["k"], [3])
+
+
+def test_grouped_row_index_matches_partitioned_row_number(spark):
+    from op_etl_spark.operators.ranks import grouped_row_index
+
+    rows = [
+        (g, v, i)
+        for i, (g, v) in enumerate(
+            [("a", 5), ("b", 1), ("a", 3), ("c", 9), ("b", 7), ("a", 3),
+             ("c", 2), ("b", 4), ("a", 8), ("c", 9), ("b", 0), ("a", 1)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, k int").repartition(5)
+    got = {
+        (r["g"], r["k"]): r["__idx"]
+        for r in grouped_row_index(df, "g", ["v", "k"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r["g"], r["k"]): r["i"]
+        for r in df.select(
+            "g", "k", (F.row_number().over(w) - 1).alias("i")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_index_group_spanning_partitions(spark):
+    """One group larger than any single range partition: offsets must
+    chain across partitions without gaps or overlaps."""
+    from op_etl_spark.operators.ranks import grouped_row_index
+
+    rows = [("hot", v) for v in range(200)] + [("cold", v) for v in range(7)]
+    df = spark.createDataFrame(rows, "g string, v int").repartition(8)
+    out = grouped_row_index(df, "g", ["v"], out="i").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["i"], r["v"]))
+    for g, pairs in by_g.items():
+        pairs.sort()
+        assert [i for i, _ in pairs] == list(range(len(pairs)))
+        assert [v for _, v in pairs] == sorted(v for _, v in pairs)
+
+
+def test_grouped_row_index_empty(spark):
+    from op_etl_spark.operators.ranks import grouped_row_index
+
+    df = spark.createDataFrame([], "g string, v int")
+    assert grouped_row_index(df, "g", ["v"]).count() == 0
+
+
+def test_grouped_row_index_plan_windows_partitioned(spark):
+    from op_etl_spark.operators.ranks import grouped_row_index
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    plan = _plan(grouped_row_index(df, "g", ["v"]))
+    for line in plan.splitlines():
+        if "Partition Specification" in line:
+            assert "__pid" in line
