@@ -55,7 +55,9 @@ MIN_COMMON_TRIGRAMS = 6
 MAX_ROUNDS = 15
 
 
-def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pairs(
+    spark: SparkSession, sf_dir: str, min_common: int = MIN_COMMON_TRIGRAMS
+) -> DataFrame:
     """Canonical (a < b) near-dup pairs, DF-capped.
 
     Shingles above DF_CAP are dropped before pair expansion — the same
@@ -78,7 +80,7 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _posting_pairs(posts)
         .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= MIN_COMMON_TRIGRAMS)
+        .filter(F.col("n_common") >= min_common)
         .select("a", "b")
     )
 
@@ -506,6 +508,113 @@ FROM st
 """
 
 
+# --- k-core decomposition: density peeling of the near-dup graph ---
+
+KCORE_K = 4
+KCORE_MIN_COMMON = 2  # denser edge rule than CC's >= 6 (k-core needs degree)
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore_fixpoint(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS):
+    """Iterative k-core peeling (Matula & Beck 1983, distributed): each
+    round drops every node of degree < k and every edge touching one,
+    until no node is dropped; what survives is exactly the k-core (the
+    maximal subgraph with min degree >= k).
+
+    `edges` must be the SYMMETRIC (src, dst) list. Round body = one
+    degree aggregate + two semi-joins on the shrinking edge table — all
+    shuffles are on edge keys, nothing corpus-wide is re-scanned, and
+    `localCheckpoint` truncates lineage per round. Convergence is the
+    scalar edge COUNT (peeling only ever deletes edges, so the count is
+    a monotone potential — stable count means every survivor already has
+    degree >= k). Returns (surviving symmetric edges, rounds). Raises if
+    the fixpoint needs more than `max_rounds` rounds — the declared
+    oracle unrolls exactly that many, so silent divergence is impossible."""
+    edges = edges.localCheckpoint()
+    n_edges = edges.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return edges, rounds
+        rounds += 1
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_after = edges.count()
+        if n_after == n_edges:
+            return edges, rounds
+        n_edges = n_after
+    raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")
+
+
+def kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, core_degree) for every document in the 4-core of the
+    near-dup graph (edges: pairs sharing >= 2 capped word trigrams — the
+    same bounded posting-pair plan as the CC family, with a denser edge
+    rule so cores exist to find).
+
+    Why in a dedup pipeline: connected components over-merge through
+    chains (A~B~C links A to C on no shared evidence); the k-core is the
+    standard density refinement — its members participate in >= k
+    near-dup relations INSIDE the surviving subgraph, i.e. the template /
+    boilerplate heart of a duplicate cluster rather than its halo. At
+    100 TB every round's cost is proportional to the CURRENT edge count,
+    which only shrinks; round count is bounded and asserted."""
+    edges = _symmetrize(_pairs(spark, sf_dir, min_common=KCORE_MIN_COMMON))
+    core, _ = kcore_fixpoint(edges, KCORE_K)
+    return core.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: e{i+1} = e{i} restricted to endpoints of degree
+    >= k in e{i}. KCORE_MAX_ROUNDS rounds — more than the measured
+    fixpoint depth at every test scale; extra rounds are no-ops (peeling
+    is monotone), and the Spark side RAISES if it ever needs more."""
+    parts = [
+        f"""p0 AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
+  GROUP BY 1, 2
+  HAVING count(*) >= {KCORE_MIN_COMMON}),
+e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p0
+       UNION ALL SELECT b AS src, a AS dst FROM p0)"""
+    ]
+    # every e{i} is referenced twice (k{i} and e{i+1}): without explicit
+    # materialization the inlined expansion is EXPONENTIAL in rounds
+    for i in range(KCORE_MAX_ROUNDS):
+        parts.append(f"""k{i} AS MATERIALIZED (
+  SELECT src FROM e{i} GROUP BY src HAVING count(*) >= {KCORE_K}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN k{i} s ON e.src = s.src
+  JOIN k{i} t ON e.dst = t.src)""")
+    return ",\n".join(parts)
+
+
+ORACLE_KCORE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+{_kcore_oracle()}
+SELECT src AS doc_id, count(*) AS core_degree
+FROM e{KCORE_MAX_ROUNDS}
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_pagerank": dedup_pagerank,
     "incremental_cc_assign": incremental_cc_assign,
@@ -513,6 +622,7 @@ QUERIES = {
     "dedup_cc_survivors": dedup_cc_survivors,
     "dedup_quality_survivors": dedup_quality_survivors,
     "neardup_triangle_stats": neardup_triangle_stats,
+    "kcore_members": kcore_members,
 }
 
 ORACLE = {
@@ -523,4 +633,5 @@ ORACLE = {
     "dedup_cc_survivors": ORACLE_CC_SURVIVORS,
     "dedup_quality_survivors": ORACLE_QUALITY_SURVIVORS,
     "neardup_triangle_stats": ORACLE_TRIANGLES,
+    "kcore_members": ORACLE_KCORE,
 }

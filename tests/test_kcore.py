@@ -1,0 +1,57 @@
+"""k-core peeling (suite/clustering.kcore_fixpoint): known cores on
+synthetic graphs, monotone convergence, and the round-bound contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from op_etl_spark.suite.clustering import _symmetrize, kcore_fixpoint
+
+
+def _edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return _symmetrize(df)
+
+
+def _core_nodes(core_edges):
+    return {r["src"] for r in core_edges.select("src").distinct().collect()}
+
+
+def test_clique_survives_chain_peeled(spark):
+    # 5-clique (0..4) with a pendant chain 4-10-11-12: 4-core == clique
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    core, rounds = kcore_fixpoint(_edges(spark, clique + chain), k=4)
+    assert _core_nodes(core) == {0, 1, 2, 3, 4}
+    assert rounds >= 1
+    # every survivor has degree >= 4 inside the core
+    degs = core.groupBy("src").count().collect()
+    assert all(r["count"] >= 4 for r in degs)
+
+
+def test_long_chain_fully_peels(spark):
+    chain = [(i, i + 1) for i in range(12)]
+    core, _ = kcore_fixpoint(_edges(spark, chain), k=2, max_rounds=16)
+    # a path has empty 2-core (leaves peel from both ends inward)
+    assert core.count() == 0
+
+
+def test_cycle_is_its_own_2core(spark):
+    cycle = [(i, (i + 1) % 8) for i in range(8)]
+    core, rounds = kcore_fixpoint(_edges(spark, cycle), k=2)
+    assert _core_nodes(core) == set(range(8))
+    assert rounds == 1  # first round is already stable
+
+
+def test_round_bound_raises(spark):
+    # a 12-path needs 6 peel rounds at k=2; a bound of 3 must raise
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_fixpoint(_edges(spark, chain), k=2, max_rounds=3)
+
+
+def test_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    core, rounds = kcore_fixpoint(empty, k=4)
+    assert core.count() == 0 and rounds == 0
