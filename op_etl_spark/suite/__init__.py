@@ -31,6 +31,7 @@ from . import (
     monitoring,
     multimodal,
     packing,
+    pq_ann,
     profile,
     relational,
     robust,
@@ -57,6 +58,7 @@ _MODULES = [
     similarity,
     sketches,
     ann_recall,
+    pq_ann,
     embedding_store,
     geo,
     stream_windows,

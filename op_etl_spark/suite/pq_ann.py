@@ -1,0 +1,414 @@
+"""Product quantization (PQ) ANN: compressed-domain similarity search as
+an ORACLE-CHECKED recall gate (Jégou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+IVF (suite/ann_recall.py) answers "read less of the corpus"; PQ answers
+the complementary 100 TB question — "hold the corpus in less memory":
+each 64-dim double vector (512 bytes) is encoded as M=16 4-bit codes
+(one k-means codeword id per 4-dim subspace) — 8 bytes, a 64x compression
+of the search structure — and approximate distances are computed entirely
+in the compressed domain: sqdist(probe, v) ~= sum_m sqdist(probe_m,
+codebook_m[code_m(v)]) — the asymmetric distance computation (ADC) of the
+paper. The declared queries measure exactly what that compression costs:
+
+  pq_recall_at_k      recall@10 of ADC top-k vs the exact top-k, per probe
+                      (the config sweep measured 0.14 at 12-bit codes,
+                      0.43 at this 64-bit config on the synthetic
+                      embeddings — near-random vectors, PQ's worst case)
+  pq_distortion_stats per-subspace quantization error (the codebook-quality
+                      diagnostic that predicts recall before any search)
+
+Plan shape at scale: codebooks are 16 x 16 x 4 doubles — literal arrays in
+the plan (the executor-local lookup tables a production ADC scan uses);
+training reuses the deterministic Lloyd discipline of ann_recall.py
+(micro-quantized integer-valued doubles, first-min tie-breaks, means
+floored back onto the grid) independently per subspace; encoding is one
+narrow map over the corpus (zero shuffles); search is a broadcast of the
+10-probe set + per-probe top-k. Nothing corpus-scale is ever collected.
+
+Cross-engine determinism: identical to ann_recall.py — all dots/sqdists
+are exact integer arithmetic in doubles (< 2^53), so ADC scores, argmins,
+and rank orders are bit-identical on Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_unit, hash_unit_sql
+from ._util import fround, read_table
+
+PQ_M = 16  # subspaces
+PQ_SUBDIM = 4  # dims per subspace (16 x 4 = the 64-dim embedding)
+PQ_KCODES = 16  # codewords per subspace (4-bit codes)
+PQ_ITERS = 2  # Lloyd rounds per subspace
+PQ_K = 10  # top-k
+PQ_N_PROBES = 10  # probe set: vec_id < 10
+_QSCALE = 1_000_000
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _sqdist(a, b):
+    """sum((a_i - b_i)^2) — the direct form (one zip_with, not three
+    dots) to keep the literal-codebook expression trees small. Exact on
+    integer-valued doubles, so it equals the SQL twin's expanded
+    a.a + b.b - 2a.b form bit for bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _sub(col, m: int):
+    """1-based slice of subspace m (0-based) out of a 64-dim array."""
+    return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings", fan=True)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * _QSCALE + F.lit(0.5)).cast("double"),
+    )
+    return e.select("vec_id", q.alias("q"))
+
+
+def _books_cached(spark: SparkSession, sf_dir: str, qv: DataFrame):
+    """Train once per (session, sf_dir): both declared queries and any
+    repeat run share the trained codebooks (the Lloyd loop is the
+    expensive part — two corpus passes plus driver round-trips)."""
+    from op_etl_spark.session import session_cache
+
+    cache = session_cache(spark, "_op_etl_pq_books")
+    books = cache.get(sf_dir)
+    if books is None:
+        books = _train_codebooks(qv)
+        cache[sf_dir] = books
+    return books
+
+
+def _train_codebooks(qv: DataFrame) -> list[list[list[float]]]:
+    """codebooks[m][c] = 16-dim codeword c of subspace m. One seed scan
+    (PQ_KCODES rows by salted-hash order — same discipline as the IVF
+    gate), then PQ_ITERS Lloyd rounds run for ALL subspaces in one
+    DataFrame pass per round: assignment is a literal-codebook argmin per
+    subspace (narrow, zero shuffles); the update is one posexplode +
+    groupBy((m, code, pos)) mean floored back onto the micro grid —
+    16 x 16 x 4 = 1024 result rows, pure metadata."""
+    seeds = (
+        qv.orderBy(hash_unit(F.col("vec_id"), "pq-seed"), F.col("vec_id"))
+        .limit(PQ_KCODES)
+        .collect()
+    )
+    books = [
+        [list(r.q)[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for r in seeds]
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS):
+        enc = _encode(qv, books)
+        rows = (
+            enc.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(m).alias("m"),
+                                F.col(f"c{m}").alias("code"),
+                                _sub(F.col("q"), m).alias("sub"),
+                            )
+                            for m in range(PQ_M)
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.m", "s.code", F.posexplode("s.sub").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(
+                F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
+                .cast("double")
+                .alias("mu")
+            )
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
+        books = [
+            [
+                [
+                    upd.get((m, c), {}).get(p, books[m][c][p])
+                    for p in range(PQ_SUBDIM)
+                ]
+                for c in range(PQ_KCODES)
+            ]
+            for m in range(PQ_M)
+        ]
+    return books
+
+
+def _encode(qv: DataFrame, books) -> DataFrame:
+    """Add code columns c0..c{M-1}: per-subspace argmin over the literal
+    codebook (first minimum — matches the SQL twin's (d, code) order)."""
+    out = qv
+    for m in range(PQ_M):
+        cents = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in books[m]]
+        )
+        dists = F.transform(cents, lambda c: _sqdist(_sub(F.col("q"), m), c))
+        out = out.withColumn(
+            f"c{m}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return out
+
+
+def _adc_score(books):
+    """ADC approximate sqdist between the probe's q ('pq' col) and an
+    encoded corpus row (c0..c3): sum over subspaces of the exact sqdist
+    between the probe subvector and the assigned codeword."""
+    total = F.lit(0.0)
+    for m in range(PQ_M):
+        cents = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in books[m]]
+        )
+        cw = F.element_at(cents, F.col(f"c{m}") + 1)
+        total = total + _sqdist(_sub(F.col("pq"), m), cw)
+    return total
+
+
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@10 of compressed-domain (ADC) top-10 vs the exact
+    sqdist top-10 — the measured answer to 'what does 64x compression
+    cost in recall?'."""
+    qv = _quantized(spark, sf_dir).localCheckpoint()
+    books = _books_cached(spark, sf_dir, qv)
+    enc = _encode(qv, books)
+    probes = qv.filter(F.col("vec_id") < PQ_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+
+    cand = enc.join(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    wk_adc = W.partitionBy("probe_id").orderBy("adc", "cand_id")
+    pqk = (
+        cand.select(
+            "probe_id", F.col("vec_id").alias("cand_id"), _adc_score(books).alias("adc")
+        )
+        .withColumn("rn", F.row_number().over(wk_adc))
+        .filter(F.col("rn") <= PQ_K)
+        .select("probe_id", "cand_id")
+    )
+
+    wk_ex = W.partitionBy("probe_id").orderBy("d", "cand_id")
+    exk = (
+        cand.select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            _sqdist(F.col("pq"), F.col("q")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(wk_ex))
+        .filter(F.col("rn") <= PQ_K)
+        .select("probe_id", "cand_id")
+    )
+
+    hit = pqk.withColumn("hit", F.lit(1))
+    return (
+        exk.join(hit, ["probe_id", "cand_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(PQ_K))).alias("recall"),
+        )
+    )
+
+
+def pq_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization error of the trained codebooks: mean and
+    max sqdist between each corpus subvector and its assigned codeword
+    (in micro-unit² space), plus codewords actually used. The standard
+    codebook-quality diagnostic — rising distortion at constant K is the
+    signal to re-train or split before recall degrades."""
+    qv = _quantized(spark, sf_dir).localCheckpoint()
+    books = _books_cached(spark, sf_dir, qv)
+    enc = _encode(qv, books)
+    per_sub = enc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("subspace"),
+                        F.col(f"c{m}").alias("code"),
+                        _adc_sub_dist(books, m).alias("d"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s")
+    ).select("s.subspace", "s.code", "s.d")
+    # d is an exact integer in a double (< 2^53) but the corpus SUM is
+    # not: accumulate as LONG (exact, order-independent) and divide once
+    return (
+        per_sub.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("code").alias("codes_used"),
+            fround(
+                F.sum(F.col("d").cast("long")) / F.count(F.lit(1)) / F.lit(1e12), 6
+            ).alias("mean_distortion"),
+            fround(F.max("d") / F.lit(1e12), 6).alias("max_distortion"),
+        )
+    )
+
+
+def _adc_sub_dist(books, m: int):
+    """Exact sqdist between the row's own subvector and its assigned
+    codeword in subspace m (distortion, not search — both operands from
+    the same row)."""
+    cents = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in books[m]])
+    cw = F.element_at(cents, F.col(f"c{m}") + 1)
+    return _sqdist(_sub(F.col("q"), m), cw)
+
+
+_SQD = (
+    "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+    " - 2 * list_dot_product({a}, {b}))"
+)
+
+
+def _duck_pq_train() -> str:
+    """Unrolled CTE chain mirroring _train_codebooks: qv, the seed rows,
+    then per-round (assignment over all subspaces, update) — codebooks
+    are (m, code, c) rows; subvector m of q is q[m*16+1 : (m+1)*16]."""
+    subs = ", ".join(
+        f"q[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS s{m}" for m in range(PQ_M)
+    )
+    msel = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, s{m} AS sub FROM subs" for m in range(PQ_M)
+    )
+    parts = [
+        f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {_QSCALE} + 0.5)) AS q
+  FROM embeddings),
+subs AS MATERIALIZED (SELECT vec_id, q, {subs} FROM qv),
+sv AS MATERIALIZED ({msel}),
+seeds AS MATERIALIZED (
+  SELECT q, code FROM (
+    SELECT q, row_number() OVER (
+      ORDER BY {hash_unit_sql("vec_id", "pq-seed")}, vec_id) - 1 AS code
+    FROM qv)
+  WHERE code < {PQ_KCODES}),
+b0 AS MATERIALIZED (
+  SELECT m.m, s.code, s.q[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS c
+  FROM seeds s CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m)"""
+    ]
+    d = _SQD.format(a="v.sub", b="b.c")
+    for i in range(PQ_ITERS):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, m, sub, code FROM (
+    SELECT v.vec_id, v.m, v.sub, b.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY {d}, b.code) AS rn
+    FROM sv v JOIN b{i} b ON b.m = v.m)
+  WHERE rn = 1),
+u{i} AS MATERIALIZED (
+  SELECT m, code, list(mu ORDER BY pos) AS cu FROM (
+    SELECT m, code, pos, floor(sum(val) / count(*) + 0.5) AS mu
+    FROM (SELECT m, code, generate_subscripts(sub, 1) AS pos,
+                 unnest(sub) AS val
+          FROM a{i})
+    GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+b{i + 1} AS MATERIALIZED (
+  SELECT s.m, s.code, CASE WHEN u.cu IS NULL THEN s.c ELSE u.cu END AS c
+  FROM b{i} s LEFT JOIN u{i} u ON u.m = s.m AND u.code = s.code)""")
+    return ",\n".join(parts)
+
+
+_BF = PQ_ITERS  # final codebook CTE index
+
+
+def _duck_encoded() -> str:
+    """enc: (vec_id, m, code) — final assignment of every corpus
+    subvector to its codeword under the trained codebooks."""
+    d = _SQD.format(a="v.sub", b="b.c")
+    return f"""enc AS MATERIALIZED (
+  SELECT vec_id, m, code, sub FROM (
+    SELECT v.vec_id, v.m, v.sub, b.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY {d}, b.code) AS rn
+    FROM sv v JOIN b{_BF} b ON b.m = v.m)
+  WHERE rn = 1)"""
+
+
+ORACLE_PQ_RECALL = f"""
+WITH {_duck_pq_train()},
+{_duck_encoded()},
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < {PQ_N_PROBES}),
+psubs AS (
+  SELECT probe_id, m, pq[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS psub
+  FROM probes CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) mm),
+adc AS (
+  SELECT p.probe_id, e.vec_id AS cand_id,
+         sum({_SQD.format(a="p.psub", b="b.c")}) AS adc
+  FROM psubs p
+  JOIN enc e ON e.m = p.m
+  JOIN b{_BF} b ON b.m = e.m AND b.code = e.code
+  WHERE e.vec_id != p.probe_id
+  GROUP BY 1, 2),
+pqk AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT probe_id, cand_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS rn
+    FROM adc)
+  WHERE rn <= {PQ_K}),
+exk AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT p.probe_id, v.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {_SQD.format(a="p.pq", b="v.q")}, v.vec_id) AS rn
+    FROM probes p CROSS JOIN qv v
+    WHERE v.vec_id != p.probe_id)
+  WHERE rn <= {PQ_K})
+SELECT e.probe_id,
+       CAST(sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap,
+       sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) / {float(PQ_K)} AS recall
+FROM exk e LEFT JOIN pqk i USING (probe_id, cand_id)
+GROUP BY 1
+"""
+
+
+ORACLE_PQ_DISTORTION = f"""
+WITH {_duck_pq_train()},
+{_duck_encoded()},
+dist AS (
+  SELECT e.m AS subspace, e.code,
+         {_SQD.format(a="e.sub", b="b.c")} AS d
+  FROM enc e JOIN b{_BF} b ON b.m = e.m AND b.code = e.code)
+SELECT subspace,
+       count(*) AS n_vectors,
+       count(DISTINCT code) AS codes_used,
+       floor(sum(CAST(d AS BIGINT)) / count(*) / 1000000000000.0 * 1000000 + 0.5)
+         / 1000000.0 AS mean_distortion,
+       floor(max(d) / 1000000000000.0 * 1000000 + 0.5)
+         / 1000000.0 AS max_distortion
+FROM dist
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "pq_recall_at_k": pq_recall_at_k,
+    "pq_distortion_stats": pq_distortion_stats,
+}
+ORACLE = {
+    "pq_recall_at_k": ORACLE_PQ_RECALL,
+    "pq_distortion_stats": ORACLE_PQ_DISTORTION,
+}
