@@ -624,7 +624,61 @@ GROUP BY o_orderstatus, price_c, rnk, drnk, prnk, cdist
 """
 
 
+# --- first-order Markov transition matrix over user event sequences ---
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n_transitions, prob): the empirical first-order
+    Markov chain over each user's time-ordered event stream — the
+    behavioral-sequence statistic behind session modeling, next-action
+    prediction features, and bot detection (a user whose transition rows
+    diverge sharply from this table is an anomaly candidate).
+
+    Plan: one window partitioned BY USER (per-partition work is a user's
+    own event count — bounded, never corpus-scale) computes lead(); one
+    5x5-bounded aggregate; row-normalization is a window over the 25-row
+    aggregate. Ties inside a timestamp are totally ordered by event_id so
+    the chain is deterministic on both engines."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("to_type", F.lead("event_type").over(w)).filter(
+        F.col("to_type").isNotNull()
+    )
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        fround(
+            F.col("n_transitions") / F.sum("n_transitions").over(tot), 6
+        ).alias("prob"),
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+t AS (
+  SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       floor(n_transitions::DOUBLE
+             / sum(n_transitions) OVER (PARTITION BY from_type)
+             * 1000000 + 0.5) / 1000000.0 AS prob
+FROM t
+"""
+
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
     "ranking_functions_sample": ranking_functions_sample,
     "price_qty_regression": price_qty_regression,
     "cohort_weekly_retention": cohort_weekly_retention,
@@ -642,6 +696,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_transition_matrix": ORACLE_TRANSITIONS,
     "ranking_functions_sample": ORACLE_RANKING,
     "price_qty_regression": ORACLE_REGRESSION,
     "cohort_weekly_retention": ORACLE_COHORT,

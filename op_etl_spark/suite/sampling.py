@@ -300,7 +300,65 @@ SELECT lang, CAST(rk AS INT) AS rk, doc_id, ttr FROM r WHERE rk <= {AES_K}
 """
 
 
+# --- exact-count stratified split (grouped order statistics) ---
+
+EXACT_SPLIT_DEN = 10  # test = n//10, holdout = n//10, train = the rest
+
+
+def exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split with EXACT per-stratum counts: within each
+    language, exactly n//10 docs to test, the next n//10 to holdout,
+    the rest to train — membership chosen by salted-hash order (stable
+    under reruns, uncorrelated with doc_id order).
+
+    The hash-threshold splits above guarantee proportions only in
+    expectation (binomial jitter ~sqrt(n) per stratum); eval protocols
+    that require exact counts need rank-based assignment, and rank
+    within a corpus-sized stratum is exactly what
+    operators/ranks.grouped_row_index does without a single-reducer
+    window. Output: per (split, lang) count + id checksum, so one doc
+    switching cohorts flips a checksum."""
+    from ..operators.ranks import grouped_row_index
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", hash_unit(F.col("doc_id"), "xsplit").alias("u")
+    )
+    idx = grouped_row_index(d, "lang", ["u", "doc_id"], out="rn")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    q = F.expr(f"CAST(n DIV {EXACT_SPLIT_DEN} AS LONG)")
+    split = (
+        F.when(F.col("rn") < q, "test")
+        .when(F.col("rn") < 2 * q, "holdout")
+        .otherwise("train")
+    )
+    return (
+        idx.join(F.broadcast(cnt), "lang")
+        .select("lang", "doc_id", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+_U_XSPLIT = hash_unit_sql("doc_id", "xsplit")
+
+ORACLE_EXACT_SPLIT = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_U_XSPLIT}, doc_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT CASE WHEN rn < n // {EXACT_SPLIT_DEN} THEN 'test'
+            WHEN rn < 2 * (n // {EXACT_SPLIT_DEN}) THEN 'holdout'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM r
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "exact_stratified_split": exact_stratified_split,
     "split_cohort_counts": split_cohort_counts,
     "stratified_lang_sample": stratified_lang_sample,
     "source_topk_sample": source_topk_sample,
@@ -311,6 +369,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "exact_stratified_split": ORACLE_EXACT_SPLIT,
     "split_cohort_counts": ORACLE_SPLIT,
     "stratified_lang_sample": ORACLE_STRATIFIED,
     "source_topk_sample": ORACLE_TOPK,
