@@ -129,6 +129,16 @@ HEADLINE = [
     "containment_pairs",
     "weighted_jaccard_pairs",
     "jl_projection_distortion",
+    # round 6: robust per-group stats via grouped order statistics, k-core
+    # density peeling, PQ compressed-domain search (codebooks train once
+    # per session — the timed pass measures encode+ADC search), and the
+    # first-order event Markov chain
+    "mad_outlier_report",
+    "winsorized_event_means",
+    "kcore_members",
+    "pq_recall_at_k",
+    "event_transition_matrix",
+    "exact_stratified_split",
 ]
 
 

@@ -103,6 +103,12 @@ MAIN_QUERIES = [
     "weighted_reservoir_sample",
     "jl_projection_distortion",
     "hll_merge_days",
+    # round-6 additions: grouped order statistics (two range-partitioned
+    # rank passes over events) and the per-user lead() Markov chain —
+    # both corpus-linear by construction
+    "mad_outlier_report",
+    "event_transition_matrix",
+    "exact_stratified_split",
 ]
 
 # Every bounded-pair-cost contract in the dedup/similarity/clustering
@@ -127,6 +133,12 @@ PAIR_QUERIES = [
     "embedding_signlsh_neardup",
     "embedding_neardup_pairs",
     "ann_bruteforce_topk",
+    # round 6: k-core peeling (per-round cost ~ surviving edges) and PQ
+    # ADC search (documented O(corpus x probes) compressed-domain scan —
+    # like ann_bruteforce_topk, its ratio SHOULD read ~K; what the probe
+    # checks is that TRAINING stays corpus-pass-bounded)
+    "kcore_members",
+    "pq_recall_at_k",
 ]
 
 # Mergeable-sketch family: events/orders grow Kx while the key domains
