@@ -139,6 +139,7 @@ HEADLINE = [
     "pq_recall_at_k",
     "event_transition_matrix",
     "exact_stratified_split",
+    "sample_quantile_gate",
 ]
 
 

@@ -37,12 +37,13 @@ from op_etl_spark.operators.sketches import (
     cms_lookup,
     cms_table,
     h60,
+    h60_salted,
     hll_estimate,
     hll_register_table,
     kmv_estimate,
 )
 
-from ._util import read_table
+from ._util import fround, read_table
 
 KMV_K = 64
 HLL_M = 64
@@ -407,7 +408,130 @@ FROM agg
 """
 
 
+# --- bottom-k uniform row sample -> quantile estimates + rank-error gate ---
+
+QSAMPLE_K = 256
+QSAMPLE_OVER = 8  # threshold targets OVER*K expected survivors
+QPOINTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+_POW60 = 1152921504606846976.0  # 2^60 as an exact double
+
+
+def sample_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE bottom-k uniform row sample (Cohen &
+    Kaplan 2007): keep the K rows with the smallest salted hash of their
+    unique id. Bottom-k of a union is the k-smallest of the merged
+    bottom-ks, so per-shard/per-day samples merge associatively — the
+    quantile member of the KMV/HLL/CMS/Bloom family (the
+    `approx_quantile_gate` twin covers Spark's built-in percentile_approx;
+    this is the from-scratch mergeable path).
+
+    Bounded state end to end: an exact count picks an integer hash
+    threshold targeting OVER*K expected survivors (Chernoff makes < K
+    survivors astronomically unlikely; if N <= OVER*K the threshold
+    clamps to 2^60 = keep all), the filter is a narrow scan, and only
+    ~OVER*K rows reach the final sort+slice. For each declared quantile
+    point the gate reports the sample estimate AND its exact full-data
+    rank error |rank(est)/N - q| — expected O(1/sqrt(K)).
+
+    Determinism: the threshold is derived from N with one double divide +
+    an exact power-of-two scale (bit-identical in Python and DuckDB); the
+    sample is fixed by (h, event_id) order; estimates are sample order
+    statistics at floor(q*(m-1))."""
+    import math
+
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "value")
+    n = ev.count()
+    thr = min(
+        math.floor(_POW60 * ((QSAMPLE_OVER * float(QSAMPLE_K)) / n)), 2**60
+    )
+    h = h60_salted(F.lit("qs"), F.col("event_id"))
+    samp = (
+        ev.withColumn("h", h)
+        .filter(F.col("h") < F.lit(int(thr)))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "event_id", "value"))),
+                1,
+                QSAMPLE_K,
+            ).alias("xs")
+        )
+    )
+    vals = F.array_sort(F.transform(F.col("xs"), lambda x: x["value"]))
+    m = F.size(vals)
+    ests = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.element_at(
+                    vals, (F.floor(F.lit(q) * (m - 1)) + 1).cast("int")
+                ).alias("est_value"),
+            )
+            for q in QPOINTS
+        ]
+    )
+    est = samp.select(F.explode(ests).alias("e")).select("e.q", "e.est_value")
+    return (
+        ev.join(F.broadcast(est))
+        .groupBy("q", "est_value")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("est_value"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "q",
+            "est_value",
+            "n_le",
+            "n_total",
+            fround(
+                F.abs(F.col("n_le") / F.col("n_total") - F.col("q")), 6
+            ).alias("rank_err"),
+        )
+    )
+
+
+_QPTS_SQL = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in QPOINTS)
+
+ORACLE_QSAMPLE = f"""
+WITH n AS (SELECT count(*) AS n FROM events),
+t AS (
+  SELECT CAST(least(floor({_POW60!r} * (({QSAMPLE_OVER} * {float(QSAMPLE_K)!r}) / n)),
+              {_POW60!r}) AS BIGINT) AS thr
+  FROM n),
+h AS (
+  SELECT event_id, value,
+         {H60_SALTED_SQL.format(s="'qs'", x="event_id")} AS h
+  FROM events),
+samp AS (
+  SELECT value FROM (
+    SELECT value, row_number() OVER (ORDER BY h, event_id) AS rn
+    FROM h, t WHERE h < thr)
+  WHERE rn <= {QSAMPLE_K}),
+sv AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS vr FROM samp),
+m AS (SELECT count(*) AS m FROM samp),
+qs AS (SELECT unnest([{_QPTS_SQL}]) AS q),
+est AS (
+  SELECT q.q, sv.value AS est_value
+  FROM qs q CROSS JOIN m
+  JOIN sv ON sv.vr = CAST(floor(q.q * (m.m - 1)) AS BIGINT))
+SELECT e.q, e.est_value,
+       CAST(sum(CASE WHEN ev.value <= e.est_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_le,
+       count(*) AS n_total,
+       floor(abs(CAST(sum(CASE WHEN ev.value <= e.est_value THEN 1 ELSE 0 END)
+                      AS BIGINT) / count(*) - e.q) * 1000000 + 0.5)
+         / 1000000.0 AS rank_err
+FROM events ev CROSS JOIN est e
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "sample_quantile_gate": sample_quantile_gate,
     "kmv_distinct_users": kmv_distinct_users,
     "hll_distinct_users": hll_distinct_users,
     "hll_merge_days": hll_merge_days,
@@ -416,6 +540,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_quantile_gate": ORACLE_QSAMPLE,
     "kmv_distinct_users": ORACLE_KMV,
     "hll_distinct_users": ORACLE_HLL,
     "hll_merge_days": ORACLE_HLL_MERGE,

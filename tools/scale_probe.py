@@ -148,6 +148,7 @@ PAIR_QUERIES = [
 # scan cost only; a superlinear reading here means sketch state leaked
 # into a corpus-sized shuffle.
 SKETCH_QUERIES = [
+    "sample_quantile_gate",
     "kmv_distinct_users",
     "hll_distinct_users",
     "hll_merge_days",
