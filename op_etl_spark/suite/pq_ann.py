@@ -94,6 +94,25 @@ def _books_cached(spark: SparkSession, sf_dir: str, qv: DataFrame):
     return books
 
 
+def _encoded_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """(encoded corpus, codebooks), checkpointed per (session, sf_dir):
+    the PQ-coded table IS what a production deployment materializes —
+    search queries read codes, never re-encode. Checkpointing also keeps
+    the 16 literal-codebook argmin columns out of every downstream plan
+    (one codegen pass instead of one per search arm)."""
+    from op_etl_spark.session import session_cache
+
+    cache = session_cache(spark, "_op_etl_pq_enc")
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
+    qv = _quantized(spark, sf_dir).localCheckpoint()
+    books = _books_cached(spark, sf_dir, qv)
+    enc = _encode(qv, books).localCheckpoint(eager=False)
+    cache[sf_dir] = (enc, books)
+    return enc, books
+
+
 def _train_codebooks(qv: DataFrame) -> list[list[list[float]]]:
     """codebooks[m][c] = 16-dim codeword c of subspace m. One seed scan
     (PQ_KCODES rows by salted-hash order — same discipline as the IVF
@@ -186,10 +205,8 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-probe recall@10 of compressed-domain (ADC) top-10 vs the exact
     sqdist top-10 — the measured answer to 'what does 64x compression
     cost in recall?'."""
-    qv = _quantized(spark, sf_dir).localCheckpoint()
-    books = _books_cached(spark, sf_dir, qv)
-    enc = _encode(qv, books)
-    probes = qv.filter(F.col("vec_id") < PQ_N_PROBES).select(
+    enc, books = _encoded_cached(spark, sf_dir)
+    probes = enc.filter(F.col("vec_id") < PQ_N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
 
@@ -235,9 +252,7 @@ def pq_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (in micro-unit² space), plus codewords actually used. The standard
     codebook-quality diagnostic — rising distortion at constant K is the
     signal to re-train or split before recall degrades."""
-    qv = _quantized(spark, sf_dir).localCheckpoint()
-    books = _books_cached(spark, sf_dir, qv)
-    enc = _encode(qv, books)
+    enc, books = _encoded_cached(spark, sf_dir)
     per_sub = enc.select(
         F.explode(
             F.array(

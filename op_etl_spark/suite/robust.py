@@ -39,10 +39,18 @@ OUTLIER_K = 3  # the classic Hampel identifier: |x - med| > 3 * MAD
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, value, dev, med, mad, n) — every event with its
     group's exact lower median, MAD, and population; the shared input of
-    both declared queries. Lower median = element at 0-based rank
+    the declared queries. Lower median = element at 0-based rank
     (n-1)//2 in (value, event_id) order — a real data point, defined for
-    odd and even n alike, and exactly reproducible in SQL."""
-    from op_etl_spark.session import read_events
+    odd and even n alike, and exactly reproducible in SQL.
+
+    Cached (checkpointed) per (session, sf_dir): the two rank passes are
+    the expensive part and every query over the robust pair shares them."""
+    from op_etl_spark.session import read_events, session_cache
+
+    cache = session_cache(spark, "_op_etl_robust_scored")
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
 
     ev = read_events(spark, sf_dir).select("event_type", "value", "event_id")
     mid = F.floor((F.col("n") - F.lit(1)) / F.lit(2)).cast("long")
@@ -61,7 +69,9 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = idx2.filter(F.col("rn2") == mid).select(
         "event_type", F.col("dev").alias("mad")
     )
-    return dev.join(F.broadcast(mad), "event_type")
+    out = dev.join(F.broadcast(mad), "event_type").localCheckpoint(eager=False)
+    cache[sf_dir] = out
+    return out
 
 
 def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,11 +206,74 @@ GROUP BY 1
 """
 
 
+def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ingest-volume spike/drop detection: the per-hour event
+    count series robustly gated by its own (median, MAD) — the pipeline
+    health check that catches a stuck upstream (hours at ~0) or a replay
+    storm (hours at many multiples of typical volume) without the mean
+    being dragged by the very anomaly it should flag.
+
+    Scale shape: the series is CALENDAR-bounded (one row per hour —
+    720 for this corpus's 30 days, ~9k/year at 100 TB), so after the
+    one corpus-scan aggregate the median/MAD come from a single
+    collect_list row of bounded width — integer counts end to end, no
+    window over unbounded data anywhere."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    hours = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    ns = F.array_sort(F.collect_list("n_events"))
+    mid = lambda arr: F.element_at(  # noqa: E731 — lower median, 1-based
+        arr, F.floor((F.size(arr) + 1) / 2).cast("int")
+    )
+    stats = hours.agg(ns.alias("ns")).select(
+        F.col("ns"), mid(F.col("ns")).alias("med_n")
+    )
+    ds = F.array_sort(
+        F.transform(F.col("ns"), lambda v: F.abs(v - F.col("med_n")))
+    )
+    stats = stats.select("med_n", mid(ds).alias("mad_n"))
+    dev = F.abs(F.col("n_events") - F.col("med_n"))
+    return (
+        hours.join(F.broadcast(stats))
+        .select(
+            "hr",
+            "n_events",
+            "med_n",
+            "mad_n",
+            F.when(dev > OUTLIER_K * F.col("mad_n"), 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
+
+
+ORACLE_VOLUME = f"""
+WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+         count(*) AS n_events
+  FROM events GROUP BY 1),
+s AS (SELECT list_sort(list(n_events)) AS ns FROM h),
+m AS (SELECT ns, ns[(len(ns) + 1) // 2] AS med_n FROM s),
+m2 AS (
+  SELECT med_n,
+         (list_sort([abs(x - med_n) for x in ns]))[(len(ns) + 1) // 2] AS mad_n
+  FROM m)
+SELECT hr, n_events, med_n, mad_n,
+       CASE WHEN abs(n_events - med_n) > {OUTLIER_K} * mad_n
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM h CROSS JOIN m2
+"""
+
+
 QUERIES = {
     "mad_outlier_report": mad_outlier_report,
     "winsorized_event_means": winsorized_event_means,
+    "event_volume_anomalies": event_volume_anomalies,
 }
 ORACLE = {
     "mad_outlier_report": ORACLE_MAD,
     "winsorized_event_means": ORACLE_WINSOR,
+    "event_volume_anomalies": ORACLE_VOLUME,
 }

@@ -518,7 +518,98 @@ WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --- PMI collocations: vocab-bounded within-doc co-occurrence lift ---
+
+PMI_VOCAB = 64  # co-occurrence universe: top-V terms by doc frequency
+PMI_MIN_PAIR_DOCS = 5  # support floor
+PMI_TOP = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocation pairs by pointwise-mutual-information LIFT:
+    lift(x,y) = N * df(x,y) / (df(x) * df(y)) over document-level
+    co-occurrence (PMI = log2(lift); ranking by lift IS ranking by PMI,
+    and skipping the log keeps every quantity an exact integer ratio —
+    no cross-engine ulp caveat like suite/lm_stats.py's log2 note).
+
+    The classic collocation/phrase-mining statistic (Church & Hanks
+    1990), with the standard scale discipline: the co-occurrence
+    universe is capped to the top-V df terms (V=64 broadcast), so the
+    per-doc pair expansion is <= V^2/2 regardless of document length and
+    the pair-count shuffle key space is <= V^2 — never vocabulary^2.
+    One corpus scan; doc frequencies ride the same scan's distinct
+    (doc, term) stream. Output: top 20 pairs by (lift desc, pair), with
+    exact integer numerator/denominator alongside."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).localCheckpoint(eager=False)
+    df_ = words.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_.orderBy(F.desc("df"), "tok").limit(PMI_VOCAB)
+    n_docs = d.count()
+
+    in_vocab = words.join(F.broadcast(vocab.select("tok")), "tok")
+    per_doc = in_vocab.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("ts")
+    )
+    ts = F.col("ts")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                ts, lambda x: F.transform(ts, lambda y: F.struct(x.alias("x"), y.alias("y")))
+            )
+        ),
+        lambda p: p["x"] < p["y"],
+    )
+    cxy = (
+        per_doc.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("df_xy"))
+        .filter(F.col("df_xy") >= PMI_MIN_PAIR_DOCS)
+    )
+    vx = vocab.select(F.col("tok").alias("x"), F.col("df").alias("df_x"))
+    vy = vocab.select(F.col("tok").alias("y"), F.col("df").alias("df_y"))
+    lift = (F.lit(float(n_docs)) * F.col("df_xy")) / (F.col("df_x") * F.col("df_y"))
+    return (
+        cxy.join(F.broadcast(vx), "x")
+        .join(F.broadcast(vy), "y")
+        .select(
+            "x", "y", "df_x", "df_y", "df_xy",
+            fround(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "x", "y")
+        .limit(PMI_TOP)
+    )
+
+
+ORACLE_PMI = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+dfs AS (SELECT tok, count(*) AS df FROM w GROUP BY 1),
+vocab AS (
+  SELECT tok, df FROM dfs ORDER BY df DESC, tok LIMIT {PMI_VOCAB}),
+n AS (SELECT count(*) AS n_docs FROM documents),
+iv AS (SELECT w.doc_id, w.tok FROM w JOIN vocab USING (tok)),
+cxy AS (
+  SELECT a.tok AS x, b.tok AS y, count(*) AS df_xy
+  FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_PAIR_DOCS})
+SELECT x, y, vx.df AS df_x, vy.df AS df_y, df_xy,
+       floor((CAST(n.n_docs AS DOUBLE) * df_xy) / (vx.df * vy.df)
+             * 1000000 + 0.5) / 1000000.0 AS lift
+FROM cxy
+JOIN vocab vx ON vx.tok = x
+JOIN vocab vy ON vy.tok = y
+CROSS JOIN n
+ORDER BY lift DESC, x, y
+LIMIT {PMI_TOP}
+"""
+
+
 QUERIES = {
+    "pmi_collocations": pmi_collocations,
     "tfidf_top_terms": tfidf_top_terms,
     "rep_signals": rep_signals,
     "dup_ngram_frac": dup_ngram_frac,
@@ -534,6 +625,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pmi_collocations": ORACLE_PMI,
     "tfidf_top_terms": ORACLE_TFIDF,
     "rep_signals": ORACLE_REP_SIGNALS,
     "dup_ngram_frac": ORACLE_DUP_NGRAM,
