@@ -140,6 +140,9 @@ HEADLINE = [
     "event_transition_matrix",
     "exact_stratified_split",
     "sample_quantile_gate",
+    "pmi_collocations",
+    "event_volume_anomalies",
+    "ivfpq_recall_at_k",
 ]
 
 

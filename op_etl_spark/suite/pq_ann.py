@@ -187,17 +187,17 @@ def _encode(qv: DataFrame, books) -> DataFrame:
     return out
 
 
-def _adc_score(books):
-    """ADC approximate sqdist between the probe's q ('pq' col) and an
-    encoded corpus row (c0..c3): sum over subspaces of the exact sqdist
-    between the probe subvector and the assigned codeword."""
+def _adc_score(books, probe_col: str = "pq"):
+    """ADC approximate sqdist between the probe vector in `probe_col`
+    and an encoded corpus row (c0..c{M-1}): sum over subspaces of the
+    exact sqdist between the probe subvector and the assigned codeword."""
     total = F.lit(0.0)
     for m in range(PQ_M):
         cents = F.array(
             *[F.array(*[F.lit(float(v)) for v in c]) for c in books[m]]
         )
         cw = F.element_at(cents, F.col(f"c{m}") + 1)
-        total = total + _sqdist(_sub(F.col("pq"), m), cw)
+        total = total + _sqdist(_sub(F.col(probe_col), m), cw)
     return total
 
 
@@ -297,69 +297,78 @@ _SQD = (
 )
 
 
-def _duck_pq_train() -> str:
-    """Unrolled CTE chain mirroring _train_codebooks: qv, the seed rows,
-    then per-round (assignment over all subspaces, update) — codebooks
-    are (m, code, c) rows; subvector m of q is q[m*16+1 : (m+1)*16]."""
+_DUCK_QV = f"""qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {_QSCALE} + 0.5)) AS q
+  FROM embeddings)"""
+
+
+def _duck_pq_chain(src: str = "qv", p: str = "") -> str:
+    """Unrolled CTE chain mirroring _train_codebooks over the (vec_id, q)
+    rows of CTE `src`: subspace explosion, hash-ordered seeds, then
+    per-round (assignment over all subspaces, update) — codebooks are
+    (m, code, c) rows; subvector m of q is q[m*SUBDIM+1 : (m+1)*SUBDIM].
+    Every generated CTE name carries prefix `p` so the chain composes
+    with the coarse-quantizer chain (which owns a{{i}}/u{{i}})."""
     subs = ", ".join(
         f"q[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS s{m}" for m in range(PQ_M)
     )
     msel = " UNION ALL ".join(
-        f"SELECT vec_id, {m} AS m, s{m} AS sub FROM subs" for m in range(PQ_M)
+        f"SELECT vec_id, {m} AS m, s{m} AS sub FROM {p}subs" for m in range(PQ_M)
     )
     parts = [
-        f"""qv AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[], x -> floor(x * {_QSCALE} + 0.5)) AS q
-  FROM embeddings),
-subs AS MATERIALIZED (SELECT vec_id, q, {subs} FROM qv),
-sv AS MATERIALIZED ({msel}),
-seeds AS MATERIALIZED (
+        f"""{p}subs AS MATERIALIZED (SELECT vec_id, q, {subs} FROM {src}),
+{p}sv AS MATERIALIZED ({msel}),
+{p}seeds AS MATERIALIZED (
   SELECT q, code FROM (
     SELECT q, row_number() OVER (
       ORDER BY {hash_unit_sql("vec_id", "pq-seed")}, vec_id) - 1 AS code
-    FROM qv)
+    FROM {src})
   WHERE code < {PQ_KCODES}),
-b0 AS MATERIALIZED (
+{p}b0 AS MATERIALIZED (
   SELECT m.m, s.code, s.q[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS c
-  FROM seeds s CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m)"""
+  FROM {p}seeds s CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m)"""
     ]
     d = _SQD.format(a="v.sub", b="b.c")
     for i in range(PQ_ITERS):
-        parts.append(f"""a{i} AS MATERIALIZED (
+        parts.append(f"""{p}a{i} AS MATERIALIZED (
   SELECT vec_id, m, sub, code FROM (
     SELECT v.vec_id, v.m, v.sub, b.code,
            row_number() OVER (PARTITION BY v.vec_id, v.m
                               ORDER BY {d}, b.code) AS rn
-    FROM sv v JOIN b{i} b ON b.m = v.m)
+    FROM {p}sv v JOIN {p}b{i} b ON b.m = v.m)
   WHERE rn = 1),
-u{i} AS MATERIALIZED (
+{p}u{i} AS MATERIALIZED (
   SELECT m, code, list(mu ORDER BY pos) AS cu FROM (
     SELECT m, code, pos, floor(sum(val) / count(*) + 0.5) AS mu
     FROM (SELECT m, code, generate_subscripts(sub, 1) AS pos,
                  unnest(sub) AS val
-          FROM a{i})
+          FROM {p}a{i})
     GROUP BY 1, 2, 3)
   GROUP BY 1, 2),
-b{i + 1} AS MATERIALIZED (
+{p}b{i + 1} AS MATERIALIZED (
   SELECT s.m, s.code, CASE WHEN u.cu IS NULL THEN s.c ELSE u.cu END AS c
-  FROM b{i} s LEFT JOIN u{i} u ON u.m = s.m AND u.code = s.code)""")
+  FROM {p}b{i} s LEFT JOIN {p}u{i} u ON u.m = s.m AND u.code = s.code)""")
     return ",\n".join(parts)
+
+
+def _duck_pq_train() -> str:
+    return f"{_DUCK_QV},\n{_duck_pq_chain('qv')}"
 
 
 _BF = PQ_ITERS  # final codebook CTE index
 
 
-def _duck_encoded() -> str:
-    """enc: (vec_id, m, code) — final assignment of every corpus
+def _duck_encoded(p: str = "") -> str:
+    """{p}enc: (vec_id, m, code, sub) — final assignment of every source
     subvector to its codeword under the trained codebooks."""
     d = _SQD.format(a="v.sub", b="b.c")
-    return f"""enc AS MATERIALIZED (
+    return f"""{p}enc AS MATERIALIZED (
   SELECT vec_id, m, code, sub FROM (
     SELECT v.vec_id, v.m, v.sub, b.code,
            row_number() OVER (PARTITION BY v.vec_id, v.m
                               ORDER BY {d}, b.code) AS rn
-    FROM sv v JOIN b{_BF} b ON b.m = v.m)
+    FROM {p}sv v JOIN {p}b{_BF} b ON b.m = v.m)
   WHERE rn = 1)"""
 
 
@@ -419,11 +428,194 @@ GROUP BY 1
 """
 
 
+# --- IVF-PQ (IVFADC): coarse pruning + residual compression composed ---
+
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_cached(spark: SparkSession, sf_dir: str):
+    """(coarse centroids, residual-encoded corpus with list_id, residual
+    codebooks, probes, qv) — the FAISS-style IVFADC index, built once per
+    (session, sf_dir). The coarse quantizer is SHARED with the IVF recall
+    gates (ann_recall._index_tables — same seeds, same Lloyd rounds), so
+    this measures exactly what adding residual PQ to the existing IVF
+    index buys; the PQ codebooks are trained on residuals q - centroid
+    (still exact integers on the micro grid)."""
+    from op_etl_spark.session import session_cache
+
+    from .ann_recall import _index_tables
+
+    cache = session_cache(spark, "_op_etl_ivfpq")
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
+    qv, cents, alist, probes = _index_tables(spark, sf_dir)
+    rv = (
+        alist.join(F.broadcast(cents), "list_id")
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("q", "c", lambda x, y: x - y).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    books = _train_codebooks(rv.select("vec_id", "q"))
+    enc = _encode(rv, books).localCheckpoint(eager=False)
+    out = (qv, cents, enc, books, probes)
+    cache[sf_dir] = out
+    return out
+
+
+def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed production ANN architecture — IVF
+    pruning (read nprobe/n_lists of the corpus) OVER residual-PQ codes
+    (hold 64x less per vector) — vs the exact top-10. Search per probe:
+    rank coarse lists by centroid distance, take nprobe=2, form the
+    probe residual against each probed centroid, then ADC against the
+    candidates' residual codes; every arithmetic step is exact integer
+    doubles so DuckDB replays the whole pipeline bit-for-bit.
+
+    The three gates (ivf_recall_at_k, pq_recall_at_k, this) decompose
+    the recall cost of the two production levers separately and
+    together."""
+    qv, cents, enc, books, probes = _ivfpq_cached(spark, sf_dir)
+
+    pscore = probes.join(F.broadcast(cents)).withColumn(
+        "d", _sqdist(F.col("pq"), F.col("c"))
+    )
+    wpl = W.partitionBy("probe_id").orderBy("d", "list_id")
+    pres = (
+        pscore.withColumn("rn", F.row_number().over(wpl))
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select(
+            "probe_id",
+            "pq",
+            "list_id",
+            F.zip_with("pq", "c", lambda x, y: x - y).alias("pr"),
+        )
+    )
+
+    cand = enc.join(F.broadcast(pres), "list_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    wk = W.partitionBy("probe_id").orderBy("adc", "cand_id")
+    pqk = (
+        cand.select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            _adc_score(books, "pr").alias("adc"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= PQ_K)
+        .select("probe_id", "cand_id")
+    )
+
+    wk_ex = W.partitionBy("probe_id").orderBy("d", "cand_id")
+    exk = (
+        qv.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            _sqdist(F.col("pq"), F.col("q")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(wk_ex))
+        .filter(F.col("rn") <= PQ_K)
+        .select("probe_id", "cand_id")
+    )
+
+    hit = pqk.withColumn("hit", F.lit(1))
+    return (
+        exk.join(hit, ["probe_id", "cand_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(PQ_K))).alias("recall"),
+        )
+    )
+
+
+def _duck_ivfpq() -> str:
+    from .ann_recall import RECALL_ITERS, _duck_lloyd
+
+    cf = RECALL_ITERS
+    alist = f"""alist AS MATERIALIZED (
+  SELECT vec_id, q, list_id FROM (
+    SELECT v.vec_id, v.q, l.list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_SQD.format(a="v.q", b="l.c")}, l.list_id) AS rn
+    FROM qv v CROSS JOIN c{cf} l)
+  WHERE rn = 1),
+rv AS MATERIALIZED (
+  SELECT a.vec_id, a.list_id,
+         [a.q[i] - l.c[i] for i in range(1, len(a.q) + 1)] AS q
+  FROM alist a JOIN c{cf} l USING (list_id))"""
+    return f"{_duck_lloyd()},\n{alist},\n{_duck_pq_chain('rv', p='p')},\n{_duck_encoded(p='p')}"
+
+
+def _ivfpq_oracle() -> str:
+    from .ann_recall import RECALL_ITERS
+
+    cf = RECALL_ITERS
+    return f"""
+WITH {_duck_ivfpq()},
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < {PQ_N_PROBES}),
+pres AS MATERIALIZED (
+  SELECT probe_id, list_id,
+         [pq[i] - c[i] for i in range(1, len(pq) + 1)] AS pr
+  FROM (
+    SELECT p.probe_id, p.pq, l.list_id, l.c,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {_SQD.format(a="p.pq", b="l.c")}, l.list_id) AS rn
+    FROM probes p CROSS JOIN c{cf} l)
+  WHERE rn <= {IVFPQ_NPROBE}),
+prsub AS MATERIALIZED (
+  SELECT probe_id, list_id, m.m,
+         pr[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS psub
+  FROM pres CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m),
+el AS MATERIALIZED (
+  SELECT e.vec_id, e.m, e.code, r.list_id
+  FROM penc e JOIN rv r USING (vec_id)),
+adc AS (
+  SELECT p.probe_id, e.vec_id AS cand_id,
+         sum({_SQD.format(a="p.psub", b="b.c")}) AS adc
+  FROM prsub p
+  JOIN el e ON e.m = p.m AND e.list_id = p.list_id
+  JOIN pb{_BF} b ON b.m = e.m AND b.code = e.code
+  WHERE e.vec_id != p.probe_id
+  GROUP BY 1, 2),
+pqk AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT probe_id, cand_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS rn
+    FROM adc)
+  WHERE rn <= {PQ_K}),
+exk AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT p.probe_id, v.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {_SQD.format(a="p.pq", b="v.q")}, v.vec_id) AS rn
+    FROM probes p CROSS JOIN qv v
+    WHERE v.vec_id != p.probe_id)
+  WHERE rn <= {PQ_K})
+SELECT e.probe_id,
+       CAST(sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap,
+       sum(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) / {float(PQ_K)} AS recall
+FROM exk e LEFT JOIN pqk i USING (probe_id, cand_id)
+GROUP BY 1
+"""
+
+
+ORACLE_IVFPQ = _ivfpq_oracle()
+
+
 QUERIES = {
     "pq_recall_at_k": pq_recall_at_k,
     "pq_distortion_stats": pq_distortion_stats,
+    "ivfpq_recall_at_k": ivfpq_recall_at_k,
 }
 ORACLE = {
     "pq_recall_at_k": ORACLE_PQ_RECALL,
     "pq_distortion_stats": ORACLE_PQ_DISTORTION,
+    "ivfpq_recall_at_k": ORACLE_IVFPQ,
 }

@@ -109,6 +109,8 @@ MAIN_QUERIES = [
     "mad_outlier_report",
     "event_transition_matrix",
     "exact_stratified_split",
+    "pmi_collocations",
+    "event_volume_anomalies",
 ]
 
 # Every bounded-pair-cost contract in the dedup/similarity/clustering
@@ -139,6 +141,7 @@ PAIR_QUERIES = [
     # checks is that TRAINING stays corpus-pass-bounded)
     "kcore_members",
     "pq_recall_at_k",
+    "ivfpq_recall_at_k",
 ]
 
 # Mergeable-sketch family: events/orders grow Kx while the key domains
