@@ -615,6 +615,128 @@ GROUP BY 1
 """
 
 
+# --- k-truss: triangle-support peeling (edge analogue of k-core) ---
+
+KTRUSS_K = 4
+KTRUSS_MAX_ROUNDS = 48
+
+
+def ktruss_fixpoint(pairs: DataFrame, k: int, max_rounds: int = KTRUSS_MAX_ROUNDS):
+    """Iterative k-truss peeling (Cohen 2008): drop every edge whose
+    triangle SUPPORT (common neighbors of its endpoints inside the
+    surviving subgraph) is < k-2, until stable. Strictly stronger than
+    the k-core: a long chain or a hub star survives degree peeling but
+    has zero triangles — the truss keeps only edges embedded in locally
+    dense (template/boilerplate) structure.
+
+    `pairs` must be canonical (a < b). Round body = two equi-joins of
+    the canonical edges against the symmetric adjacency (wedge closure
+    on the shared neighbor) + one count aggregate + one semi-join —
+    per-round cost proportional to wedges of the CURRENT subgraph, which
+    only shrinks. Convergence = scalar edge count (monotone), bounded by
+    `max_rounds` and raised past it — the oracle unrolls exactly that
+    many rounds. Returns (surviving canonical edges, rounds)."""
+    pairs = pairs.select("a", "b").localCheckpoint()
+    n_edges = pairs.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return pairs, rounds
+        rounds += 1
+        sym = _symmetrize(pairs)
+        s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        s2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        sup = (
+            pairs.join(s1, "a")
+            .join(s2, ["b", "c"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        kept = (
+            pairs.join(
+                sup.filter(F.col("sup") >= k - 2).select("a", "b"),
+                ["a", "b"],
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+        n_after = kept.count()
+        pairs = kept
+        if n_after == n_edges:
+            return pairs, rounds
+        n_edges = n_after
+    raise RuntimeError(f"k-truss peeling did not converge in {max_rounds} rounds")
+
+
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, support) for every edge of the 4-truss of the near-dup
+    graph (same >= 2 common-capped-trigram edges as kcore_members): each
+    surviving edge closes >= 2 triangles inside the truss — the
+    template-family extractor that discards chain links and hub spokes
+    the k-core keeps.
+
+    Deliberately NOT in the bench headline or the 32x probe: peel-round
+    COUNT is a property of the graph's truss-peeling depth (39 rounds on
+    the sf0.1 graph, 2 at sf0.01), so wall-clock measures the corpus's
+    graph shape rather than a per-round cost curve; the per-round plan is
+    the same bounded wedge-closure join the triangle census probes."""
+    truss, _ = ktruss_fixpoint(
+        _pairs(spark, sf_dir, min_common=KCORE_MIN_COMMON), KTRUSS_K
+    )
+    sym = _symmetrize(truss)
+    s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    s2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return (
+        truss.join(s1, "a")
+        .join(s2, ["b", "c"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def _ktruss_oracle() -> str:
+    parts = [
+        f"""p0 AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
+  GROUP BY 1, 2
+  HAVING count(*) >= {KCORE_MIN_COMMON})"""
+    ]
+    prev = "p0"
+    for i in range(KTRUSS_MAX_ROUNDS):
+        parts.append(f"""sym{i} AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM {prev} UNION ALL SELECT b, a FROM {prev}),
+s{i} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS sup
+  FROM {prev} e
+  JOIN sym{i} s1 ON s1.src = e.a
+  JOIN sym{i} s2 ON s2.src = e.b AND s2.dst = s1.dst
+  GROUP BY 1, 2),
+p{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b
+  FROM {prev} e LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.sup, 0) >= {KTRUSS_K - 2})""")
+        prev = f"p{i + 1}"
+    final = f"""symf AS (SELECT a AS src, b AS dst FROM {prev}
+         UNION ALL SELECT b, a FROM {prev})
+SELECT e.a, e.b, count(*) AS support
+FROM {prev} e
+JOIN symf s1 ON s1.src = e.a
+JOIN symf s2 ON s2.src = e.b AND s2.dst = s1.dst
+GROUP BY 1, 2"""
+    return ",\n".join(parts) + ",\n" + final
+
+
+ORACLE_KTRUSS = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+{_ktruss_oracle()}
+"""
+
+
 QUERIES = {
     "dedup_pagerank": dedup_pagerank,
     "incremental_cc_assign": incremental_cc_assign,
@@ -623,6 +745,7 @@ QUERIES = {
     "dedup_quality_survivors": dedup_quality_survivors,
     "neardup_triangle_stats": neardup_triangle_stats,
     "kcore_members": kcore_members,
+    "ktruss_edges": ktruss_edges,
 }
 
 ORACLE = {
@@ -634,4 +757,5 @@ ORACLE = {
     "dedup_quality_survivors": ORACLE_QUALITY_SURVIVORS,
     "neardup_triangle_stats": ORACLE_TRIANGLES,
     "kcore_members": ORACLE_KCORE,
+    "ktruss_edges": ORACLE_KTRUSS,
 }

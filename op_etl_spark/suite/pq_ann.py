@@ -80,36 +80,18 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", q.alias("q"))
 
 
-def _books_cached(spark: SparkSession, sf_dir: str, qv: DataFrame):
-    """Train once per (session, sf_dir): both declared queries and any
-    repeat run share the trained codebooks (the Lloyd loop is the
-    expensive part — two corpus passes plus driver round-trips)."""
-    from op_etl_spark.session import session_cache
-
-    cache = session_cache(spark, "_op_etl_pq_books")
-    books = cache.get(sf_dir)
-    if books is None:
-        books = _train_codebooks(qv)
-        cache[sf_dir] = books
-    return books
-
-
-def _encoded_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
-    """(encoded corpus, codebooks), checkpointed per (session, sf_dir):
-    the PQ-coded table IS what a production deployment materializes —
-    search queries read codes, never re-encode. Checkpointing also keeps
-    the 16 literal-codebook argmin columns out of every downstream plan
-    (one codegen pass instead of one per search arm)."""
-    from op_etl_spark.session import session_cache
-
-    cache = session_cache(spark, "_op_etl_pq_enc")
-    hit = cache.get(sf_dir)
-    if hit is not None:
-        return hit
+def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """(encoded corpus, codebooks), built fresh PER CALL: train the
+    per-subspace codebooks, encode, and checkpoint the coded table so
+    downstream search arms read codes instead of re-running the 16
+    literal-codebook argmin columns. Deliberately NOT cached across
+    calls — a session cache here would make the bench/probe time only
+    the search join and silently stop measuring whether the build
+    (seeds, Lloyd rounds, encode) scales; each declared query owns its
+    full pipeline cost, same as the IVF recall gates."""
     qv = _quantized(spark, sf_dir).localCheckpoint()
-    books = _books_cached(spark, sf_dir, qv)
+    books = _train_codebooks(qv)
     enc = _encode(qv, books).localCheckpoint(eager=False)
-    cache[sf_dir] = (enc, books)
     return enc, books
 
 
@@ -205,7 +187,7 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-probe recall@10 of compressed-domain (ADC) top-10 vs the exact
     sqdist top-10 — the measured answer to 'what does 64x compression
     cost in recall?'."""
-    enc, books = _encoded_cached(spark, sf_dir)
+    enc, books = _pq_index(spark, sf_dir)
     probes = enc.filter(F.col("vec_id") < PQ_N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
@@ -252,7 +234,7 @@ def pq_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (in micro-unit² space), plus codewords actually used. The standard
     codebook-quality diagnostic — rising distortion at constant K is the
     signal to re-train or split before recall degrades."""
-    enc, books = _encoded_cached(spark, sf_dir)
+    enc, books = _pq_index(spark, sf_dir)
     per_sub = enc.select(
         F.explode(
             F.array(
@@ -433,22 +415,17 @@ GROUP BY 1
 IVFPQ_NPROBE = 2
 
 
-def _ivfpq_cached(spark: SparkSession, sf_dir: str):
-    """(coarse centroids, residual-encoded corpus with list_id, residual
-    codebooks, probes, qv) — the FAISS-style IVFADC index, built once per
-    (session, sf_dir). The coarse quantizer is SHARED with the IVF recall
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """(qv, coarse centroids, residual-encoded corpus with list_id,
+    residual codebooks, probes) — the FAISS-style IVFADC index, built
+    fresh PER CALL (same no-cross-call-cache discipline as _pq_index).
+    The coarse quantizer is SHARED construction-wise with the IVF recall
     gates (ann_recall._index_tables — same seeds, same Lloyd rounds), so
     this measures exactly what adding residual PQ to the existing IVF
     index buys; the PQ codebooks are trained on residuals q - centroid
     (still exact integers on the micro grid)."""
-    from op_etl_spark.session import session_cache
-
     from .ann_recall import _index_tables
 
-    cache = session_cache(spark, "_op_etl_ivfpq")
-    hit = cache.get(sf_dir)
-    if hit is not None:
-        return hit
     qv, cents, alist, probes = _index_tables(spark, sf_dir)
     rv = (
         alist.join(F.broadcast(cents), "list_id")
@@ -461,9 +438,7 @@ def _ivfpq_cached(spark: SparkSession, sf_dir: str):
     )
     books = _train_codebooks(rv.select("vec_id", "q"))
     enc = _encode(rv, books).localCheckpoint(eager=False)
-    out = (qv, cents, enc, books, probes)
-    cache[sf_dir] = out
-    return out
+    return qv, cents, enc, books, probes
 
 
 def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,7 +453,7 @@ def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three gates (ivf_recall_at_k, pq_recall_at_k, this) decompose
     the recall cost of the two production levers separately and
     together."""
-    qv, cents, enc, books, probes = _ivfpq_cached(spark, sf_dir)
+    qv, cents, enc, books, probes = _ivfpq_index(spark, sf_dir)
 
     pscore = probes.join(F.broadcast(cents)).withColumn(
         "d", _sqdist(F.col("pq"), F.col("c"))

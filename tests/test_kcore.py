@@ -55,3 +55,55 @@ def test_empty_graph(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     core, rounds = kcore_fixpoint(empty, k=4)
     assert core.count() == 0 and rounds == 0
+
+
+# --- k-truss (triangle-support peeling) ---
+
+def _canon(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_k4_is_its_own_4truss(spark):
+    from op_etl_spark.suite.clustering import ktruss_fixpoint
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    truss, rounds = ktruss_fixpoint(_canon(spark, k4), k=4)
+    got = {(r["a"], r["b"]) for r in truss.collect()}
+    assert got == set(k4)
+    assert rounds == 1  # first round already stable (every support = 2)
+
+
+def test_pendant_and_chain_peel_off_k4(spark):
+    from op_etl_spark.suite.clustering import ktruss_fixpoint
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 10), (10, 11), (0, 10)]  # triangle-poor appendage
+    truss, _ = ktruss_fixpoint(_canon(spark, k4 + extra), k=4)
+    got = {(r["a"], r["b"]) for r in truss.collect()}
+    assert got == set(k4)
+
+
+def test_two_triangles_sharing_edge_cascade(spark):
+    """4-truss: the shared edge has support 2 but its flank edges have 1;
+    removing flanks drops the shared edge next round — the cascade the
+    per-round recount must capture."""
+    from op_etl_spark.suite.clustering import ktruss_fixpoint
+
+    bowtie = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    truss, rounds = ktruss_fixpoint(_canon(spark, bowtie), k=4)
+    assert truss.count() == 0
+    assert rounds >= 2
+
+
+def test_truss_round_bound_raises(spark):
+    import pytest as _pytest
+
+    from op_etl_spark.suite.clustering import ktruss_fixpoint
+
+    # a strip of triangles peels one triangle per round from each end
+    strip = []
+    for i in range(8):
+        strip += [(i, i + 1), (i, i + 2)]
+    strip = sorted(set(strip))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        ktruss_fixpoint(_canon(spark, strip), k=4, max_rounds=1)

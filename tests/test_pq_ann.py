@@ -56,13 +56,11 @@ def test_perfect_recall_on_codeword_corpus(spark, codeword_corpus):
 
 
 def test_codes_in_range(spark, codeword_corpus):
-    from op_etl_spark.suite.pq_ann import _books_cached, _encode, _quantized
+    from op_etl_spark.suite.pq_ann import _pq_index
 
-    qv = _quantized(spark, codeword_corpus)
-    books = _books_cached(spark, codeword_corpus, qv)
+    enc, books = _pq_index(spark, codeword_corpus)
     assert len(books) == PQ_M
     assert all(len(b) == PQ_KCODES for b in books)
-    enc = _encode(qv, books)
     mins = enc.select(
         F.least(*[F.col(f"c{m}") for m in range(PQ_M)]).alias("lo"),
         F.greatest(*[F.col(f"c{m}") for m in range(PQ_M)]).alias("hi"),
