@@ -33,6 +33,13 @@ GATE_ALLOW = {
     # r2 -> r3: hierarchical-block boundedness rework traded 0.43s -> 0.75s
     # for the recall-preserving block split (suite/similarity.py).
     "embedding_neardup_pairs": "recall-preserving hierarchical split rework (r3-r4): over-cap blocks now pay for the pairs the old drop-based cap lost",
+    # r4 -> r6: code UNCHANGED since the r4 numbers (docstring-only diffs,
+    # verified via git diff 1c44ee2..HEAD); isolated quiet re-measures are
+    # stable at the new level (0.63s / 2.49s vs r4's 0.42s / 1.76s), so
+    # this is environment drift between round machines, not a plan change.
+    # Re-judge against BENCH_r06 once the driver records it.
+    "media_byte_entropy": "environment drift r4->r6, code unchanged (isolated re-measure 0.63s stable)",
+    "bigram_surprisal_scores": "environment drift r4->r6, code unchanged (isolated re-measure 2.49s stable)",
 }
 
 

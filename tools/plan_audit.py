@@ -49,6 +49,7 @@ ALLOW = {
     "pq_recall_at_k": {"BroadcastNestedLoopJoin"},  # 10-row probe set broadcast over the encoded corpus: ADC search and the exact-recall baseline are all-pairs by definition, with a bounded build side
     "sample_quantile_gate": {"BroadcastNestedLoopJoin"},  # 5-row quantile-estimate table broadcast over the scan that measures each estimate's exact rank
     "ivfpq_recall_at_k": {"BroadcastNestedLoopJoin"},  # 8-row centroid / 10-row probe broadcasts: coarse ranking and the exact-recall baseline are all-pairs with a bounded build side (the ADC arm itself joins on list_id)
+    "event_volume_anomalies": {"BroadcastNestedLoopJoin"},  # 1-row (median, MAD) stats table broadcast over the calendar-bounded hourly series
     "ivf_centroid_rank": {"BroadcastNestedLoopJoin"},    # centroid table (n_lists rows) broadcast; corpus never shuffles
     "negative_pair_sample": {"BroadcastNestedLoopJoin"}, # 1-row corpus-size aggregate broadcast into the index math
     "neardup_triangle_stats": {"BroadcastNestedLoopJoin"},  # final assembly cross-join of three 1-row aggregates (node/edge stats, wedge count, triangle count)
