@@ -130,9 +130,11 @@ HEADLINE = [
     "weighted_jaccard_pairs",
     "jl_projection_distortion",
     # round 6: robust per-group stats via grouped order statistics, k-core
-    # density peeling, PQ compressed-domain search (codebooks train once
-    # per session — the timed pass measures encode+ADC search), and the
-    # first-order event Markov chain
+    # density peeling, PQ / IVF-PQ compressed-domain search (each call
+    # rebuilds its index — the timed number owns the full train+encode+
+    # search pipeline), the mergeable quantile gate, event Markov chain,
+    # exact splits, PMI collocations, volume anomalies, exact decayed
+    # scores, quantile normalization
     "mad_outlier_report",
     "winsorized_event_means",
     "kcore_members",
@@ -143,6 +145,8 @@ HEADLINE = [
     "pmi_collocations",
     "event_volume_anomalies",
     "ivfpq_recall_at_k",
+    "decayed_user_value",
+    "quantile_normalized_lengths",
 ]
 
 

@@ -175,6 +175,78 @@ FROM cal LEFT JOIN daily ON cal.day = daily.day
 """
 
 
+# --- exponentially time-decayed scores, exact to the last bit ---
+
+DECAY_MAX_DAYS = 30  # contributions older than this round to zero
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event value with a ONE-DAY HALF-LIFE: sum of
+    value * 2^(-age_days), age measured from the corpus max timestamp —
+    the standard recency-weighted engagement/freshness score.
+
+    The usual implementation (pow(0.5, age) floats) is neither
+    order-independent nor cross-engine stable. This one is EXACT: the
+    half-life is a power of two, so each contribution is
+    cents << (MAX - min(age, MAX)) — a LONG. Ages come from integer
+    epoch-microsecond division (no calendar-boundary semantics to
+    disagree on), the per-user sum is exact long addition in any order
+    (bounded: cents < 2^16, shift <= 30, rows per user < 2^15 => sum
+    < 2^61), and a single final divide by 2^MAX * 100 converts back to
+    value units. At 100 TB this is one map-side-combinable groupBy; the
+    reference time is one scalar max."""
+    from op_etl_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "value")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref_us = ev.agg(F.max(epoch_us)).collect()[0][0]
+    age_days = F.floor(
+        (F.lit(int(ref_us)) - epoch_us) / F.lit(86_400_000_000)
+    ).cast("long")
+    shift = F.lit(DECAY_MAX_DAYS) - F.least(age_days, F.lit(DECAY_MAX_DAYS))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    scored = ev.select(
+        "user_id", cents.alias("cents"), shift.cast("int").alias("shift")
+    )
+    units = F.expr("shiftleft(cents, shift)")
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(units).alias("u"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            fround(
+                F.col("u") / F.lit(float(2**DECAY_MAX_DAYS)) / F.lit(100.0), 6
+            ).alias("decayed_value"),
+        )
+    )
+
+
+ORACLE_DECAYED = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+ref AS (SELECT max(us) AS ref_us FROM ev),
+scored AS (
+  SELECT user_id, cents,
+         {DECAY_MAX_DAYS} - least(
+           CAST(floor((ref_us - us) / 86400000000.0) AS BIGINT),
+           {DECAY_MAX_DAYS}) AS shift
+  FROM ev CROSS JOIN ref)
+SELECT user_id,
+       count(*) AS n_events,
+       floor(CAST(sum(cents << shift) AS BIGINT)
+             / {float(2**DECAY_MAX_DAYS)!r} / 100.0 * 1000000 + 0.5)
+         / 1000000.0 AS decayed_value
+FROM scored
+GROUP BY 1
+"""
+
+
 # --- skew-salted aggregation: two-phase groupBy, identical result ---
 
 N_SALTS = 16
@@ -678,6 +750,7 @@ FROM t
 
 
 QUERIES = {
+    "decayed_user_value": decayed_user_value,
     "event_transition_matrix": event_transition_matrix,
     "ranking_functions_sample": ranking_functions_sample,
     "price_qty_regression": price_qty_regression,
@@ -696,6 +769,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "decayed_user_value": ORACLE_DECAYED,
     "event_transition_matrix": ORACLE_TRANSITIONS,
     "ranking_functions_sample": ORACLE_RANKING,
     "price_qty_regression": ORACLE_REGRESSION,

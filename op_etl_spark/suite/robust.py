@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ranks import grouped_row_index
-from ._util import fround, sql_cents
+from ._util import fround, read_table, sql_cents
 
 OUTLIER_K = 3  # the classic Hampel identifier: |x - med| > 3 * MAD
 
@@ -262,13 +262,51 @@ FROM h CROSS JOIN m2
 """
 
 
+def quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language QUANTILE NORMALIZATION of document length: each doc's
+    length mapped to its within-stratum percentile (0..1) — the
+    rank-based feature transform that makes a threshold mean the same
+    thing in every language regardless of each language's length
+    distribution (the cross-lingual quality-filter calibration step).
+
+    Rank within a stratum is `operators/ranks.grouped_row_index` again —
+    exact percentiles for corpus-sized strata, every window partitioned.
+    (doc_id breaks length ties, so the rank is total and percent_rank's
+    RANK == ROW_NUMBER on both engines.)"""
+    from ..operators.ranks import grouped_row_index
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    idx = grouped_row_index(d, "lang", ["n_chars", "doc_id"], out="rn")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        idx.join(F.broadcast(cnt), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            fround(F.col("rn") / (F.col("n") - 1), 6).alias("pct"),
+        )
+    )
+
+
+ORACLE_QNORM = """
+SELECT doc_id, lang, n_chars,
+       floor(percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id)
+             * 1000000 + 0.5) / 1000000.0 AS pct
+FROM documents
+"""
+
+
 QUERIES = {
     "mad_outlier_report": mad_outlier_report,
+    "quantile_normalized_lengths": quantile_normalized_lengths,
     "winsorized_event_means": winsorized_event_means,
     "event_volume_anomalies": event_volume_anomalies,
 }
 ORACLE = {
     "mad_outlier_report": ORACLE_MAD,
+    "quantile_normalized_lengths": ORACLE_QNORM,
     "winsorized_event_means": ORACLE_WINSOR,
     "event_volume_anomalies": ORACLE_VOLUME,
 }

@@ -111,6 +111,8 @@ MAIN_QUERIES = [
     "exact_stratified_split",
     "pmi_collocations",
     "event_volume_anomalies",
+    "decayed_user_value",
+    "quantile_normalized_lengths",
 ]
 
 # Every bounded-pair-cost contract in the dedup/similarity/clustering
