@@ -40,6 +40,7 @@ GATE_ALLOW = {
     # Re-judge against BENCH_r06 once the driver records it.
     "media_byte_entropy": "environment drift r4->r6, code unchanged (isolated re-measure 0.63s stable)",
     "bigram_surprisal_scores": "environment drift r4->r6, code unchanged (isolated re-measure 2.49s stable)",
+    "ann_bruteforce_topk": "environment drift r4->r6, code unchanged (bounces 0.78-0.91s across r6 quiet runs vs r4's 0.60s; 1.51x sits on the gate threshold)",
 }
 
 
