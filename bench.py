@@ -147,6 +147,7 @@ HEADLINE = [
     "ivfpq_recall_at_k",
     "decayed_user_value",
     "quantile_normalized_lengths",
+    "source_diversity_report",
 ]
 
 

@@ -518,6 +518,52 @@ WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --- corpus composition: per-source language diversity ---
+
+def source_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: language diversity as Gini-Simpson (1 - sum p_l^2) and
+    the inverse-Simpson "effective number of languages" (n^2 / sum c_l^2)
+    — the corpus-composition dashboard numbers a mixing/rebalancing step
+    monitors (a source whose effective-language count collapses is
+    drifting monolingual). Simpson's index is chosen over Shannon
+    deliberately: it needs no log, so every quantity is an exact integer
+    ratio until one final divide and the gate is ulp-caveat-free.
+
+    One corpus scan -> |source x lang| rows -> |source| rows; both
+    aggregates map-side combine."""
+    d = _docs(spark, sf_dir)
+    cl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    agg = cl.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n2 = F.col("n_docs") * F.col("n_docs")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        fround(F.lit(1.0) - F.col("ss") / n2, 6).alias("gini_simpson"),
+        fround(n2 / F.col("ss"), 6).alias("effective_langs"),
+    )
+
+
+ORACLE_DIVERSITY = """
+WITH cl AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         count(*) AS n_langs, CAST(sum(c * c) AS BIGINT) AS ss
+  FROM cl GROUP BY 1)
+SELECT source, n_docs, n_langs,
+       floor((1.0 - ss / (n_docs * n_docs)) * 1000000 + 0.5)
+         / 1000000.0 AS gini_simpson,
+       floor(((n_docs * n_docs) / ss) * 1000000 + 0.5)
+         / 1000000.0 AS effective_langs
+FROM agg
+"""
+
+
 # --- PMI collocations: vocab-bounded within-doc co-occurrence lift ---
 
 PMI_VOCAB = 64  # co-occurrence universe: top-V terms by doc frequency
@@ -609,6 +655,7 @@ LIMIT {PMI_TOP}
 
 
 QUERIES = {
+    "source_diversity_report": source_diversity_report,
     "pmi_collocations": pmi_collocations,
     "tfidf_top_terms": tfidf_top_terms,
     "rep_signals": rep_signals,
@@ -625,6 +672,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_diversity_report": ORACLE_DIVERSITY,
     "pmi_collocations": ORACLE_PMI,
     "tfidf_top_terms": ORACLE_TFIDF,
     "rep_signals": ORACLE_REP_SIGNALS,

@@ -113,6 +113,7 @@ MAIN_QUERIES = [
     "event_volume_anomalies",
     "decayed_user_value",
     "quantile_normalized_lengths",
+    "source_diversity_report",
 ]
 
 # Every bounded-pair-cost contract in the dedup/similarity/clustering
