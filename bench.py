@@ -148,6 +148,7 @@ HEADLINE = [
     "decayed_user_value",
     "quantile_normalized_lengths",
     "source_diversity_report",
+    "kcore_profile",
 ]
 
 

@@ -615,6 +615,72 @@ GROUP BY 1
 """
 
 
+# --- degeneracy profile: nested k-core decomposition histogram ---
+
+KCORE_PROFILE_KS = (2, 3, 4, 5)
+KCORE_PROFILE_ROUNDS = 24  # per-k oracle unroll (nested k=5 needs 19+1 at sf0.001); Spark raises past it
+
+
+def kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_nodes, n_edges) for the k-core at k = 2..5 — the graph's
+    degeneracy profile: how fast the near-dup graph evaporates under
+    density pressure is the one-line summary of whether its clusters are
+    chains (core sizes collapse immediately) or templates (a hard core
+    persists). Exploits core NESTING: the k-core of the (k-1)-core IS
+    the k-core of the whole graph, so each level peels the previous
+    level's (strictly smaller) survivor set rather than restarting from
+    the full edge list."""
+    edges = _symmetrize(_pairs(spark, sf_dir, min_common=KCORE_MIN_COMMON))
+    rows = []
+    cur = edges
+    for k in KCORE_PROFILE_KS:
+        cur, _ = kcore_fixpoint(cur, k, max_rounds=KCORE_PROFILE_ROUNDS)
+        n_nodes = cur.select("src").distinct().count()
+        n_edges = cur.count() // 2
+        rows.append((k, n_nodes, n_edges))
+    return spark.createDataFrame(rows, "k int, n_nodes long, n_edges long")
+
+
+def _kcore_profile_oracle() -> str:
+    parts = [
+        f"""q0e0 AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM p0 UNION ALL SELECT b, a FROM p0)"""
+    ]
+    selects = []
+    prev_final = "q0e0"
+    for qi, k in enumerate(KCORE_PROFILE_KS, start=1):
+        src = prev_final
+        for i in range(KCORE_PROFILE_ROUNDS):
+            parts.append(f"""q{qi}k{i} AS MATERIALIZED (
+  SELECT src FROM {src} GROUP BY src HAVING count(*) >= {k}),
+q{qi}e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {src} e
+  JOIN q{qi}k{i} s ON e.src = s.src
+  JOIN q{qi}k{i} t ON e.dst = t.src)""")
+            src = f"q{qi}e{i + 1}"
+        prev_final = src
+        selects.append(
+            f"SELECT {k} AS k, count(DISTINCT src) AS n_nodes,"
+            f" count(*) // 2 AS n_edges FROM {src}"
+        )
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
+
+
+ORACLE_KCORE_PROFILE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+capped AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+p0 AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN capped c ON c.shingle = a.shingle
+  GROUP BY 1, 2
+  HAVING count(*) >= {KCORE_MIN_COMMON}),
+{_kcore_profile_oracle()}
+"""
+
+
 # --- k-truss: triangle-support peeling (edge analogue of k-core) ---
 
 KTRUSS_K = 4
@@ -745,6 +811,7 @@ QUERIES = {
     "dedup_quality_survivors": dedup_quality_survivors,
     "neardup_triangle_stats": neardup_triangle_stats,
     "kcore_members": kcore_members,
+    "kcore_profile": kcore_profile,
     "ktruss_edges": ktruss_edges,
 }
 
@@ -757,5 +824,6 @@ ORACLE = {
     "dedup_quality_survivors": ORACLE_QUALITY_SURVIVORS,
     "neardup_triangle_stats": ORACLE_TRIANGLES,
     "kcore_members": ORACLE_KCORE,
+    "kcore_profile": ORACLE_KCORE_PROFILE,
     "ktruss_edges": ORACLE_KTRUSS,
 }

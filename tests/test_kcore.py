@@ -107,3 +107,27 @@ def test_truss_round_bound_raises(spark):
     strip = sorted(set(strip))
     with _pytest.raises(RuntimeError, match="did not converge"):
         ktruss_fixpoint(_canon(spark, strip), k=4, max_rounds=1)
+
+
+def test_kcore_profile_nesting_monotone(spark):
+    """Core sizes must be non-increasing in k, and each level must equal
+    the k-core computed FROM SCRATCH (nesting property)."""
+    from op_etl_spark.suite.clustering import kcore_fixpoint, kcore_profile
+
+    prof = {r["k"]: (r["n_nodes"], r["n_edges"])
+            for r in kcore_profile(spark, "/root/testdata/sf0.001").collect()}
+    ks = sorted(prof)
+    for a, b in zip(ks, ks[1:]):
+        assert prof[b][0] <= prof[a][0]
+        assert prof[b][1] <= prof[a][1]
+    # spot-check k=4 against a from-scratch peel of the same graph
+    from op_etl_spark.suite.clustering import (
+        KCORE_MIN_COMMON,
+        _pairs,
+        _symmetrize,
+    )
+
+    edges = _symmetrize(_pairs(spark, "/root/testdata/sf0.001",
+                               min_common=KCORE_MIN_COMMON))
+    core4, _ = kcore_fixpoint(edges, 4)
+    assert prof[4] == (core4.select("src").distinct().count(), core4.count() // 2)
