@@ -8,6 +8,8 @@ correctness contract.
 from __future__ import annotations
 
 import json
+import os
+import time
 
 import pytest
 
@@ -32,11 +34,20 @@ def _write_event_json_files(spark, tmpdir, n_files=4) -> None:
         "value",
     ).collect()
     per = (len(rows) + n_files - 1) // n_files
+    base = time.time() - n_files * 10
     for i in range(n_files):
         chunk = rows[i * per : (i + 1) * per]
-        with open(f"{tmpdir}/events_{i:03d}.json", "w") as f:
+        path = f"{tmpdir}/events_{i:03d}.json"
+        with open(path, "w") as f:
             for r in chunk:
                 f.write(json.dumps(r.asDict()) + "\n")
+        # strictly increasing mtimes: Spark's FileStreamSource orders
+        # pending files by modification time, and four files written
+        # back-to-back can TIE at fs timestamp granularity — the
+        # tie-break then follows directory listing order, which is
+        # OS-dependent, and a later-time file processed first splits
+        # cross-file sessions differently (flaky session numbering).
+        os.utime(path, (base + i * 10, base + i * 10))
 
 
 @pytest.fixture(scope="module")
