@@ -1,0 +1,88 @@
+"""Zero-extra-pass dataflow counters for multi-stage pair pipelines.
+
+The exact-pair-join family (prefix-filter / LSH+capped verify /
+embedding blocks) owns the steepest measured scale curves, and a bare
+wall-clock ratio can't distinguish "the operator's candidate generation
+degraded" from "the corpus has more duplicates, so the output itself
+grew".  These counters decompose the flow per stage — candidate pairs
+generated, pairs surviving each prune, output pairs — so the scale probe
+reports candidate:output economics instead of arguing them.
+
+Mechanism: Spark's CollectMetrics (`DataFrame.observe`) — the named
+aggregate piggybacks on rows already streaming through that point of the
+plan, costing no extra job, no extra scan, and no driver-side collect of
+data rows.  Counters are OFF by default so the 170 driver-facing query
+plans stay byte-identical (no CollectMetrics node) and bench timings
+stay honest; the scale probe (tools/scale_probe.py) enables them around
+its timed runs and snapshots the totals into SCALE_PROBE.json.
+
+Usage (inside a suite query):
+
+    from ..operators import counters
+    cand = counters.observe_stage(cand, "prefix_filter_jaccard_pairs",
+                                  "candidates")
+
+and in a tool:
+
+    counters.enable()
+    ... run the query's action ...
+    print(counters.snapshot())   # {query: {stage: rows}}
+    counters.disable()
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+_seq = itertools.count()
+_active: list[tuple[str, str, Observation]] = []
+_enabled = False
+
+
+def enable() -> None:
+    """Turn instrumentation on and drop any stale observations."""
+    global _enabled
+    _enabled = True
+    _active.clear()
+
+
+def disable() -> None:
+    global _enabled
+    _enabled = False
+    _active.clear()
+
+
+def reset() -> None:
+    """Forget recorded observations (e.g. between probe scales) while
+    staying enabled."""
+    _active.clear()
+
+
+def observe_stage(df: DataFrame, query: str, stage: str) -> DataFrame:
+    """Attach a row counter named (query, stage) to this point of the
+    plan.  A no-op returning `df` unchanged when instrumentation is off —
+    the default — so production plans carry no CollectMetrics node."""
+    if not _enabled:
+        return df
+    obs = Observation(f"{query}/{stage}/{next(_seq)}")
+    _active.append((query, stage, obs))
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+
+def snapshot() -> dict[str, dict[str, int]]:
+    """Totals for every stage observed since enable()/reset().
+
+    An Observation whose plan branch never executed (query built but no
+    action ran) would block forever on `.get`; callers snapshot right
+    after running the action, and stages observed by the same query
+    build all complete with that action.  Re-executing the same
+    DataFrame keeps the FIRST action's numbers (Spark semantics), which
+    is exactly what the probe wants: counters from the measured plan,
+    not accumulated across warm-up reruns."""
+    out: dict[str, dict[str, int]] = {}
+    for query, stage, obs in _active:
+        out.setdefault(query, {})[stage] = int(obs.get["rows"])
+    return out

@@ -512,7 +512,11 @@ FROM st
 
 KCORE_K = 4
 KCORE_MIN_COMMON = 2  # denser edge rule than CC's >= 6 (k-core needs degree)
-KCORE_MAX_ROUNDS = 16
+# Matches KCORE_PROFILE_ROUNDS: peel depth grows with chain length in the
+# data (nested k=5 needed 19+1 rounds at sf0.001), so the direct peel must
+# afford at least as many rounds as the profile; extra rounds are no-ops
+# and the unrolled oracle cost is linear in rounds.
+KCORE_MAX_ROUNDS = 24
 
 
 def kcore_fixpoint(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS):
@@ -521,39 +525,15 @@ def kcore_fixpoint(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS)
     until no node is dropped; what survives is exactly the k-core (the
     maximal subgraph with min degree >= k).
 
-    `edges` must be the SYMMETRIC (src, dst) list. Round body = one
-    degree aggregate + two semi-joins on the shrinking edge table — all
-    shuffles are on edge keys, nothing corpus-wide is re-scanned, and
-    `localCheckpoint` truncates lineage per round. Convergence is the
-    scalar edge COUNT (peeling only ever deletes edges, so the count is
-    a monotone potential — stable count means every survivor already has
-    degree >= k). Returns (surviving symmetric edges, rounds). Raises if
-    the fixpoint needs more than `max_rounds` rounds — the declared
-    oracle unrolls exactly that many, so silent divergence is impossible."""
-    edges = edges.localCheckpoint()
-    n_edges = edges.count()
-    rounds = 0
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            return edges, rounds
-        rounds += 1
-        keep = (
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
-        )
-        edges = (
-            edges.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
-        n_after = edges.count()
-        if n_after == n_edges:
-            return edges, rounds
-        n_edges = n_after
-    raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")
+    The algorithm lives in operators/graph.py (the production build/peel
+    API over a persisted edge table — same split as operators/ann_index);
+    this suite wrapper only pins the round budget that the unrolled
+    DuckDB oracle replicates exactly, so silent divergence is impossible.
+    `edges` must be the SYMMETRIC (src, dst) list; returns (surviving
+    symmetric edges, rounds) and raises past `max_rounds`."""
+    from ..operators.graph import kcore
+
+    return kcore(edges, k, max_rounds=max_rounds)
 
 
 def kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,37 +681,12 @@ def ktruss_fixpoint(pairs: DataFrame, k: int, max_rounds: int = KTRUSS_MAX_ROUND
     per-round cost proportional to wedges of the CURRENT subgraph, which
     only shrinks. Convergence = scalar edge count (monotone), bounded by
     `max_rounds` and raised past it — the oracle unrolls exactly that
-    many rounds. Returns (surviving canonical edges, rounds)."""
-    pairs = pairs.select("a", "b").localCheckpoint()
-    n_edges = pairs.count()
-    rounds = 0
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            return pairs, rounds
-        rounds += 1
-        sym = _symmetrize(pairs)
-        s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-        s2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-        sup = (
-            pairs.join(s1, "a")
-            .join(s2, ["b", "c"])
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("sup"))
-        )
-        kept = (
-            pairs.join(
-                sup.filter(F.col("sup") >= k - 2).select("a", "b"),
-                ["a", "b"],
-                "left_semi",
-            )
-            .localCheckpoint()
-        )
-        n_after = kept.count()
-        pairs = kept
-        if n_after == n_edges:
-            return pairs, rounds
-        n_edges = n_after
-    raise RuntimeError(f"k-truss peeling did not converge in {max_rounds} rounds")
+    many rounds. Returns (surviving canonical edges, rounds).
+
+    Algorithm body in operators/graph.py (see kcore_fixpoint note)."""
+    from ..operators.graph import ktruss
+
+    return ktruss(pairs, k, max_rounds=max_rounds)
 
 
 def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,18 +701,12 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sf0.1 graph, 2 at sf0.01), so wall-clock measures the corpus's
     graph shape rather than a per-round cost curve; the per-round plan is
     the same bounded wedge-closure join the triangle census probes."""
+    from ..operators.graph import truss_support
+
     truss, _ = ktruss_fixpoint(
         _pairs(spark, sf_dir, min_common=KCORE_MIN_COMMON), KTRUSS_K
     )
-    sym = _symmetrize(truss)
-    s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    s2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    return (
-        truss.join(s1, "a")
-        .join(s2, ["b", "c"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
+    return truss_support(truss)
 
 
 def _ktruss_oracle() -> str:

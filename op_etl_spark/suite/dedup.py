@@ -707,8 +707,17 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _capped_candidate_pairs(_hashed_shingle_arrays(_docs(spark, sf_dir)))
 
 
-def _capped_candidate_pairs(arrs: DataFrame) -> DataFrame:
-    """DF-capped candidate pairs from a hashed shingle-array table."""
+def _capped_candidate_pairs(
+    arrs: DataFrame, qname: str = "ngram_jaccard_pairs_capped"
+) -> DataFrame:
+    """DF-capped candidate pairs from a hashed shingle-array table.
+
+    `qname` labels the stage counters (operators/counters.py, off by
+    default) for whichever declared query this build serves —
+    ngram_jaccard_pairs_capped directly, or the capped branch inside
+    jaccard_verified_pairs."""
+    from ..operators import counters
+
     sh = arrs.select(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
@@ -719,7 +728,9 @@ def _capped_candidate_pairs(arrs: DataFrame) -> DataFrame:
         .filter((F.size("m") >= 2) & (F.size("m") <= DF_CAP))
     )
     common = (
-        _posting_pairs(posts)
+        counters.observe_stage(
+            _posting_pairs(posts), qname, "capped_posting_pairs"
+        )
         .groupBy(
             F.col("a.doc_id").alias("id1"),
             F.col("a.n_sh").alias("n1"),
@@ -728,7 +739,7 @@ def _capped_candidate_pairs(arrs: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    out = (
         common.withColumn(
             "jaccard_lb",
             fround(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
@@ -736,6 +747,7 @@ def _capped_candidate_pairs(arrs: DataFrame) -> DataFrame:
         .filter(F.col("jaccard_lb") >= JACCARD_THRESHOLD)
         .select("id1", "id2", "n_common", "jaccard_lb")
     )
+    return counters.observe_stage(out, qname, "capped_out")
 
 
 ORACLE_JACCARD_CAPPED = f"""
@@ -787,6 +799,9 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on storage; locally MEMORY_AND_DISK is its analog."""
     from pyspark import StorageLevel
 
+    from ..operators import counters
+
+    _QN = "jaccard_verified_pairs"
     arrs = _shingle_arrays(_docs(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -795,14 +810,17 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     cand = (
-        _lsh_candidate_pairs(sh)
-        .union(_capped_candidate_pairs(hashed).select("id1", "id2"))
+        counters.observe_stage(_lsh_candidate_pairs(sh), _QN, "lsh_candidates")
+        .union(
+            _capped_candidate_pairs(hashed, qname=_QN).select("id1", "id2")
+        )
         .distinct()
     )
+    cand = counters.observe_stage(cand, _QN, "candidates")
     a1 = hashed.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     a2 = hashed.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
-    return (
+    out = (
         cand.join(a1, "id1")
         .join(a2, "id2")
         .withColumn("n_common", n_common)
@@ -817,6 +835,7 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id1", "id2", "n_common", "jaccard")
     )
+    return counters.observe_stage(out, _QN, "output")
 
 
 ORACLE_JACCARD_VERIFIED = (
@@ -877,17 +896,36 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, no float boundary.
 
     Stage 2 verifies candidates exactly (array_intersect on the persisted
-    hashed-shingle table, same as jaccard_verified_pairs) after a
-    size-ratio prune (J <= min/max, so 10*min(n1,n2) >= 3*max(n1,n2) is
-    necessary). The oracle is the straight corpus-wide exact SQL — the
-    gate therefore re-proves the no-false-negative property end to end on
+    hashed-shingle table, same as jaccard_verified_pairs) after two
+    prunes that need no shingle data, only sizes and prefix positions:
+
+    - size-ratio prune: J <= min/max, so 10*min(n1,n2) >= 3*max(n1,n2)
+      is necessary;
+    - PPJoin POSITIONAL filter (Xiao et al. 2008, sec. 3): J >= t forces
+      |A and B| >= alpha = ceil(t/(1+t) * (nA+nB)) (= ceil(3(nA+nB)/13)
+      at t=3/10), while the FIRST common token — at sorted positions p1
+      in A and p2 in B (0-based) — bounds the overlap above by
+      min(nA-p1, nB-p2): every common element sits at or after the first
+      common token in the SHARED order. Collisions are grouped per pair
+      with min positions (the first common prefix token attains both
+      mins, and any looser min only weakens the bound — never a false
+      negative), then pairs with ubound < alpha are dropped before the
+      array_intersect verify.
+
+    The oracle is the straight corpus-wide exact SQL — the gate
+    therefore re-proves the no-false-negative property end to end on
     every run, not just in a unit test.
 
     Plan shape: one scan + persist of the shingle arrays; df ranks join
     back on the shingle key; prefix posting lists are ~0.7x the exploded
     shingle stream with the frequent-token tail REMOVED (the quadratic
-    part of the retired plan); verify joins are candidate-bounded."""
+    part of the retired plan); verify joins are candidate-bounded. The
+    collision->candidate->output funnel is counter-instrumented
+    (operators/counters.py, off by default) so the scale probe reports
+    candidate economics instead of arguing them."""
     from pyspark import StorageLevel
+
+    from ..operators import counters
 
     arrs = _hashed_shingle_arrays(_docs(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -905,32 +943,52 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lands exactly (quotients that are integers are exactly representable)
     p = (n - F.floor((F.lit(3) * n + 9) / 10) + 1).cast("int")
     pre = docs_sorted.select(
-        F.struct(F.col("doc_id"), n.alias("n_sh")).alias("m"),
-        F.explode(F.slice(F.col("ss"), 1, p)).alias("tok"),
+        F.col("doc_id"),
+        n.alias("n_sh"),
+        F.posexplode(F.slice(F.col("ss"), 1, p)).alias("pos", "tok"),
+    ).select(
+        F.struct("doc_id", "n_sh", "pos").alias("m"),
+        F.col("tok.shingle").alias("shingle"),
     )
     posts = (
-        pre.groupBy(F.col("tok.shingle").alias("shingle"))
+        pre.groupBy("shingle")
         .agg(F.collect_list("m").alias("m"))
         .filter(F.size("m") >= 2)
     )
+    collide = _posting_pairs(posts).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("a.n_sh").alias("n1"),
+        F.col("a.pos").alias("pos1"),
+        F.col("b.doc_id").alias("id2"),
+        F.col("b.n_sh").alias("n2"),
+        F.col("b.pos").alias("pos2"),
+    )
+    collide = counters.observe_stage(
+        collide, "prefix_filter_jaccard_pairs", "prefix_collisions"
+    )
     least_n = F.least(F.col("n1"), F.col("n2"))
     greatest_n = F.greatest(F.col("n1"), F.col("n2"))
+    # alpha = ceil(3(n1+n2)/13): same exact-small-int floor pattern as p
+    alpha = F.floor((F.lit(3) * (F.col("n1") + F.col("n2")) + 12) / 13)
+    ubound = F.least(
+        F.col("n1") - F.col("p1"), F.col("n2") - F.col("p2")
+    )
     cand = (
-        _posting_pairs(posts)
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.doc_id").alias("id2"),
-            F.col("b.n_sh").alias("n2"),
+        collide.groupBy("id1", "id2", "n1", "n2")
+        .agg(F.min("pos1").alias("p1"), F.min("pos2").alias("p2"))
+        .filter(
+            (F.lit(10) * least_n >= F.lit(3) * greatest_n)
+            & (ubound >= alpha)
         )
-        .filter(F.lit(10) * least_n >= F.lit(3) * greatest_n)
         .select("id1", "id2")
-        .distinct()
+    )
+    cand = counters.observe_stage(
+        cand, "prefix_filter_jaccard_pairs", "candidates"
     )
     a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
-    return (
+    out = (
         cand.join(a1, "id1")
         .join(a2, "id2")
         .withColumn("n_common", n_common)
@@ -945,6 +1003,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id1", "id2", "n_common", "jaccard")
     )
+    return counters.observe_stage(out, "prefix_filter_jaccard_pairs", "output")
 
 
 # the oracle IS the corpus-wide exact join: hash equality re-proves the

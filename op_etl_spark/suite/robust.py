@@ -278,13 +278,19 @@ def quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     idx = grouped_row_index(d, "lang", ["n_chars", "doc_id"], out="rn")
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # A 1-doc stratum makes n-1 = 0; SQL percent_rank is DEFINED as 0.0
+    # for a single-row partition, and Spark 4 runs ANSI mode by default
+    # (DIVIDE_BY_ZERO would kill the whole query for one long-tail lang).
+    pct = F.when(
+        F.col("n") > 1, F.col("rn") / (F.col("n") - 1)
+    ).otherwise(F.lit(0.0))
     return (
         idx.join(F.broadcast(cnt), "lang")
         .select(
             "doc_id",
             "lang",
             "n_chars",
-            fround(F.col("rn") / (F.col("n") - 1), 6).alias("pct"),
+            fround(pct, 6).alias("pct"),
         )
     )
 

@@ -260,13 +260,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e3.select(
         "label", "lvl", "bkey", F.col("vec_id").alias("id2"), F.col("emb").alias("emb2")
     )
-    return (
-        a.join(c, ["label", "lvl", "bkey"])
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", _pair_cosine(F.col("emb1"), F.col("emb2")))
+    from ..operators import counters
+
+    cand = counters.observe_stage(
+        a.join(c, ["label", "lvl", "bkey"]).filter(F.col("id1") < F.col("id2")),
+        "embedding_neardup_pairs",
+        "candidates",
+    )
+    out = (
+        cand.withColumn("cosine", _pair_cosine(F.col("emb1"), F.col("emb2")))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
         .select("label", "id1", "id2", fround("cosine", 4).alias("cosine"))
     )
+    return counters.observe_stage(out, "embedding_neardup_pairs", "output")
 
 
 _NEARDUP_PFULL_SQL = " + ".join(

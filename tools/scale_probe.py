@@ -259,11 +259,24 @@ def materialize_scaled(spark, base: str, out: str, k: int,
         out_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
-def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
-    times = {}
+def time_queries(spark, queries, names, sf_dir: str,
+                 with_counters: bool = False):
+    """(times, counters) per query.  With `with_counters` the WARM run is
+    instrumented via operators/counters.py (CollectMetrics piggybacking
+    on the plan — no extra pass) and counters are disabled again before
+    the timed runs, so the recorded seconds always measure the exact
+    production plan."""
+    from op_etl_spark.operators import counters
+
+    times, counts = {}, {}
     for name in names:
         fn = queries[name]
+        if with_counters:
+            counters.enable()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        if with_counters:
+            counts[name] = counters.snapshot().get(name, {})
+            counters.disable()
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -272,7 +285,7 @@ def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
         print(f"  {sf_dir}: {name} {times[name]}s", file=sys.stderr, flush=True)
-    return times
+    return times, counts
 
 
 GEO_TILE_STRIDE = 810_000.0  # > the 800k x-span: copies land in disjoint tiles
@@ -345,6 +358,16 @@ def main() -> None:
     names = {"pairs": PAIR_QUERIES, "sketches": SKETCH_QUERIES}.get(
         family, MAIN_QUERIES
     )
+    # Optional 5th arg: comma-separated query names — probe a SUBSET of the
+    # family at a deeper K than the family's default without paying for the
+    # whole list (e.g. the token_counts K=32 follow-up on the main family's
+    # K=8 outlier). Materialization still follows the family's fan rules.
+    if len(sys.argv) > 4:
+        only = set(sys.argv[4].split(","))
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"not in {family} family: {sorted(unknown)}")
+        names = [n for n in names if n in only]
     scaled = f"/tmp/scale_probe_{family}_x{k}"
 
     from op_etl_spark.session import get_spark
@@ -370,20 +393,55 @@ def main() -> None:
         return
     queries = suite.all_queries()
 
-    t1 = time_queries(spark, queries, names, base)
-    tk = time_queries(spark, queries, names, scaled)
+    with_counters = family == "pairs"
+    t1, c1 = time_queries(spark, queries, names, base, with_counters)
+    tk, ck = time_queries(spark, queries, names, scaled, with_counters)
+
+    def _econ(snap: dict) -> dict | None:
+        """candidate:output economics from a counter snapshot — the number
+        that separates 'the operator's candidate generation degraded'
+        from 'the corpus has more duplicates, so the output grew'."""
+        cand = next(
+            (snap[s] for s in ("candidates", "capped_posting_pairs") if s in snap),
+            None,
+        )
+        out = next((snap[s] for s in ("output", "capped_out") if s in snap), None)
+        if cand is None or out is None:
+            return None
+        return {
+            "candidates": cand,
+            "output": out,
+            "cand_per_output": round(cand / out, 2) if out else None,
+        }
+
+    def _q(name):
+        row = {
+            "t_1x": t1[name],
+            "t_kx": tk[name],
+            "ratio": round(tk[name] / t1[name], 2) if t1[name] else None,
+        }
+        if with_counters and c1.get(name):
+            row["counters_1x"] = c1[name]
+            row["counters_kx"] = ck.get(name, {})
+            e1, ek = _econ(c1[name]), _econ(ck.get(name, {}))
+            if e1 and ek:
+                row["econ_1x"] = e1
+                row["econ_kx"] = ek
+                # output-normalized growth: how much of the time ratio is
+                # explained by the output itself growing with dup density
+                if e1["output"]:
+                    row["output_growth"] = round(ek["output"] / e1["output"], 2)
+                if e1["candidates"]:
+                    row["candidate_growth"] = round(
+                        ek["candidates"] / e1["candidates"], 2
+                    )
+        return row
+
     report = {
         "k": k,
         "base": base,
         "family": family,
-        "queries": {
-            name: {
-                "t_1x": t1[name],
-                "t_kx": tk[name],
-                "ratio": round(tk[name] / t1[name], 2) if t1[name] else None,
-            }
-            for name in names
-        },
+        "queries": {name: _q(name) for name in names},
     }
     ratios = [v["ratio"] for v in report["queries"].values() if v["ratio"]]
     report["median_ratio"] = sorted(ratios)[len(ratios) // 2]

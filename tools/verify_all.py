@@ -61,7 +61,11 @@ def main() -> int:
     env = {"SKIP_FULL_ORACLE": "1", "SKIP_PLAN_SWEEP": "1"} if fast else {}
     gates.append(run("pytest", [py, "-m", "pytest", "tests/", "-q"], env=env))
 
-    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    def _round_no(p: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_round_no)
     if benches and not fast:
         out = subprocess.run(
             [py, "bench.py"], capture_output=True, text=True, cwd=REPO
@@ -73,10 +77,32 @@ def main() -> int:
                 f.write(line)
             n_q = len(json.loads(line).get("queries", {}))
             print(f".... bench produced {n_q} query timings")
+            # Baseline = newest driver-recorded BENCH_r*.json, widened by
+            # the newest committed full local measure (BENCH_local_r*.json)
+            # for queries the driver file lost to tail truncation (the
+            # recorded wrapper keeps only the last 2000 chars of stdout —
+            # BENCH_r06.json salvages 64 of 88 queries). Driver-recorded
+            # values win where both exist.
+            sys.path.insert(0, REPO)
+            from tools.bench_diff import _queries
+
+            base_q = _queries(benches[-1])
+            locals_ = sorted(
+                glob.glob(os.path.join(REPO, "BENCH_local_r*.json")), key=_round_no
+            )
+            base_name = os.path.basename(benches[-1])
+            if locals_ and _round_no(locals_[-1]) >= _round_no(benches[-1]):
+                widened = _queries(locals_[-1])
+                widened.update(base_q)
+                base_q = widened
+                base_name += f"+{os.path.basename(locals_[-1])}"
+            base_tmp = "/tmp/verify_all_bench_base.json"
+            with open(base_tmp, "w") as f:
+                json.dump({"queries": base_q}, f)
             gates.append(
                 run(
-                    f"bench gate vs {os.path.basename(benches[-1])}",
-                    [py, "tools/bench_diff.py", benches[-1], tmp, "--gate"],
+                    f"bench gate vs {base_name}",
+                    [py, "tools/bench_diff.py", base_tmp, tmp, "--gate"],
                 )
             )
         else:
