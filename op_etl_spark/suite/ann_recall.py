@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators import phases
 from ..operators.sampling import hash_unit, hash_unit_sql
 from ._util import read_table
 
@@ -73,27 +74,31 @@ def _index_tables(spark: SparkSession, sf_dir: str):
     ONE embeddings scan feeds seeding, every Lloyd round, probing, and
     both search arms), trained centroids (driver-side list + an 8-row
     DataFrame for probe ranking), final assignment, and the probe set."""
-    qv = _quantized(spark, sf_dir).localCheckpoint()
-    seeds = (
-        qv.orderBy(hash_unit(F.col("vec_id"), "ivf-seed"), F.col("vec_id"))
-        .limit(RECALL_N_LISTS)
-        .collect()
-    )
-    cent_list = [list(r.q) for r in seeds]
-    for _ in range(RECALL_ITERS):
-        assigned = _assign_literal(qv, cent_list)
-        rows = (
-            assigned.select("list_id", F.posexplode("q").alias("pos", "val"))
-            .groupBy("list_id", "pos")
-            .agg(F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5)).cast("double").alias("m"))
-            .groupBy("list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
-            .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("cu"))
+    with phases.phase("ivf_build", "quantize"):
+        qv = _quantized(spark, sf_dir).localCheckpoint()
+    with phases.phase("ivf_build", "seeds"):
+        seeds = (
+            qv.orderBy(hash_unit(F.col("vec_id"), "ivf-seed"), F.col("vec_id"))
+            .limit(RECALL_N_LISTS)
             .collect()
         )
+    cent_list = [list(r.q) for r in seeds]
+    for _ in range(RECALL_ITERS):
+        with phases.phase("ivf_build", "lloyd"):
+            assigned = _assign_literal(qv, cent_list)
+            rows = (
+                assigned.select("list_id", F.posexplode("q").alias("pos", "val"))
+                .groupBy("list_id", "pos")
+                .agg(F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5)).cast("double").alias("m"))
+                .groupBy("list_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+                .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("cu"))
+                .collect()
+            )
         updated = {r.list_id: list(r.cu) for r in rows}
         cent_list = [updated.get(i, cent_list[i]) for i in range(len(cent_list))]
-    alist = _assign_literal(qv, cent_list).localCheckpoint()
+    with phases.phase("ivf_build", "assign"):
+        alist = _assign_literal(qv, cent_list).localCheckpoint()
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cent_list)], "list_id int, c array<double>"
     )

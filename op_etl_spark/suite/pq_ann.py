@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators import phases
 from ..operators.sampling import hash_unit, hash_unit_sql
 from ._util import fround, read_table
 
@@ -89,55 +90,40 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
     the search join and silently stop measuring whether the build
     (seeds, Lloyd rounds, encode) scales; each declared query owns its
     full pipeline cost, same as the IVF recall gates."""
-    qv = _quantized(spark, sf_dir).localCheckpoint()
+    with phases.phase("pq_build", "quantize"):
+        qv = _quantized(spark, sf_dir).localCheckpoint()
     books = _train_codebooks(qv)
     enc = _encode(qv, books).localCheckpoint(eager=False)
     return enc, books
 
 
-def _train_codebooks(qv: DataFrame) -> list[list[list[float]]]:
+def _train_codebooks(
+    qv: DataFrame, pipeline: str = "pq_build"
+) -> list[list[list[float]]]:
     """codebooks[m][c] = 16-dim codeword c of subspace m. One seed scan
     (PQ_KCODES rows by salted-hash order — same discipline as the IVF
     gate), then PQ_ITERS Lloyd rounds run for ALL subspaces in one
     DataFrame pass per round: assignment is a literal-codebook argmin per
     subspace (narrow, zero shuffles); the update is one posexplode +
     groupBy((m, code, pos)) mean floored back onto the micro grid —
-    16 x 16 x 4 = 1024 result rows, pure metadata."""
-    seeds = (
-        qv.orderBy(hash_unit(F.col("vec_id"), "pq-seed"), F.col("vec_id"))
-        .limit(PQ_KCODES)
-        .collect()
-    )
+    16 x 16 x 4 = 1024 result rows, pure metadata.
+
+    `pipeline` labels the driver-blocking phase timings
+    (operators/phases.py) so bench decomposes build vs search."""
+    with phases.phase(pipeline, "seeds"):
+        seeds = (
+            qv.orderBy(hash_unit(F.col("vec_id"), "pq-seed"), F.col("vec_id"))
+            .limit(PQ_KCODES)
+            .collect()
+        )
     books = [
         [list(r.q)[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for r in seeds]
         for m in range(PQ_M)
     ]
     for _ in range(PQ_ITERS):
-        enc = _encode(qv, books)
-        rows = (
-            enc.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(m).alias("m"),
-                                F.col(f"c{m}").alias("code"),
-                                _sub(F.col("q"), m).alias("sub"),
-                            )
-                            for m in range(PQ_M)
-                        ]
-                    )
-                ).alias("s")
-            )
-            .select("s.m", "s.code", F.posexplode("s.sub").alias("pos", "val"))
-            .groupBy("m", "code", "pos")
-            .agg(
-                F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
-                .cast("double")
-                .alias("mu")
-            )
-            .collect()
-        )
+        with phases.phase(pipeline, "lloyd"):
+            enc = _encode(qv, books)
+            rows = _collect_subspace_means(enc)
         upd: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
             upd.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
@@ -152,6 +138,35 @@ def _train_codebooks(qv: DataFrame) -> list[list[list[float]]]:
             for m in range(PQ_M)
         ]
     return books
+
+
+def _collect_subspace_means(enc: DataFrame):
+    """One posexplode + groupBy((m, code, pos)) floored-mean pass over
+    ALL subspaces — 16 x 16 x 4 = 1024 metadata rows per Lloyd round."""
+    return (
+        enc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"c{m}").alias("code"),
+                            _sub(F.col("q"), m).alias("sub"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.m", "s.code", F.posexplode("s.sub").alias("pos", "val"))
+        .groupBy("m", "code", "pos")
+        .agg(
+            F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("double")
+            .alias("mu")
+        )
+        .collect()
+    )
 
 
 def _encode(qv: DataFrame, books) -> DataFrame:
@@ -427,16 +442,17 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     from .ann_recall import _index_tables
 
     qv, cents, alist, probes = _index_tables(spark, sf_dir)
-    rv = (
-        alist.join(F.broadcast(cents), "list_id")
-        .select(
-            "vec_id",
-            "list_id",
-            F.zip_with("q", "c", lambda x, y: x - y).alias("q"),
+    with phases.phase("ivfpq_build", "residuals"):
+        rv = (
+            alist.join(F.broadcast(cents), "list_id")
+            .select(
+                "vec_id",
+                "list_id",
+                F.zip_with("q", "c", lambda x, y: x - y).alias("q"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    books = _train_codebooks(rv.select("vec_id", "q"))
+    books = _train_codebooks(rv.select("vec_id", "q"), pipeline="ivfpq_build")
     enc = _encode(rv, books).localCheckpoint(eager=False)
     return qv, cents, enc, books, probes
 

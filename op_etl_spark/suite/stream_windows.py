@@ -259,6 +259,146 @@ GROUP BY event_type
 """
 
 
+def watermark_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation under a watermark, run AS A
+    STREAM, with late fixture rows PROVABLY dropped — the late-data
+    semantics gate the streaming surface lacked (sessionize/dedup/drift/
+    upsert all test on-time arrival).
+
+    Fixture arrival order — files are written PROGRESSIVELY, each one
+    only after `processAllAvailable()` committed the previous batch.
+    (Found the hard way: `Trigger.AvailableNow` pre-plans every pending
+    file against the query's INITIAL watermark, so late rows in a
+    later pre-planned batch are never filtered —
+    numRowsDroppedByWatermark stays 0 and the evicted window is
+    re-created and re-emitted. A live trigger with progressive arrival
+    exercises the real semantics: the late batch runs with the watermark
+    committed by the on-time batch.)
+
+    1. on-time rows: the deterministic user subsample MINUS the late set;
+       after this batch the watermark stands at max(ts) - 2h, far past
+       the late rows' windows (the corpus spans ~30 days).
+    2. the LATE set — every subsample row in the first quarter of the
+       time span with an even event_id, withheld from batch 1 and
+       re-delivered here. Their windows were already finalized and
+       emitted, so correct watermark semantics must DROP every one; if
+       the engine aggregated them anyway, append mode would emit a
+       duplicate window row (row-count mismatch) or an inflated count
+       (hash mismatch vs the oracle, which excludes the late set).
+    3. + 4. two sentinel rows at max(ts) + 4h / + 8h: the first advances
+       the watermark past every real window's end, the second guarantees
+       a DATA batch runs with that advanced watermark so append mode
+       emits the remaining real windows without relying on a trailing
+       no-data micro-batch. Sentinel windows start after the last real
+       window and are excluded by a driver-side bound on the SINK table
+       (not part of the streamed plan), so their emission timing can't
+       affect the result.
+
+    The oracle embeds the same cutoff: hourly counts + exact money sum
+    over the subsample excluding the late set. State at scale: the 2h
+    watermark keeps <= 3 open windows per event_type regardless of
+    corpus size (streaming/windows.py)."""
+    import json
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from op_etl_spark.streaming.windows import hourly_event_rollup
+
+    ev = _events_fixture_slice(spark, sf_dir)
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).collect()
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    epoch = datetime(1970, 1, 1)
+
+    def _us(ts: str) -> int:
+        return (datetime.strptime(ts, fmt) - epoch) // timedelta(microseconds=1)
+
+    lo = min(_us(r.ts) for r in rows)
+    hi = max(_us(r.ts) for r in rows)
+    # integer micros both sides: DuckDB epoch_us(min)+(epoch_us(max)-..)//4
+    cutoff = lo + (hi - lo) // 4
+    if hi - lo < 6 * 3600 * 1_000_000:
+        raise RuntimeError(
+            "watermark gate needs a fixture spanning > 6h so late windows "
+            f"finalize before re-delivery (span {(hi - lo) / 3.6e9:.1f}h)"
+        )
+    late = [r for r in rows if _us(r.ts) < cutoff and r.event_id % 2 == 0]
+    ontime = [r for r in rows if not (_us(r.ts) < cutoff and r.event_id % 2 == 0)]
+
+    hi_dt = epoch + timedelta(microseconds=hi)
+    sent_a = {"event_id": -1, "ts": (hi_dt + timedelta(hours=4)).strftime(fmt),
+              "user_id": -1, "event_type": "sentinel", "value": 0.0}
+    sent_b = {"event_id": -2, "ts": (hi_dt + timedelta(hours=8)).strftime(fmt),
+              "user_id": -1, "event_type": "sentinel", "value": 0.0}
+
+    tmp = tempfile.mkdtemp(prefix="watermark_gate_")
+    batches = (
+        [r.asDict() for r in ontime],
+        [r.asDict() for r in late],
+        [sent_a],
+        [sent_b],
+    )
+
+    def _write(i: int, chunk) -> None:
+        path = f"{tmp}/events_{i}.json"
+        with open(path, "w") as f:
+            for d in chunk:
+                f.write(json.dumps(d) + "\n")
+
+    _write(0, batches[0])
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts string, user_id bigint,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(tmp)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    name = "watermark_hourly_gate"
+    q = (
+        hourly_event_rollup(stream)  # 2h watermark
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, chunk in enumerate(batches[1:], start=1):
+            _write(i, chunk)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    last_real_hour = (
+        hi_dt.replace(minute=0, second=0, microsecond=0)
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    return spark.table(name).filter(F.col("hour_start") <= F.lit(last_real_hour))
+
+
+# the same subsample minus the late set, on the same hourly grid; the
+# money sum is the shared exact-tick pattern (ORACLE_TUMBLING)
+ORACLE_WATERMARK_HOURLY = f"""
+WITH fx AS (SELECT * FROM events WHERE user_id % {_EVENTS_MOD_SQL} = 0),
+b AS (SELECT epoch_us(min(ts))
+             + (epoch_us(max(ts)) - epoch_us(min(ts))) // 4 AS cutoff
+      FROM fx),
+kept AS (SELECT fx.* FROM fx, b
+         WHERE epoch_us(fx.ts) >= b.cutoff OR fx.event_id % 2 = 1)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM kept GROUP BY 1, 2
+"""
+
+
 def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-stream interval join (streaming/joins.py) in batch mode:
     every (click, purchase) pair for the same user within the 1-hour
@@ -355,6 +495,7 @@ QUERIES = {
     "sliding_windows": sliding_windows,
     "stateful_sessionize_stream": stateful_sessionize_stream,
     "stream_dedup_events": stream_dedup_events,
+    "watermark_hourly_counts": watermark_hourly_counts,
     "click_attribution": click_attribution,
 }
 
@@ -363,6 +504,7 @@ ORACLE = {
     "sliding_windows": ORACLE_SLIDING_WINDOWS,
     "stateful_sessionize_stream": ORACLE_STATEFUL_SESSIONIZE,
     "stream_dedup_events": ORACLE_STREAM_DEDUP,
+    "watermark_hourly_counts": ORACLE_WATERMARK_HOURLY,
     "click_attribution": ORACLE_CLICK_ATTRIBUTION,
     "multitouch_attribution": ORACLE_MULTITOUCH,
 }

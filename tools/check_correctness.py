@@ -52,8 +52,18 @@ def table_hash(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --artifact PATH: also write the sweep as a committed, diffable JSON
+    # (git SHA inside) so the 170/170 claim is a checked-in artifact, not
+    # a CI side effect — the driver's CORRECTNESS_r*.json samples ~50
+    # queries, this records all of them.
+    args = sys.argv[1:]
+    artifact = None
+    if "--artifact" in args:
+        i = args.index("--artifact")
+        artifact = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from op_etl_spark.session import get_spark
@@ -68,6 +78,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,10 +89,13 @@ def main():
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "error": f"spark: {type(e).__name__}: {str(e)[:300]}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"....  {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(spark_rows),
+                             "secs": round(time.time() - t0, 1)}
             continue
         try:
             rel = con.execute(oracles[name])
@@ -92,6 +106,7 @@ def main():
             duck_rows = [tuple(d[c] for c in duck_cols) for d in atbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "error": f"duckdb: {type(e).__name__}: {str(e)[:300]}"}
             n_fail += 1
             continue
         problems = []
@@ -123,11 +138,40 @@ def main():
                     problems.append(f"  duck-only:  {x[:160]}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "problems": [p[:300] for p in problems]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "pass", "rows": len(spark_rows),
+                             "hash": table_hash(spark_rows, spark_cols),
+                             "secs": round(time.time() - t0, 1)}
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed, {len(qs)} total")
+    if artifact:
+        import json
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd="/root/repo",
+        ).stdout.strip()
+        with open(artifact, "w") as f:
+            json.dump(
+                {
+                    "git_sha": sha,
+                    "sf_dir": sf_dir,
+                    "declared": len(qs),
+                    "checked": len(results),
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"artifact -> {artifact}")
     return 1 if n_fail else 0
 
 

@@ -48,10 +48,16 @@ def main() -> int:
         "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1",
     ]
     for sf in sfs:
+        cmd = [py, "tools/check_correctness.py", sf]
+        if sf.endswith("sf0.01"):
+            # regenerate the committed full-sweep artifact: the driver's
+            # CORRECTNESS_r*.json samples ~50 queries, this records every
+            # declared query (git SHA inside) as a diffable file
+            cmd += ["--artifact", os.path.join(REPO, "CORRECTNESS_full.json")]
         gates.append(
             run(
                 f"oracle sweep {sf.rsplit('/', 1)[-1]}",
-                [py, "tools/check_correctness.py", sf],
+                cmd,
                 ok=lambda out: " 0 failed," in out,
             )
         )
