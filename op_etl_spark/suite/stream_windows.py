@@ -114,7 +114,9 @@ def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the strongest correctness statement for the custom stateful
     operator: stream == oracle directly, not just stream == batch."""
     import json
+    import os
     import tempfile
+    import time as _time
 
     from pyspark.sql import functions as F
 
@@ -128,10 +130,17 @@ def stateful_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     tmp = tempfile.mkdtemp(prefix="sessionize_stream_")
     half = len(rows) // 2 or 1
+    base = _time.time() - 40
     for i, chunk in enumerate((rows[:half], rows[half:])):
-        with open(f"{tmp}/events_{i}.json", "w") as f:
+        path = f"{tmp}/events_{i}.json"
+        with open(path, "w") as f:
             for r in chunk:
                 f.write(json.dumps(r.asDict()) + "\n")
+        # strictly increasing mtimes: two files written back-to-back can
+        # TIE at fs timestamp granularity, and FileStreamSource breaks
+        # mtime ties in OS-dependent listing order — a flipped order
+        # renumbers cross-batch sessions (the cb8f16a flake class)
+        os.utime(path, (base + i * 10, base + i * 10))
 
     stream = (
         spark.readStream.schema("event_id bigint, ts string, user_id bigint")
@@ -192,7 +201,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT of the subsample, so any duplicate leaking through (or any
     legitimate event wrongly dropped) flips the hash."""
     import json
+    import os
     import tempfile
+    import time as _time
 
     from op_etl_spark.streaming.dedup import dedup_events_stream
 
@@ -205,10 +216,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     tmp = tempfile.mkdtemp(prefix="stream_dedup_")
     half = len(rows) // 2 or 1
+    base = _time.time() - 40
     for i, chunk in enumerate((rows, rows[:half])):  # full, then replayed half
-        with open(f"{tmp}/events_{i}.json", "w") as f:
+        path = f"{tmp}/events_{i}.json"
+        with open(path, "w") as f:
             for r in chunk:
                 f.write(json.dumps(r.asDict()) + "\n")
+        # strictly increasing mtimes so the replayed half genuinely
+        # arrives in the LATER trigger (see sessionize fixture note)
+        os.utime(path, (base + i * 10, base + i * 10))
 
     # The dedup horizon must cover the fixture's whole time span: rows are
     # sorted strings of equal format, so min/max give the span directly.

@@ -19,9 +19,12 @@ R02 = os.path.join(REPO, "BENCH_r02.json")
 R03 = os.path.join(REPO, "BENCH_r03.json")
 
 
-def _write(tmp_path, name, queries):
+def _write(tmp_path, name, queries, search=None):
     p = tmp_path / name
-    p.write_text(json.dumps({"queries": queries}))
+    d = {"queries": queries}
+    if search is not None:
+        d["search_sec"] = search
+    p.write_text(json.dumps(d))
     return str(p)
 
 
@@ -58,3 +61,32 @@ class TestBenchDiffGate:
         new = _write(tmp_path, "new.json", {"embedding_neardup_pairs": 1.5})
         assert bench_diff_main([old, new, "--gate"]) == 0
         assert "allowed regression embedding_neardup_pairs" in capsys.readouterr().out
+
+    def test_search_phase_regression_fails_under_stable_total(
+        self, tmp_path, capsys
+    ):
+        # the failure mode the phase gate exists for: total stays flat
+        # (build got faster, search got slower), so the total gate is
+        # blind but the search component regressed 3x and +0.9s
+        old = _write(
+            tmp_path, "old.json", {"pq_recall_at_k": 9.5},
+            search={"pq_recall_at_k": 0.5},
+        )
+        new = _write(
+            tmp_path, "new.json", {"pq_recall_at_k": 9.6},
+            search={"pq_recall_at_k": 1.5},
+        )
+        assert bench_diff_main([old, new, "--gate"]) == 1
+        out = capsys.readouterr().out
+        assert "SEARCH SLOWER pq_recall_at_k" in out
+        assert "pq_recall_at_k(search)" in out
+
+    def test_missing_search_decomposition_skips_phase_gate(self, tmp_path):
+        # an old baseline without search_sec (e.g. a truncated driver
+        # tail) must not crash or fail the phase gate
+        old = _write(tmp_path, "old.json", {"pq_recall_at_k": 9.5})
+        new = _write(
+            tmp_path, "new.json", {"pq_recall_at_k": 9.6},
+            search={"pq_recall_at_k": 1.5},
+        )
+        assert bench_diff_main([old, new, "--gate"]) == 0

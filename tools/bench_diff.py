@@ -83,7 +83,21 @@ def _queries(path: str) -> dict:
     raise ValueError(f"{path}: no parsable bench line in 'tail'")
 
 
-def diff(old: dict, new: dict, threshold: float, floor: float, gate: bool):
+def _search_secs(path: str) -> dict:
+    """Per-query SEARCH seconds (total minus driver-blocking index build,
+    bench.py 'search_sec') when the file carries them — raw bench lines
+    and full local measures do; truncated driver tails usually don't, in
+    which case the phase gate is simply skipped for that pair."""
+    d = json.load(open(path))
+    if "search_sec" in d:
+        return d["search_sec"]
+    if d.get("parsed"):
+        return d["parsed"].get("search_sec", {})
+    return {}
+
+
+def diff(old: dict, new: dict, threshold: float, floor: float, gate: bool,
+         old_search: dict | None = None, new_search: dict | None = None):
     """Returns (report_lines, gate_failures)."""
     lines = []
     failures = []
@@ -100,6 +114,20 @@ def diff(old: dict, new: dict, threshold: float, floor: float, gate: bool):
                 lines.append(f"allowed regression {q}: {GATE_ALLOW[q]}")
             else:
                 failures.append(q)
+    # Phase-level gate for the index-gate pipelines: the TOTAL for
+    # pq/ivf/ivfpq owns the full rebuild, so Lloyd-round noise can hide a
+    # real search-path regression (or a fake one) — when both sides
+    # decompose, gate the search component on its own.
+    for q in sorted(set(old_search or {}) & set(new_search or {})):
+        so, sn = old_search[q], new_search[q]
+        if so <= 0:
+            continue
+        r = sn / so
+        if r > threshold or r < 1 / threshold:
+            tag = "SEARCH SLOWER" if r > 1 else "search faster"
+            lines.append(f"{tag} {q}: {so}s -> {sn}s ({round(r, 2)}x)")
+        if gate and r > threshold and (sn - so) > floor and q not in GATE_ALLOW:
+            failures.append(f"{q}(search)")
     for q in sorted(set(new) - set(old)):
         lines.append(f"added {q}: {new[q]}s")
     for q in sorted(set(old) - set(new)):
@@ -131,7 +159,8 @@ def main(argv=None) -> int:
     )
 
     lines, failures = diff(
-        _queries(args.old), _queries(args.new), threshold, args.floor, args.gate
+        _queries(args.old), _queries(args.new), threshold, args.floor, args.gate,
+        _search_secs(args.old), _search_secs(args.new),
     )
     for ln in lines:
         print(ln)

@@ -90,9 +90,10 @@ def main() -> int:
             # BENCH_r06.json salvages 64 of 88 queries). Driver-recorded
             # values win where both exist.
             sys.path.insert(0, REPO)
-            from tools.bench_diff import _queries
+            from tools.bench_diff import _queries, _search_secs
 
             base_q = _queries(benches[-1])
+            base_s = _search_secs(benches[-1])
             locals_ = sorted(
                 glob.glob(os.path.join(REPO, "BENCH_local_r*.json")), key=_round_no
             )
@@ -101,10 +102,15 @@ def main() -> int:
                 widened = _queries(locals_[-1])
                 widened.update(base_q)
                 base_q = widened
+                # search-phase baseline: the local full measure carries it
+                # even when the driver file's tail lost it
+                widened_s = _search_secs(locals_[-1])
+                widened_s.update(base_s)
+                base_s = widened_s
                 base_name += f"+{os.path.basename(locals_[-1])}"
             base_tmp = "/tmp/verify_all_bench_base.json"
             with open(base_tmp, "w") as f:
-                json.dump({"queries": base_q}, f)
+                json.dump({"queries": base_q, "search_sec": base_s}, f)
             gates.append(
                 run(
                     f"bench gate vs {base_name}",
