@@ -114,3 +114,13 @@ class TestTableRescan:
         )
         assert res["smells"] == []
         assert res["allowed"] == ["TableRescan"]
+
+
+class TestCollectMetricsLeak:
+    def test_instrumentation_in_production_plan_flagged(self):
+        res = audit("x", _plan(tree="CollectMetrics (3)\n+- Scan parquet (1)"))
+        assert "CollectMetricsLeak" in res["smells"]
+
+    def test_clean_plan_not_flagged(self):
+        res = audit("x", _plan(tree="HashAggregate (3)\n+- Scan parquet (1)"))
+        assert "CollectMetricsLeak" not in res["smells"]

@@ -114,6 +114,13 @@ def audit(name: str, p: str) -> dict:
         smells.add("BroadcastNestedLoopJoin")
     if "BatchEvalPython" in tree:
         smells.add("BatchEvalPython")
+    if "CollectMetrics" in tree:
+        # operators/counters.py instrumentation leaked into a production
+        # plan: counters are OFF by default precisely so the 171
+        # driver-facing plans stay byte-identical and bench timings stay
+        # honest — a CollectMetrics node here means some code path calls
+        # counters.enable() without disabling it again.
+        smells.add("CollectMetricsLeak")
     for node, block in _detail_blocks(p):
         args = next((ln for ln in block.splitlines() if ln.startswith("Arguments: ")), "")
         if node == "Sort":
