@@ -163,6 +163,7 @@ SKETCH_QUERIES = [
 ]
 
 KEY_SHIFT = 10_000_000
+LABEL_SHIFT = 1_000  # > the base label domain: copies get disjoint labels
 
 
 def materialize_scaled(spark, base: str, out: str, k: int,
@@ -232,26 +233,44 @@ def materialize_scaled(spark, base: str, out: str, k: int,
     out_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     if family == "pairs":
-        # embeddings: shift vec_id and ROTATE each copy's vector by i
-        # positions — rotation preserves the norm, and rotated random-ish
-        # vectors are near-orthogonal, so copies don't become a Kx
-        # cross-copy near-duplicate explosion (the same reason the text
-        # gets a copy tag).
+        # embeddings: per copy i, shift vec_id, shift LABEL into its own
+        # domain (label + i*LABEL_SHIFT), and apply a deterministic +-1
+        # SIGN MASK (element d flips iff pmod(hash(i, d), 2) = 1; copy 0
+        # is the identity).
+        #
+        # - The label shift is the geo family's constant-density move:
+        #   label is a BLOCKING key of the near-dup operators, so copies
+        #   live in disjoint similarity spaces and qualifying pairs grow
+        #   exactly k-fold (structure replicated k times) instead of
+        #   k^2-fold by density. (Round-7 stage counters exposed the old
+        #   rotation fan's artifact: the synthetic embeddings are
+        #   autocorrelated, every vector near-matched its k-1 rotated
+        #   selves, and output grew 1198x at k=32 — the probe measured
+        #   fixture-made pairs, not the operator.)
+        # - diag(+-1) is orthogonal: norms and within-copy cosines are
+        #   preserved EXACTLY, while cross-copy dot products in the
+        #   UNBLOCKED queries (brute-force / PQ / IVFPQ top-k) become
+        #   sign-scrambled sums instead of k duplicates of the probe's
+        #   own neighborhood.
         emb = spark.read.parquet(f"{base}/embeddings.parquet")
-        dim = len(emb.select("embedding").first()[0])
+
+        def _mask(copy: int):
+            # closure factory, NOT a default arg: Spark derives the
+            # higher-order function's arity from the lambda signature
+            return lambda v, d: F.when(
+                F.pmod(F.hash(F.lit(copy), d), F.lit(2)) == 0, v
+            ).otherwise(-v)
+
         emb_copies = []
         for i in range(k):
-            r = i % dim
-            if r == 0:
-                rotated = F.col("embedding")
+            if i == 0:
+                masked = F.col("embedding")
             else:
-                rotated = F.concat(
-                    F.slice(F.col("embedding"), r + 1, dim - r),
-                    F.slice(F.col("embedding"), 1, r),
-                )
+                masked = F.transform(F.col("embedding"), _mask(i))
             emb_copies.append(
                 emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_SHIFT))
-                .withColumn("embedding", rotated)
+                .withColumn("label", F.col("label") + F.lit(i * LABEL_SHIFT))
+                .withColumn("embedding", masked)
             )
         out_emb = emb_copies[0]
         for c in emb_copies[1:]:
