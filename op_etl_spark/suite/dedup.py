@@ -1284,7 +1284,14 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate (new, old) pair is then exact-verified by shingle-array
     intersection. Output per matched new doc: its match count, the
     smallest matching corpus id (the canonical survivor it would attach
-    to), and that match's true Jaccard."""
+    to), and that match's true Jaccard.
+
+    Production callers use the PERSISTED split of this operator —
+    operators/dedup_index.py build/dedup_delta/append (the band and
+    shingle tables written once, each batch broadcast against them) —
+    proven row-for-row equivalent to this gate in
+    tests/test_dedup_index.py; this query keeps the self-contained
+    in-memory shape the DuckDB oracle replays."""
     from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
