@@ -214,6 +214,12 @@ def main() -> None:
                         p: {ph: round(s, 3) for ph, s in d.items()}
                         for p, d in phases.snapshot().items()
                     }
+                else:
+                    # the min pass recorded no build: drop any stale
+                    # decomposition from a slower pass, or search_sec
+                    # (total - build) would pair mismatched passes
+                    build_sec.pop(name, None)
+                    build_phases.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     out = {

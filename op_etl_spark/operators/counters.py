@@ -11,8 +11,9 @@ reports candidate:output economics instead of arguing them.
 Mechanism: Spark's CollectMetrics (`DataFrame.observe`) — the named
 aggregate piggybacks on rows already streaming through that point of the
 plan, costing no extra job, no extra scan, and no driver-side collect of
-data rows.  Counters are OFF by default so the 170 driver-facing query
-plans stay byte-identical (no CollectMetrics node) and bench timings
+data rows.  Counters are OFF by default so the declared driver-facing
+query plans stay byte-identical (no CollectMetrics node — enforced by
+plan_audit's CollectMetricsLeak axis over every plan) and bench timings
 stay honest; the scale probe (tools/scale_probe.py) enables them around
 its timed runs and snapshots the totals into SCALE_PROBE.json.
 
@@ -73,16 +74,19 @@ def observe_stage(df: DataFrame, query: str, stage: str) -> DataFrame:
 
 
 def snapshot() -> dict[str, dict[str, int]]:
-    """Totals for every stage observed since enable()/reset().
+    """Totals for every stage observed since enable()/reset() — a
+    (query, stage) observed by several plan builds SUMS across them.
 
-    An Observation whose plan branch never executed (query built but no
-    action ran) would block forever on `.get`; callers snapshot right
-    after running the action, and stages observed by the same query
-    build all complete with that action.  Re-executing the same
-    DataFrame keeps the FIRST action's numbers (Spark semantics), which
-    is exactly what the probe wants: counters from the measured plan,
-    not accumulated across warm-up reruns."""
+    CAUTION: an Observation whose plan branch never executed (query
+    built but no action ran — e.g. an exception between build and the
+    action) blocks forever on `.get`; callers must snapshot right after
+    a successful action, and stages observed by the same query build all
+    complete with that action.  Re-executing the same DataFrame keeps
+    the FIRST action's numbers (Spark Observation semantics), which is
+    exactly what the probe wants: counters from the measured plan, not
+    accumulated across warm-up reruns of one build."""
     out: dict[str, dict[str, int]] = {}
     for query, stage, obs in _active:
-        out.setdefault(query, {})[stage] = int(obs.get["rows"])
+        d = out.setdefault(query, {})
+        d[stage] = d.get(stage, 0) + int(obs.get["rows"])
     return out

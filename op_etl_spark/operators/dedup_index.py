@@ -20,12 +20,20 @@ On disk (both plain parquet):
 
 100 TB shape: the index is written once and only APPENDED to; a delta
 dedup broadcasts the batch's bands (MBs of signatures for a nightly
-batch) against the scanned — never reshuffled — corpus band table,
-over-cap buckets are dropped exactly as in the self-join path
-(LSH_BUCKET_CAP), and the exact verify joins only candidate doc ids
-against the shingle table. Minhash signatures are pure functions of the
-text (md5-derived 60/56-bit integers, suite/dedup._minhash_sigs), so
-index rows written today and rows computed tomorrow always agree.
+batch) against the corpus band table, over-cap buckets are dropped
+exactly as in the self-join path (LSH_BUCKET_CAP), and the exact verify
+joins only candidate doc ids against the shingle table. The corpus cost
+per delta is ONE scan + one hash aggregate of the band table (the
+posting groupBy): plain parquet reports no output partitioning to
+Spark, so `n_buckets` clusters FILES for scan locality but does not
+elide that aggregate's exchange — a deployment that must make the
+delta exchange-free on the corpus side should register the band table
+as a catalog table bucketed by the band key (`bucketBy(...,
+*band_key()).saveAsTable(...)`, the sinks/catalog machinery), which
+this module's read path works with unchanged. Minhash signatures are
+pure functions of the text (md5-derived 60/56-bit integers,
+suite/dedup._minhash_sigs), so index rows written today and rows
+computed tomorrow always agree.
 """
 
 from __future__ import annotations
@@ -39,32 +47,14 @@ def _banded(docs: DataFrame):
     the exact expressions the suite gate verifies, shared by deferred
     import (suite.dedup imports operators.counters, so the import points
     down-module to avoid a cycle)."""
-    from ..suite.dedup import (
-        BAND_ROWS,
-        N_HASHES,
-        _minhash_sigs,
-        _shingle_arrays,
-    )
+    from ..suite.dedup import _band_structs, _minhash_sigs, _shingle_arrays
 
     arrs = _shingle_arrays(docs)
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     sigs = _minhash_sigs(sh)
-    n_bands = N_HASHES // BAND_ROWS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                *[
-                    F.col(f"h{band * BAND_ROWS + r}").alias(f"x{r}")
-                    for r in range(BAND_ROWS)
-                ],
-            )
-            for band in range(n_bands)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.*"
-    )
+    bands = sigs.select(
+        "doc_id", F.explode(_band_structs()).alias("band")
+    ).select("doc_id", "band.*")
     hashed = arrs.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
@@ -80,7 +70,8 @@ def band_key() -> list[str]:
 
 def build_dedup_index(docs: DataFrame, path: str, n_buckets: int = 0) -> None:
     """Persist the LSH band table + hashed shingle table for a corpus.
-    `n_buckets` > 0 hash-clusters the band table by band key on write."""
+    `n_buckets` > 0 clusters the band table's FILES by band key on write
+    (scan locality; see the module note on what it does NOT buy)."""
     bands, hashed = _banded(docs)
     if n_buckets > 0:
         bands = bands.repartition(n_buckets, *band_key())
@@ -90,8 +81,9 @@ def build_dedup_index(docs: DataFrame, path: str, n_buckets: int = 0) -> None:
 
 def dedup_delta(spark: SparkSession, path: str, new_docs: DataFrame) -> DataFrame:
     """Every (new_id, old_id, n_common, jaccard) match of the delta
-    against the persisted corpus at JACCARD_THRESHOLD — the corpus is
-    scanned, never reshuffled; the delta is broadcast."""
+    against the persisted corpus at JACCARD_THRESHOLD — the delta is
+    broadcast; the corpus pays one scan + one band-key aggregate, and
+    never re-pairs with itself."""
     from ..suite.dedup import JACCARD_THRESHOLD, LSH_BUCKET_CAP
     from ..suite._util import fround
 

@@ -47,8 +47,11 @@ def build_edge_table(pairs: DataFrame, path: str, n_buckets: int = 0) -> None:
     artifact.  Stored CANONICAL (one row per undirected edge, a < b) —
     half the bytes of the symmetric form; peels symmetrize on read, which
     is a narrow map-side union, not a shuffle.  `n_buckets` > 0
-    repartitions by `a` before writing so a later read starts hash-
-    clustered for the degree aggregate."""
+    repartitions by `a` before writing, clustering FILES for scan
+    locality; a plain parquet read reports no output partitioning, so
+    the first degree aggregate still exchanges — use a catalog table
+    bucketed by `a` (bucketBy + saveAsTable) where that exchange must
+    go too."""
     out = pairs.select("a", "b")
     if n_buckets > 0:
         out = out.repartition(n_buckets, "a")

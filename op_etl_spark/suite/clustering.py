@@ -86,9 +86,12 @@ def _pairs(
 
 
 def _symmetrize(pairs: DataFrame) -> DataFrame:
-    return pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    # single owner of the canonical->symmetric expansion: the production
+    # graph module (operators/graph.py); deferred import, same reason as
+    # kcore_fixpoint's
+    from ..operators.graph import symmetrize
+
+    return symmetrize(pairs)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,6 +222,28 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
 LSH_BUCKET_CAP = 32
 
 
+def _band_structs():
+    """array<struct(band_id, x0..x{BAND_ROWS-1})> over the h0..h15
+    signature columns — THE banding layout. Single owner: the LSH
+    self-join, the incremental gate, and the persisted index
+    (operators/dedup_index.py) all band through this expression, so
+    index rows written yesterday and delta rows computed today can never
+    disagree on the layout."""
+    n_bands = N_HASHES // BAND_ROWS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                *[
+                    F.col(f"h{band * BAND_ROWS + r}").alias(f"x{r}")
+                    for r in range(BAND_ROWS)
+                ],
+            )
+            for band in range(n_bands)
+        ]
+    )
+
+
 def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """LSH candidate pairs from an exploded (doc_id, shingle) stream:
     bands exploded in ONE pass over the signature table (not a 4-way
@@ -235,19 +257,7 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     jaccard — the cap bounds pairs per bucket at CAP^2 at any corpus
     size."""
     sigs = _minhash_sigs(sh)
-    n_bands = N_HASHES // BAND_ROWS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                *[
-                    F.col(f"h{band * BAND_ROWS + r}").alias(f"x{r}")
-                    for r in range(BAND_ROWS)
-                ],
-            )
-            for band in range(n_bands)
-        ]
-    )
+    band_structs = _band_structs()
     banded = sigs.select(
         F.struct(F.col("doc_id")).alias("m"), F.explode(band_structs).alias("band")
     )
@@ -739,6 +749,13 @@ def _capped_candidate_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # PAIR-level candidate count (capped_posting_pairs above is
+    # token-level — one row per colliding token — and not comparable to
+    # the other queries' per-pair candidate funnels). Named
+    # capped_candidates, NOT candidates: jaccard_verified_pairs runs this
+    # build as one branch and has its own post-union "candidates" stage —
+    # a shared name would sum branch and union counts into nonsense.
+    common = counters.observe_stage(common, qname, "capped_candidates")
     out = (
         common.withColumn(
             "jaccard_lb",
@@ -884,7 +901,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The filter: order every document's shingles by a single global rank
     (document frequency asc, then shingle id — rarest first) and index
-    only each doc's PREFIX of length p = n - ceil(t*n) + 1. Lemma: if
+    only each doc's PREFIX of length p = n - ceil(t_eff*n) + 1. Lemma: if
     J(A,B) >= t then |A and B| >= ceil(t*max(nA,nB)), and two sets whose
     (n - alpha + 1)-prefixes under a COMMON total order are disjoint share
     fewer than alpha elements (pigeonhole on the order: all common
@@ -892,18 +909,25 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every qualifying pair collides on at least one prefix token, and
     because prefixes hold each doc's globally RAREST shingles, prefix
     posting lists are short exactly where naive posting lists explode.
-    ceil(t*n) for t = 3/10 is computed as (3n + 9) // 10 — exact integer
-    arithmetic, no float boundary.
+    CRITICAL: t in every prune is the EFFECTIVE threshold t_eff =
+    5999/20000 = 0.29995, not 3/10, because the final accept condition
+    is the 4-decimal ROUNDED jaccard (fround(J,4) >= 0.3 on both
+    engines) — exact J in [0.29995, 0.3) rounds up into acceptance and
+    must never be pruned. All ceilings are exact integer floor forms
+    ((5999n + 19999) // 20000 etc.), no float boundary; the prune-vs-
+    accept consistency is property-tested over the full small-n grid in
+    tests/test_prefix_filter_bounds.py.
 
     Stage 2 verifies candidates exactly (array_intersect on the persisted
     hashed-shingle table, same as jaccard_verified_pairs) after two
     prunes that need no shingle data, only sizes and prefix positions:
 
-    - size-ratio prune: J <= min/max, so 10*min(n1,n2) >= 3*max(n1,n2)
-      is necessary;
+    - size-ratio prune: J <= min/max, so 20000*min(n1,n2) >=
+      5999*max(n1,n2) is necessary (min/max >= t_eff);
     - PPJoin POSITIONAL filter (Xiao et al. 2008, sec. 3): J >= t forces
-      |A and B| >= alpha = ceil(t/(1+t) * (nA+nB)) (= ceil(3(nA+nB)/13)
-      at t=3/10), while the FIRST common token — at sorted positions p1
+      |A and B| >= alpha = ceil(t/(1+t) * (nA+nB)) (=
+      ceil(5999(nA+nB)/25999) at t_eff), while the FIRST common token —
+      at sorted positions p1
       in A and p2 in B (0-based) — bounds the overlap above by
       min(nA-p1, nB-p2): every common element sits at or after the first
       common token in the SHARED order. Collisions are grouped per pair
@@ -939,9 +963,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ss")
     )
     n = F.size("ss")
-    # p = n - ceil(3n/10) + 1; (3n+9)/10 divides small exact ints — floor
-    # lands exactly (quotients that are integers are exactly representable)
-    p = (n - F.floor((F.lit(3) * n + 9) / 10) + 1).cast("int")
+    # The filter chain must have zero false negatives w.r.t. the FINAL
+    # accept condition, which is the 4-decimal ROUNDED jaccard (both the
+    # engine filter and the oracle use fround(J,4) >= 0.3):
+    #   floor(J*10000 + 0.5) >= 3000  <=>  20000*I >= 5999*U
+    # i.e. the EFFECTIVE threshold is t_eff = 5999/20000 = 0.29995, a
+    # hair below 0.3 — every prune below uses t_eff, not 3/10, so a
+    # boundary pair that rounds UP into acceptance can never be pruned
+    # (prunes derived from 3/10 were strictly tighter and could drop a
+    # pair with exact J in [0.29995, 0.3) that the oracle emits).
+    # p = n - ceil(t_eff*n) + 1; all products stay < 2^53 — exact floors.
+    p = (n - F.floor((F.lit(5999) * n + 19999) / 20000) + 1).cast("int")
     pre = docs_sorted.select(
         F.col("doc_id"),
         n.alias("n_sh"),
@@ -968,8 +1000,11 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     least_n = F.least(F.col("n1"), F.col("n2"))
     greatest_n = F.greatest(F.col("n1"), F.col("n2"))
-    # alpha = ceil(3(n1+n2)/13): same exact-small-int floor pattern as p
-    alpha = F.floor((F.lit(3) * (F.col("n1") + F.col("n2")) + 12) / 13)
+    # alpha = ceil(t_eff/(1+t_eff) * (n1+n2)) = ceil(5999(n1+n2)/25999):
+    # J >= t_eff forces I >= alpha (same exact-small-int floor as p)
+    alpha = F.floor(
+        (F.lit(5999) * (F.col("n1") + F.col("n2")) + 25998) / 25999
+    )
     ubound = F.least(
         F.col("n1") - F.col("p1"), F.col("n2") - F.col("p2")
     )
@@ -977,7 +1012,9 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         collide.groupBy("id1", "id2", "n1", "n2")
         .agg(F.min("pos1").alias("p1"), F.min("pos2").alias("p2"))
         .filter(
-            (F.lit(10) * least_n >= F.lit(3) * greatest_n)
+            # size-ratio prune at t_eff: J <= min/max, so accept needs
+            # 20000*min >= 5999*max
+            (F.lit(20000) * least_n >= F.lit(5999) * greatest_n)
             & (ubound >= alpha)
         )
         .select("id1", "id2")
@@ -1298,19 +1335,7 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = _shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     sigs = _minhash_sigs(sh)
-    n_bands = N_HASHES // BAND_ROWS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                *[
-                    F.col(f"h{band * BAND_ROWS + r}").alias(f"x{r}")
-                    for r in range(BAND_ROWS)
-                ],
-            )
-            for band in range(n_bands)
-        ]
-    )
+    band_structs = _band_structs()
     banded = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
         "doc_id", "band.*"
     )

@@ -60,6 +60,10 @@ def main():
     artifact = None
     if "--artifact" in args:
         i = args.index("--artifact")
+        if i + 1 >= len(args) or args[i + 1].startswith("/root/testdata"):
+            raise SystemExit(
+                "--artifact needs an output path (not a testdata dir)"
+            )
         artifact = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -68,11 +72,19 @@ def main():
     import __spark_entry__ as entrymod
     from op_etl_spark.session import get_spark
 
+    import os
+
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        # driver testdata is one file per table; Spark-materialized dirs
+        # (tools/make_sf1.py, scale_probe fans) are parquet DIRECTORIES —
+        # DuckDB needs the glob form for those
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     qs = entrymod.queries()

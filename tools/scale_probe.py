@@ -421,7 +421,11 @@ def main() -> None:
         that separates 'the operator's candidate generation degraded'
         from 'the corpus has more duplicates, so the output grew'."""
         cand = next(
-            (snap[s] for s in ("candidates", "capped_posting_pairs") if s in snap),
+            (
+                snap[s]
+                for s in ("candidates", "capped_candidates")
+                if s in snap
+            ),
             None,
         )
         out = next((snap[s] for s in ("output", "capped_out") if s in snap), None)

@@ -94,11 +94,21 @@ def main() -> int:
 
             base_q = _queries(benches[-1])
             base_s = _search_secs(benches[-1])
-            locals_ = sorted(
-                glob.glob(os.path.join(REPO, "BENCH_local_r*.json")), key=_round_no
-            )
+            # Widen with the newest local full measure whose round is <=
+            # the driver bench's round — NOT the current round's own
+            # numbers: a local file measured with the code under test
+            # would gate the tail-truncated queries against themselves
+            # and hide any regression in them.
+            locals_ = [
+                p
+                for p in sorted(
+                    glob.glob(os.path.join(REPO, "BENCH_local_r*.json")),
+                    key=_round_no,
+                )
+                if _round_no(p) <= _round_no(benches[-1])
+            ]
             base_name = os.path.basename(benches[-1])
-            if locals_ and _round_no(locals_[-1]) >= _round_no(benches[-1]):
+            if locals_:
                 widened = _queries(locals_[-1])
                 widened.update(base_q)
                 base_q = widened
