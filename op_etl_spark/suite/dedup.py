@@ -773,10 +773,15 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 capped AS (
   SELECT shingle FROM sh GROUP BY shingle
   HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+-- df-cap the posting stream BEFORE the self-join: joining the cap in
+-- after the a x b expansion is semantically identical (the shared
+-- shingle is the capped one) but lets the optimizer build the full
+-- uncapped pair blow-up first — observed >100 GB at the sf1 rehearsal
+capsh AS MATERIALIZED (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN capped c ON c.shingle = s.shingle),
 common AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN capped c ON c.shingle = a.shingle
+  FROM capsh a JOIN capsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id1, id2, n_common,
        floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0 AS jaccard_lb
@@ -863,10 +868,11 @@ ORACLE_JACCARD_VERIFIED = (
 , dfcap AS (
   SELECT shingle FROM sh GROUP BY shingle
   HAVING count(*) >= 2 AND count(*) <= {DF_CAP})
+, capsh AS MATERIALIZED (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN dfcap c ON c.shingle = s.shingle)
 , ccommon AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN dfcap c ON c.shingle = a.shingle
+  FROM capsh a JOIN capsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 , cpairs AS (
   SELECT id1, id2 FROM ccommon
@@ -1169,10 +1175,11 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 capped AS (
   SELECT shingle FROM sh GROUP BY shingle
   HAVING count(*) >= 2 AND count(*) <= {DF_CAP}),
+capsh AS MATERIALIZED (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN capped c ON c.shingle = s.shingle),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN capped c ON c.shingle = a.shingle),
+  FROM capsh a JOIN capsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 common AS (
   SELECT c.id1, c.id2, count(*) AS n_common
   FROM cand c

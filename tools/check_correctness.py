@@ -76,6 +76,13 @@ def main():
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
+    # Bound the oracle engine's memory and let blocking operators spill:
+    # at the sf1 rehearsal scale an unbounded DuckDB hash join can climb
+    # past 100 GB and draw the OOM killer (observed on the corpus-wide
+    # containment oracle); with a limit + temp dir it spills instead.
+    con.execute("SET memory_limit='48GB'")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         # driver testdata is one file per table; Spark-materialized dirs
