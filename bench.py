@@ -150,7 +150,87 @@ HEADLINE = [
     "quantile_normalized_lengths",
     "source_diversity_report",
     "kcore_profile",
+    # production-path index numbers: the pq/ivf/ivfpq gates above
+    # deliberately pay a full rebuild per call (the policy that keeps
+    # build scaling measured); these two time ONLY the search / delta
+    # path against an index built ONCE per bench process outside every
+    # timed window — the steady-state cost a deployed caller pays.
+    "ivf_search_persisted",
+    "dedup_delta_persisted",
 ]
+
+# --- bench-only persisted-index entries (not driver-declared queries:
+# they require a prebuilt on-disk index, which the oracle-gate variants
+# of the same operators already prove correct — operators/ann_index.py
+# via test_ann_index*.py, operators/dedup_index.py via
+# test_dedup_index.py row-for-row against the oracle-checked
+# incremental_lsh_dedup) ---
+
+_persisted: dict[str, tuple] = {}
+PERSISTED_BUILD_SEC: dict[str, float] = {}
+
+
+def _ensure_persisted(spark, sf_dir: str) -> tuple:
+    """Build both indexes once per (bench process, sf_dir). First call
+    happens during the UNTIMED warm pass, so timed passes measure pure
+    search/delta cost; the one-time build seconds are published
+    separately as persisted_build_sec."""
+    if sf_dir in _persisted:
+        return _persisted[sf_dir]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from op_etl_spark.operators.ann_index import build_ivf_index
+    from op_etl_spark.operators.dedup_index import build_dedup_index
+    from op_etl_spark.suite.dedup import INC_MOD, INC_REMAINDER, _docs
+
+    base = tempfile.mkdtemp(prefix="bench_persisted_idx_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    query = list(emb.orderBy("vec_id").limit(1).collect()[0]["embedding"])
+    t0 = time.perf_counter()
+    build_ivf_index(emb, f"{base}/ivf", n_lists=16, iters=3)
+    PERSISTED_BUILD_SEC["ivf_search_persisted"] = round(time.perf_counter() - t0, 3)
+
+    d = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % INC_MOD == INC_REMAINDER
+    t0 = time.perf_counter()
+    build_dedup_index(d.filter(~is_new), f"{base}/lsh")
+    PERSISTED_BUILD_SEC["dedup_delta_persisted"] = round(time.perf_counter() - t0, 3)
+
+    _persisted[sf_dir] = (base, query, d.filter(is_new))
+    return _persisted[sf_dir]
+
+
+def _ivf_search_persisted(spark, sf_dir: str):
+    from op_etl_spark.operators.ann_index import ivf_search
+
+    base, query, _ = _ensure_persisted(spark, sf_dir)
+    return ivf_search(spark, f"{base}/ivf", query, nprobe=4, topk=10)
+
+
+def _dedup_delta_persisted(spark, sf_dir: str):
+    from op_etl_spark.operators.dedup_index import dedup_delta
+
+    base, _, delta = _ensure_persisted(spark, sf_dir)
+    return dedup_delta(spark, f"{base}/lsh", delta)
+
+
+EXTRA_QUERIES = {
+    "ivf_search_persisted": _ivf_search_persisted,
+    "dedup_delta_persisted": _dedup_delta_persisted,
+}
+
+
+def headline_fingerprint() -> str:
+    """Stable fingerprint of the headline list (names + order) — emitted
+    next to the compact `qv` times array so a reconstruction can verify it
+    is zipping against the HEADLINE that produced the artifact."""
+    import hashlib
+
+    return hashlib.sha256(",".join(HEADLINE).encode()).hexdigest()[:8]
 
 
 def main() -> None:
@@ -159,7 +239,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("op_etl_spark-bench")
-    queries = suite.all_queries()
+    queries = {**suite.all_queries(), **EXTRA_QUERIES}
 
     # A single broken query must never zero out the whole bench run:
     # record the error per-query, keep going, and still print the JSON line.
@@ -222,21 +302,35 @@ def main() -> None:
                     build_phases.pop(name, None)
 
     total = round(sum(timings.values()), 3)
+    # Key order is deliberate: the round driver keeps only the LAST 2000
+    # characters of this line, so the bulky human-readable sections
+    # (build_phases, per-name queries dict) go FIRST and a compact,
+    # self-describing encoding of every per-query time goes LAST — `qv`
+    # is the times in HEADLINE order (null = errored), `qh` fingerprints
+    # the headline list so tools/bench_diff.py can refuse to zip an old
+    # artifact against a reordered HEADLINE. ~700 chars of qv + totals
+    # always survive the tail, so no round artifact loses query numbers.
     out = {
+        "build_phases": build_phases,
+        "build_sec": build_sec,
+        "search_sec": {n: round(timings[n] - b, 3) for n, b in build_sec.items()},
+        "queries": timings,
+        "errors": errors,
+        "qh": headline_fingerprint(),
+        "qv": [timings.get(n) for n in HEADLINE],
         "metric": "headline_suite_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
     }
-    if build_sec:
-        out["build_sec"] = build_sec
-        out["search_sec"] = {
-            n: round(timings[n] - b, 3) for n, b in build_sec.items()
-        }
-        out["build_phases"] = build_phases
-    if errors:
-        out["errors"] = errors
+    if PERSISTED_BUILD_SEC:
+        # one-time (per-process, warm-pass) index build cost behind the
+        # *_persisted search-only entries — reported, never in the timings
+        out = {"persisted_build_sec": dict(PERSISTED_BUILD_SEC), **out}
+    if not build_sec:
+        del out["build_sec"], out["search_sec"], out["build_phases"]
+    if not errors:
+        del out["errors"]
     print(json.dumps(out))
 
 

@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 
 _seq = itertools.count()
 _active: list[tuple[str, str, Observation]] = []
+_loops: dict[str, list[dict]] = {}
+_scope: str | None = None
 _enabled = False
 
 
@@ -48,18 +50,47 @@ def enable() -> None:
     global _enabled
     _enabled = True
     _active.clear()
+    _loops.clear()
 
 
 def disable() -> None:
-    global _enabled
+    global _enabled, _scope
     _enabled = False
+    _scope = None
     _active.clear()
+    _loops.clear()
 
 
 def reset() -> None:
     """Forget recorded observations (e.g. between probe scales) while
     staying enabled."""
     _active.clear()
+    _loops.clear()
+
+
+def set_scope(query: str | None) -> None:
+    """Name the query whose iterative loops are being recorded — the
+    fixpoint functions are shared (cc_fixpoint serves three declared
+    queries), so the probe names the run, not the algorithm."""
+    global _scope
+    _scope = query
+
+
+def record_loop(kind: str, **metrics) -> None:
+    """Record one completed driver-side fixpoint run (rounds-to-converge
+    plus whatever per-round scalars the loop ALREADY computes — edge
+    counts for peeling, the label-sum potential for CC; never an extra
+    pass). A no-op when instrumentation is off, so production calls pay
+    nothing and plans are untouched (this never builds a plan node at
+    all, unlike observe_stage)."""
+    if not _enabled:
+        return
+    _loops.setdefault(_scope or kind, []).append({"kind": kind, **metrics})
+
+
+def loops_snapshot() -> dict[str, list[dict]]:
+    """{query: [loop records in execution order]} since enable()/reset()."""
+    return {q: [dict(r) for r in v] for q, v in _loops.items()}
 
 
 def observe_stage(df: DataFrame, query: str, stage: str) -> DataFrame:

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import counters
+
 KCORE_DEFAULT_MAX_ROUNDS = 24
 KTRUSS_DEFAULT_MAX_ROUNDS = 48
 
@@ -71,8 +73,13 @@ def kcore(edges: DataFrame, k: int,
     edges = edges.localCheckpoint()
     n_edges = edges.count()
     rounds = 0
+    # per-round surviving-edge counts the loop computes anyway — recorded
+    # (when the probe enables counters) so the scale report can separate
+    # "more rounds" from "costlier rounds" without an extra pass
+    edge_curve = [n_edges]
     for _ in range(max_rounds):
         if n_edges == 0:
+            counters.record_loop("kcore", k=k, rounds=rounds, edges=edge_curve)
             return edges, rounds
         rounds += 1
         keep = (
@@ -88,7 +95,9 @@ def kcore(edges: DataFrame, k: int,
             .localCheckpoint()
         )
         n_after = edges.count()
+        edge_curve.append(n_after)
         if n_after == n_edges:
+            counters.record_loop("kcore", k=k, rounds=rounds, edges=edge_curve)
             return edges, rounds
         n_edges = n_after
     raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")
@@ -135,8 +144,10 @@ def ktruss(pairs: DataFrame, k: int,
     pairs = pairs.select("a", "b").localCheckpoint()
     n_edges = pairs.count()
     rounds = 0
+    edge_curve = [n_edges]
     for _ in range(max_rounds):
         if n_edges == 0:
+            counters.record_loop("ktruss", k=k, rounds=rounds, edges=edge_curve)
             return pairs, rounds
         rounds += 1
         sup = truss_support(pairs).withColumnRenamed("support", "sup")
@@ -149,8 +160,10 @@ def ktruss(pairs: DataFrame, k: int,
             .localCheckpoint()
         )
         n_after = kept.count()
+        edge_curve.append(n_after)
         pairs = kept
         if n_after == n_edges:
+            counters.record_loop("ktruss", k=k, rounds=rounds, edges=edge_curve)
             return pairs, rounds
         n_edges = n_after
     raise RuntimeError(f"k-truss peeling did not converge in {max_rounds} rounds")

@@ -148,6 +148,59 @@ def swap_directory(spark: SparkSession, base: str, tmp: str) -> None:
     fs.delete(mk(bak), True)
 
 
+# --- index-table lifecycle: compaction under append ---
+
+# data directories a persisted index may carry, in the layouts written by
+# operators/dedup_index.py (bands, shingles) and operators/ann_index.py
+# (vectors [+ hive partitions], centroids*). Every append-mode delta adds
+# one file set per touched directory, so at a delta-per-day cadence the
+# file count grows without bound — the first real operational cliff of
+# the append design (reference analogue: the staging-GDB rebuild
+# discipline, stage_files.py:688-725).
+INDEX_DATA_DIRS = (
+    "bands",
+    "shingles",
+    "vectors",
+    "centroids",
+    "centroids_coarse",
+    "centroids_fine",
+)
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict[str, CompactionPlan]:
+    """Compact every data directory of a persisted index in place.
+
+    Works on both index layouts: the LSH dedup index ({path}/bands +
+    {path}/shingles) and the IVF/IVF2 ANN index ({path}/vectors
+    partitioned by list_id or coarse_id/fine_id, plus centroid tables).
+    Each directory is rewritten to its byte-derived target file count via
+    `compact_files` — hive partition columns (the IVF list dirs) are
+    preserved, so partition pruning on a probe is untouched. Results are
+    invariant by construction: compaction only rewrites the SAME rows
+    into fewer files (tests/test_index_compaction.py proves dedup_delta
+    and ivf_search outputs row-for-row identical across a compaction of
+    an index that has absorbed multiple appends). Directories already at
+    their target are skipped, so a scheduled compactor can fire
+    unconditionally after every append batch.
+
+    Returns {subdir: CompactionPlan} for the directories present.
+    """
+    fs, _ = _hadoop_fs(spark, path)
+    mk = spark._jvm.org.apache.hadoop.fs.Path
+    plans: dict[str, CompactionPlan] = {}
+    for sub in INDEX_DATA_DIRS:
+        p = f"{path.rstrip('/')}/{sub}"
+        if fs.exists(mk(p)):
+            plans[sub] = compact_files(spark, p, target_file_bytes)
+    if not plans:
+        raise ValueError(f"{path} has no recognized index data directories")
+    return plans
+
+
 # --- Z-order clustering ---
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:

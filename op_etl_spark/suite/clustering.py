@@ -113,9 +113,15 @@ def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
     component and the fixpoint is exactly the component minimum."""
     import logging
 
+    from ..operators import counters
+
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
     rounds = 0
+    # the label-sum potential per round — the scalar the convergence check
+    # already collects; recorded (probe-only) so the scale report can tell
+    # deeper-graph round growth from degraded per-round cost
+    potential_curve = [prev_sum]
     for _ in range(max_rounds):
         rounds += 1
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
@@ -133,10 +139,12 @@ def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
+        potential_curve.append(new_sum)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     logging.getLogger(__name__).info("cc_fixpoint converged in %d rounds", rounds)
+    counters.record_loop("cc", rounds=rounds, potential=potential_curve)
     return labels, rounds
 
 
@@ -345,8 +353,13 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is localCheckpoint-ed, so documents is scanned ONCE for the
     initial ranks — the unrolled-lineage version re-scanned it every
     round (plan_audit's TableRescan axis caught it)."""
+    from ..operators import counters
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     edges = _edges(spark, sf_dir).localCheckpoint()
+    # fixed-iteration power method: rounds never vary, so a scale ratio on
+    # this query is pure per-round cost — record that fact (probe-only)
+    counters.record_loop("pagerank", rounds=PR_ITER, fixed_rounds=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = docs.select(
         "doc_id", F.lit(PR_SCALE).cast("long").alias("r")

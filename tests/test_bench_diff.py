@@ -28,6 +28,85 @@ def _write(tmp_path, name, queries, search=None):
     return str(p)
 
 
+class TestTailReconstruction:
+    """The driver keeps only the LAST 2000 chars of bench.py's stdout;
+    the compact qv/qh tail must carry every headline query through it."""
+
+    def _synthetic_bench_line(self):
+        import bench
+
+        timings = {n: round(0.1 + i * 0.037, 3) for i, n in enumerate(bench.HEADLINE)}
+        build = {"pq_recall_at_k": 4.2, "ivfpq_recall_at_k": 6.9}
+        return timings, json.dumps(
+            {
+                "build_phases": {
+                    q: {"pq": {"lloyd": 3.0, "seed": 1.2}} for q in build
+                },
+                "build_sec": build,
+                "search_sec": {q: round(timings[q] - b, 3) for q, b in build.items()},
+                "queries": timings,
+                "qh": bench.headline_fingerprint(),
+                "qv": [timings.get(n) for n in bench.HEADLINE],
+                "metric": "headline_suite_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "sf": 0.1,
+            }
+        )
+
+    def test_2000_char_tail_yields_all_headline_queries(self, tmp_path):
+        import bench
+        from tools.bench_diff import _queries
+
+        timings, line = self._synthetic_bench_line()
+        assert len(line) > 2000, "fixture must actually exercise truncation"
+        p = tmp_path / "BENCH_trunc.json"
+        p.write_text(json.dumps({"parsed": None, "tail": line[-2000:]}))
+        got = _queries(str(p))
+        assert got == timings
+        assert len(got) == len(bench.HEADLINE)
+
+    def test_errored_query_is_null_in_qv_and_dropped(self, tmp_path):
+        import bench
+        from tools.bench_diff import _queries
+
+        timings, _ = self._synthetic_bench_line()
+        dead = bench.HEADLINE[3]
+        del timings[dead]
+        line = json.dumps(
+            {
+                "queries": timings,
+                "errors": {dead: "AnalysisException: boom"},
+                "qh": bench.headline_fingerprint(),
+                "qv": [timings.get(n) for n in bench.HEADLINE],
+                "metric": "headline_suite_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "sf": 0.1,
+            }
+        )
+        p = tmp_path / "BENCH_trunc2.json"
+        p.write_text(json.dumps({"parsed": None, "tail": line[-2000:]}))
+        got = _queries(str(p))
+        assert dead not in got and len(got) == len(bench.HEADLINE) - 1
+
+    def test_stale_fingerprint_falls_back_not_wrong_names(self, tmp_path):
+        # a qh that doesn't match the current HEADLINE must NOT be zipped;
+        # the legacy pair-salvage path recovers what it can instead
+        from tools.bench_diff import _queries
+
+        line = (
+            '{"qh": "00000000", "qv": [1.0, 2.0], '
+            '"queries": {"q_a": 1.0, "q_b": 2.0}, '
+            '"metric": "headline_suite_total_runtime", "value": 3.0, '
+            '"unit": "sec", "sf": 0.1}'
+        )
+        p = tmp_path / "BENCH_stale.json"
+        p.write_text(json.dumps({"parsed": None, "tail": line}))
+        got = _queries(str(p))
+        assert got == {"q_a": 1.0, "q_b": 2.0}
+
+
 class TestBenchDiffGate:
     def test_real_rounds_pass_gate(self, capsys):
         if not (os.path.exists(R02) and os.path.exists(R03)):
@@ -80,6 +159,23 @@ class TestBenchDiffGate:
         out = capsys.readouterr().out
         assert "SEARCH SLOWER pq_recall_at_k" in out
         assert "pq_recall_at_k(search)" in out
+
+    def test_search_allowlisted_regression_passes_with_note(
+        self, tmp_path, capsys
+    ):
+        old = _write(
+            tmp_path, "old.json", {"embedding_neardup_pairs": 2.0},
+            search={"embedding_neardup_pairs": 0.4},
+        )
+        new = _write(
+            tmp_path, "new.json", {"embedding_neardup_pairs": 2.1},
+            search={"embedding_neardup_pairs": 1.4},
+        )
+        assert bench_diff_main([old, new, "--gate"]) == 0
+        assert (
+            "allowed regression embedding_neardup_pairs(search)"
+            in capsys.readouterr().out
+        )
 
     def test_missing_search_decomposition_skips_phase_gate(self, tmp_path):
         # an old baseline without search_sec (e.g. a truncated driver

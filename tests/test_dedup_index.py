@@ -68,12 +68,34 @@ def test_append_then_self_match(spark, tmp_path):
     # 16 hashes / 4 rows per band = 4 band rows per doc
     assert n_bands_after - n_bands_before == 4 * n_delta_docs
 
-    # the delta is now part of the corpus: every delta doc matches itself
-    # exactly once at jaccard 1.0
+    # the delta is now part of the corpus: a delta doc self-matches at
+    # jaccard 1.0 iff at least one of its band buckets (post-append) is
+    # still under LSH_BUCKET_CAP — dedup_delta drops over-cap buckets by
+    # contract, so the expected set is computed from the actual bucket
+    # sizes, not assumed to be all n_delta_docs (which flakes the moment
+    # appended bands push any bucket past the cap)
+    from op_etl_spark.operators.dedup_index import band_key
+    from op_etl_spark.suite.dedup import LSH_BUCKET_CAP
+
+    key = band_key()
+    bands = spark.read.parquet(f"{idx}/bands")
+    undercap = (
+        bands.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= LSH_BUCKET_CAP)
+        .drop("n")
+    )
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    expected = {
+        r.doc_id
+        for r in bands.join(undercap, key).select("doc_id").distinct().collect()
+    } & delta_ids
+    assert expected, "fixture degenerated: every delta band bucket is over cap"
+
     self_matches = (
         dedup_delta(spark, idx, delta)
         .filter(F.col("new_id") == F.col("old_id"))
         .collect()
     )
-    assert len(self_matches) == n_delta_docs
+    assert {r.new_id for r in self_matches} == expected
     assert all(r.jaccard == 1.0 for r in self_matches)

@@ -38,7 +38,13 @@ Two probe families:
                     scan-linear growth means sketch state leaked into a
                     corpus-sized shuffle.
 
-Usage: python tools/scale_probe.py [K] [base_sf_dir] [main|pairs|geo|sketches]
+  skew            — the hot-key family: one user/event_type carries ~20%
+                    of event rows and one chained near-dup component 20%
+                    of documents, AT BOTH SCALES; the ratio measures how
+                    the salted aggregate, per-user session window, and CC
+                    label loop behave as the hottest key itself grows Kx.
+
+Usage: python tools/scale_probe.py [K] [base_sf_dir] [main|pairs|geo|sketches|skew]
 Writes one JSON line; the caller merges it into SCALE_PROBE.json.
 """
 
@@ -147,6 +153,32 @@ PAIR_QUERIES = [
     "ivfpq_recall_at_k",
 ]
 
+# Skew family: every other probe family scales VOLUME uniformly; this one
+# scales a hot key with it. The fixture plants, at every scale, one user
+# and one event_type carrying ~20% of ALL event rows (hot rows chosen by
+# event_id % 5 == 0, invariant under the copy fan since KEY_SHIFT % 5 ==
+# 0), and one near-dup chain component holding 20% of ALL documents
+# (hot docs get a sliding window of CHAIN_W sequential "hotN" tokens, so
+# rank-adjacent docs share >= MIN_COMMON_TRIGRAMS trigrams while every
+# chain trigram stays far under DF_CAP — a giant component that grows
+# WITH the corpus without an uncapped pair explosion). Ratios compare
+# skewed-Kx vs skewed-1x, so what is measured is how the salted
+# aggregate, the per-user session window, and the CC label loop behave
+# as their hottest key grows Kx — the regime AQE skew handling and the
+# salting exist for.
+SKEW_QUERIES = [
+    "salted_event_type_totals",
+    "sessionize_events",
+    "dedup_cc_assign",
+]
+
+SKEW_MOD = 5            # event_id/doc_id % 5 == 0 -> ~20% of rows are hot
+SKEW_HOT_USER = 999_999  # outside the generated 0..1499 user domain
+CHAIN_W = 20            # words per hot-doc window: docs at rank distance d
+                        # share CHAIN_W-d-2 trigrams -> edges up to d <= 12
+                        # under CC's >= 6 rule; trigram DF <= 18 << DF_CAP
+
+
 # Mergeable-sketch family: events/orders grow Kx while the key domains
 # (users, customers) stay fixed — exactly the regime sketches target. The
 # sketch tables themselves (registers, bottom-k arrays, CMS cells, Bloom
@@ -163,7 +195,7 @@ SKETCH_QUERIES = [
 ]
 
 KEY_SHIFT = 10_000_000
-LABEL_SHIFT = 1_000  # > the base label domain: copies get disjoint labels
+LABEL_SHIFT = 1_000  # floor; materialize_scaled raises it past max(label) read from the data
 
 
 def materialize_scaled(spark, base: str, out: str, k: int,
@@ -253,6 +285,11 @@ def materialize_scaled(spark, base: str, out: str, k: int,
         #   sign-scrambled sums instead of k duplicates of the probe's
         #   own neighborhood.
         emb = spark.read.parquet(f"{base}/embeddings.parquet")
+        # the shift must clear the base label domain or fan copies share
+        # blocking labels and the cross-copy density artifact returns —
+        # derive it from the data instead of trusting the constant
+        max_label = emb.agg(F.max("label")).collect()[0][0] or 0
+        label_shift = max(LABEL_SHIFT, max_label + 1)
 
         def _mask(copy: int):
             # closure factory, NOT a default arg: Spark derives the
@@ -269,13 +306,88 @@ def materialize_scaled(spark, base: str, out: str, k: int,
                 masked = F.transform(F.col("embedding"), _mask(i))
             emb_copies.append(
                 emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_SHIFT))
-                .withColumn("label", F.col("label") + F.lit(i * LABEL_SHIFT))
+                .withColumn("label", F.col("label") + F.lit(i * label_shift))
                 .withColumn("embedding", masked)
             )
         out_emb = emb_copies[0]
         for c in emb_copies[1:]:
             out_emb = out_emb.unionByName(c)
         out_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def materialize_skewed(spark, base: str, out: str, k: int) -> None:
+    """Kx fan of events + documents with the hot-key injection described
+    at SKEW_QUERIES. Materialized for k=1 too: both probe points carry
+    the SAME 20% skew, so the ratio isolates scale-under-skew, not the
+    injection itself."""
+    os.makedirs(out, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+        src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+    def fan(df, shift_col):
+        copies = [
+            df.withColumn(shift_col, F.col(shift_col) + F.lit(i * KEY_SHIFT))
+            for i in range(k)
+        ]
+        out_df = copies[0]
+        for c in copies[1:]:
+            out_df = out_df.unionByName(c)
+        return out_df
+
+    hot = F.col("event_id") % SKEW_MOD == 0
+    ev = fan(spark.read.parquet(f"{base}/events.parquet"), "event_id")
+    (
+        ev.withColumn(
+            "user_id", F.when(hot, F.lit(SKEW_HOT_USER)).otherwise(F.col("user_id"))
+        )
+        .withColumn(
+            "event_type", F.when(hot, F.lit("hot")).otherwise(F.col("event_type"))
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    n_hot_per_copy = docs.filter(F.col("doc_id") % SKEW_MOD == 0).count()
+    doc_copies = []
+    for i in range(k):
+        mangled = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(f"~{i}"))
+            ),
+            " ",
+        )
+        doc_copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_SHIFT))
+            .withColumn("text", mangled)
+        )
+    out_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        out_docs = out_docs.unionByName(c)
+    # hot docs: GLOBAL chain rank (copies are rank-contiguous, so the hot
+    # component spans the whole fanned corpus and grows k-fold) with a
+    # CHAIN_W-token sliding window of sequential, unmangled tokens
+    rank = (
+        F.floor(F.col("doc_id") / F.lit(KEY_SHIFT)) * F.lit(n_hot_per_copy)
+        + F.floor((F.col("doc_id") % F.lit(KEY_SHIFT)) / F.lit(SKEW_MOD))
+    ).cast("long")
+    chain = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(CHAIN_W - 1)),
+            lambda j: F.concat(F.lit("hot"), (rank + j).cast("string")),
+        ),
+        " ",
+    )
+    (
+        out_docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % SKEW_MOD == 0, chain).otherwise(F.col("text")),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
 
 
 def time_queries(spark, queries, names, sf_dir: str,
@@ -290,12 +402,23 @@ def time_queries(spark, queries, names, sf_dir: str,
     times, counts = {}, {}
     for name in names:
         fn = queries[name]
+        # counters.disable() must run even if the warm run dies between
+        # enable and the action: snapshot() on an Observation whose plan
+        # never executed blocks forever (counters.py docstring), and a
+        # leaked-enabled state would instrument the next query's timed runs
         if with_counters:
             counters.enable()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        if with_counters:
-            counts[name] = counters.snapshot().get(name, {})
-            counters.disable()
+            counters.set_scope(name)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            if with_counters:
+                counts[name] = counters.snapshot().get(name, {})
+                loops = counters.loops_snapshot().get(name)
+                if loops:
+                    counts[name]["loops"] = loops
+        finally:
+            if with_counters:
+                counters.disable()
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -374,9 +497,11 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     family = sys.argv[3] if len(sys.argv) > 3 else "main"
-    names = {"pairs": PAIR_QUERIES, "sketches": SKETCH_QUERIES}.get(
-        family, MAIN_QUERIES
-    )
+    names = {
+        "pairs": PAIR_QUERIES,
+        "sketches": SKETCH_QUERIES,
+        "skew": SKEW_QUERIES,
+    }.get(family, MAIN_QUERIES)
     # Optional 5th arg: comma-separated query names — probe a SUBSET of the
     # family at a deeper K than the family's default without paying for the
     # whole list (e.g. the token_counts K=32 follow-up on the main family's
@@ -393,7 +518,14 @@ def main() -> None:
     from op_etl_spark import suite
 
     spark = get_spark("scale-probe")
-    materialize_scaled(spark, base, scaled, k, family)
+    if family == "skew":
+        # both probe points carry the same injected skew; only volume grows
+        skew_base = "/tmp/scale_probe_skew_x1"
+        materialize_skewed(spark, base, skew_base, 1)
+        materialize_skewed(spark, base, scaled, k)
+        base = skew_base
+    else:
+        materialize_scaled(spark, base, scaled, k, family)
     if family == "geo":
         geo = geo_probe(spark, base, scaled, k)
         report = {
@@ -412,7 +544,7 @@ def main() -> None:
         return
     queries = suite.all_queries()
 
-    with_counters = family == "pairs"
+    with_counters = family in ("pairs", "skew")
     t1, c1 = time_queries(spark, queries, names, base, with_counters)
     tk, ck = time_queries(spark, queries, names, scaled, with_counters)
 
@@ -458,6 +590,42 @@ def main() -> None:
                     row["candidate_growth"] = round(
                         ek["candidates"] / e1["candidates"], 2
                     )
+            # iterative-graph round economics: time ratio = rounds ratio x
+            # per-round cost ratio; naming which factor carries the curve
+            # is what separates "the fanned graph is deeper" (fixture
+            # property) from "a round got more expensive than its data"
+            l1 = c1[name].get("loops")
+            lk = ck.get(name, {}).get("loops")
+            if l1 and lk:
+                r1 = sum(l.get("rounds", 0) for l in l1)
+                rk2 = sum(l.get("rounds", 0) for l in lk)
+                row["rounds_1x"], row["rounds_kx"] = r1, rk2
+                if r1 and rk2 and row["ratio"]:
+                    rr = round(rk2 / r1, 2)
+                    pr = round((tk[name] / rk2) / (t1[name] / r1), 2)
+                    row["rounds_growth"] = rr
+                    row["per_round_cost_ratio"] = pr
+                    if all(l.get("fixed_rounds") for l in l1):
+                        row["rounds_verdict"] = (
+                            f"fixed {r1} rounds: the {row['ratio']}x time "
+                            f"ratio is pure per-round cost at {k}x data"
+                        )
+                    elif row["ratio"] <= 1.2:
+                        row["rounds_verdict"] = (
+                            f"rounds {r1}->{rk2} ({rr}x) x per-round cost "
+                            f"{pr}x = {row['ratio']}x; flat at {k}x data - "
+                            "neither factor degrades"
+                        )
+                    else:
+                        lead = (
+                            "round count carries the curve"
+                            if rr >= pr
+                            else "per-round cost carries the curve"
+                        )
+                        row["rounds_verdict"] = (
+                            f"rounds {r1}->{rk2} ({rr}x) x per-round cost "
+                            f"{pr}x = {row['ratio']}x; {lead}"
+                        )
         return row
 
     report = {
