@@ -400,6 +400,30 @@ ORACLE_CLIP_POINTS = _clip_oracle_sql()
 GRID_DIST = 1000.0    # metres; also the grid cell size
 GRID_CELL_CAP = 64    # points per cell before the cell is excluded
 
+# Constant-density under corpus fans: the scale probes and the sf1
+# rehearsal grow events by unioning copies with event_id shifted by
+# multiples of FAN_COPY_SHIFT (tools/scale_probe.KEY_SHIFT). Because
+# _synth_points derives x from event_id MOD 800000, every copy would
+# land in the SAME coordinate area — point density (and qualifying
+# pairs per point) would grow with the fan by pure geometry, measuring
+# the fixture instead of the operator. grid_distance_pairs therefore
+# translates each copy into its own disjoint x-tile. At every driver
+# scale (event_id < FAN_COPY_SHIFT) the tile term is exactly 0.0, so
+# results and hashes are unchanged; under a fan, density — and
+# pairs-per-point — is scale-invariant. Integer-exact: event_id DIV
+# FAN_COPY_SHIFT is a small integer, the product stays far below 2^53,
+# and adding it to the integer-valued x is exact in doubles, so the
+# DuckDB twin computes the bit-identical coordinate.
+FAN_COPY_SHIFT = 10_000_000
+FAN_TILE_STRIDE = 810_000.0  # > the 800k x-span: tiles never touch
+
+
+def _tiled_synth_points(ev: DataFrame) -> DataFrame:
+    tile = F.expr(f"CAST(event_id DIV {FAN_COPY_SHIFT} AS DOUBLE)")
+    return _synth_points(ev).withColumn(
+        "x", F.col("x") + tile * F.lit(FAN_TILE_STRIDE)
+    )
+
 
 def grid_pairs(pts: DataFrame, dist: float, cap: int) -> DataFrame:
     """All pairs of `pts` (event_id, x, y) within `dist`, grid-bucketed:
@@ -468,16 +492,20 @@ def grid_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap never bites on this testdata — max 3 points/cell — which the
     oracle proves by matching the capped implementation against the
     same-capped brute force; the hot-cell behavior itself is unit-tested
-    with synthetic dense points in test_geometry)."""
+    with synthetic dense points in test_geometry). Fan copies tile into
+    disjoint coordinate areas (see FAN_COPY_SHIFT above) so the query is
+    constant-density at the sf1 rehearsal and in the geo scale probe,
+    with hashes untouched at every driver scale."""
     return grid_pairs(
-        _synth_points(read_events(spark, sf_dir)), GRID_DIST, GRID_CELL_CAP
+        _tiled_synth_points(read_events(spark, sf_dir)), GRID_DIST, GRID_CELL_CAP
     )
 
 
 ORACLE_GRID_PAIRS = f"""
 WITH pts AS (
   SELECT event_id,
-         150000.0::DOUBLE + (event_id * 7919 % 800000) AS x,
+         150000.0::DOUBLE + (event_id * 7919 % 800000)
+           + CAST(event_id // {FAN_COPY_SHIFT} AS DOUBLE) * {FAN_TILE_STRIDE} AS x,
          6050000.0::DOUBLE + (user_id * 104729 % 1700000) AS y
   FROM events),
 cells AS (

@@ -89,10 +89,9 @@ MAIN_QUERIES = [
     # bounded exact count), array-zip bigram table, terasort shuffle
     # manifest, heap-merge top-k, one-scan-per-table constraints,
     # single-scan drift buckets.
-    # grid_distance_pairs is deliberately NOT probed: fanning k copies
-    # of events into the SAME coordinate area multiplies point density
-    # by k, so qualifying pairs grow ~k^2 by geometry — the probe would
-    # measure output cardinality, not operator efficiency.
+    # grid_distance_pairs is probed by the dedicated geo family (the
+    # query self-tiles fan copies into disjoint coordinate areas, so the
+    # geo probe measures the operator at constant density).
     "heavy_hitter_users",
     "bigram_next_token",
     "bigram_surprisal_scores",
@@ -421,6 +420,10 @@ def time_queries(spark, queries, names, sf_dir: str,
                 counters.disable()
         best = None
         for _ in range(2):
+            # same orphaned-persist hygiene as bench.py: each call
+            # re-persists its own fresh DataFrame, so dropping the prior
+            # call's blocks removes contention without removing reuse
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
@@ -430,26 +433,24 @@ def time_queries(spark, queries, names, sf_dir: str,
     return times, counts
 
 
-GEO_TILE_STRIDE = 810_000.0  # > the 800k x-span: copies land in disjoint tiles
-
-
-def _const_density_points(spark, sf_dir: str):
-    """_synth_points with each fan copy translated into its own x-tile, so
-    point density (and hence near-join output per point) is scale-invariant."""
-    from op_etl_spark.session import read_events
-    from op_etl_spark.suite.geo import _synth_points
-
-    pts = _synth_points(read_events(spark, sf_dir))
-    tile = F.floor(F.col("event_id") / F.lit(KEY_SHIFT)).cast("double")
-    return pts.withColumn("x", F.col("x") + tile * F.lit(GEO_TILE_STRIDE))
-
-
 def geo_probe(spark, base: str, scaled: str, k: int) -> dict:
-    from op_etl_spark.suite.geo import GRID_CELL_CAP, GRID_DIST, grid_pairs
+    """Since round 8 the tile translation lives in the DECLARED query
+    (suite/geo._tiled_synth_points — a no-op below FAN_COPY_SHIFT), so
+    the probe measures grid_distance_pairs' own plan, and the sf1
+    rehearsal sweep oracles it at 10x with no exclusion."""
+    from op_etl_spark.session import read_events
+    from op_etl_spark.suite.geo import (
+        FAN_COPY_SHIFT,
+        GRID_CELL_CAP,
+        GRID_DIST,
+        _tiled_synth_points,
+        grid_pairs,
+    )
 
+    assert FAN_COPY_SHIFT == KEY_SHIFT, "probe fan and query tiling disagree"
     report = {}
     for tag, sf_dir in (("1x", base), ("kx", scaled)):
-        pts = _const_density_points(spark, sf_dir)
+        pts = _tiled_synth_points(read_events(spark, sf_dir))
         q = grid_pairs(pts, GRID_DIST, GRID_CELL_CAP)
         q.write.format("noop").mode("overwrite").save()  # warm
         best = None
