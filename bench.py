@@ -271,19 +271,19 @@ def main() -> None:
     # under Lloyd-round build noise (and the decomposition never comes
     # from a cross-call cache — the timed number still owns the full
     # pipeline).
-    # clearCache between timed runs: several suite queries persist an
-    # intermediate for the duration of their own action (e.g. the bigram
-    # table in bigram_surprisal_scores) and each CALL creates a fresh
-    # DataFrame, so the previous call's blocks become orphans that only
-    # ContextCleaner frees — on ITS schedule, driven by driver GC. Left
-    # alone, a query's timing depends on how much orphaned cache the
-    # preceding queries happened to leave (bigram_surprisal_scores
-    # drifted 1.3-1.8x across rounds with zero code changes — this
-    # mechanism; its standalone band is ±13%). Dropping the orphans
-    # before each timed run makes every query start from the same
-    # storage-pool state regardless of HEADLINE order. Never helps a
-    # query (cross-call cache reuse is impossible with fresh plans —
-    # only contention is removed), so timings stay honest.
+    # clearCache between timed runs — two mechanisms, both measured:
+    # (1) CacheManager matches persisted plans by ANALYZED-PLAN EQUALITY,
+    # so a repeat call of a self-persisting query (the funnel's flags
+    # table, surprisal's bigram table, the dedup family's shingle
+    # arrays) silently substitutes the PREVIOUS call's materialized
+    # blocks — min-of-two was then timing a cache-hot re-read, not the
+    # operator (training_corpus_funnel: 1.8-2.5 s hot vs ~5 s cold).
+    # (2) Blocks a fresh call can't match become orphans freed only on
+    # ContextCleaner's driver-GC schedule, so readings also depended on
+    # HEADLINE order and GC timing (bigram_surprisal_scores drifted
+    # 1.3-1.8x across rounds with zero code changes). Clearing before
+    # every timed run makes each number the per-call COLD cost,
+    # order-independent — the cost a cluster pays to run the query once.
     timings: dict[str, float] = {}
     build_sec: dict[str, float] = {}
     build_phases: dict[str, dict[str, dict[str, float]]] = {}

@@ -46,6 +46,17 @@ GATE_ALLOW = {
     # for the recall-preserving block split (suite/similarity.py). Kept:
     # the r2->r3 pair is pinned in CI (test_bench_diff.py gates R02->R03).
     "embedding_neardup_pairs": "recall-preserving hierarchical split rework (r3-r4): over-cap blocks now pay for the pairs the old drop-based cap lost",
+    # r7 -> r8 cache-hygiene re-baseline (one-time, diagnosed, not drift):
+    # pre-r8 timings for self-persisting queries measured a repeat
+    # execution whose persisted subtree CacheManager plan-matched to the
+    # PREVIOUS pass's materialized blocks — a cache-hot re-read. bench.py
+    # now clears the SQL cache before every timed run, so the number is
+    # the per-call cold cost. The funnel (persisted doc-flags table
+    # feeding four downstream legs) is the query where hot-vs-cold
+    # differs most: ~1.8-2.5 s hot vs ~5 s cold, code unchanged
+    # (mechanism proven by plan inspection; see DEPLOYMENT.md bench
+    # methodology). Remove once the r8 bench is the recorded baseline.
+    "training_corpus_funnel": "r8 cold-cache re-baseline: pre-r8 numbers were CacheManager-hot re-reads of the per-call persisted flags table",
 }
 
 

@@ -420,9 +420,10 @@ def time_queries(spark, queries, names, sf_dir: str,
                 counters.disable()
         best = None
         for _ in range(2):
-            # same orphaned-persist hygiene as bench.py: each call
-            # re-persists its own fresh DataFrame, so dropping the prior
-            # call's blocks removes contention without removing reuse
+            # same cache hygiene as bench.py: CacheManager matches
+            # persisted plans across calls by analyzed-plan equality, so
+            # without this a timed rep of a self-persisting query re-reads
+            # the previous rep's blocks — ratios must compare COLD costs
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
