@@ -512,16 +512,27 @@ cells AS (
   SELECT floor(x / {GRID_DIST}) AS cx, floor(y / {GRID_DIST}) AS cy, count(*) AS c
   FROM pts GROUP BY 1, 2),
 ok AS (
-  SELECT p.* FROM pts p
+  SELECT p.*, cells.cx, cells.cy FROM pts p
   JOIN cells ON floor(p.x / {GRID_DIST}) = cells.cx
             AND floor(p.y / {GRID_DIST}) = cells.cy
-            AND cells.c <= {GRID_CELL_CAP})
-SELECT a.event_id AS id1, b.event_id AS id2,
-       (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS dist2
-FROM ok a JOIN ok b
-  ON a.event_id < b.event_id
- AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
-     <= {GRID_DIST * GRID_DIST}
+            AND cells.c <= {GRID_CELL_CAP}),
+-- replicate each point into its 3x3 cell neighborhood and EQUI-join the
+-- replicas against home cells — the same plan shape as the Spark side.
+-- (An earlier oracle used the brute-force a.id < b.id join: correct, but
+-- inequality-only predicates nested-loop in DuckDB — O(n^2) distance
+-- evaluations, ~half an hour single-threaded at the sf1 rehearsal's 1M
+-- points. The cell equi-join hash-joins and is corpus-linear; the output
+-- set is identical — each qualifying pair is found exactly once, where
+-- the replica of the larger id lands in the smaller id's home cell.)
+reps AS (
+  SELECT o.event_id, o.x, o.y, o.cx + dx.d AS cx, o.cy + dy.d AS cy
+  FROM ok o, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d))
+SELECT a.event_id AS id1, r.event_id AS id2,
+       (r.x - a.x) * (r.x - a.x) + (r.y - a.y) * (r.y - a.y) AS dist2
+FROM ok a JOIN reps r ON a.cx = r.cx AND a.cy = r.cy
+WHERE a.event_id < r.event_id
+  AND (r.x - a.x) * (r.x - a.x) + (r.y - a.y) * (r.y - a.y)
+      <= {GRID_DIST * GRID_DIST}
 """
 
 
