@@ -100,6 +100,47 @@ def test_ivf_index_search_invariant_across_compaction(spark, tmp_path):
     assert after == before
 
 
+def test_ivf2_index_search_invariant_across_compaction(spark, tmp_path):
+    """Two-level layout: vectors/coarse_id=C/fine_id=F — compaction must
+    preserve BOTH partition levels (two-column pruning untouched)."""
+    from op_etl_spark.operators.ann_index import (
+        build_ivf2_index,
+        ivf2_append_batch,
+        ivf2_search,
+    )
+    from op_etl_spark.operators.layout import compact_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 8 < 5)
+    batches = [emb.filter(F.col("vec_id") % 8 == r) for r in (5, 6, 7)]
+
+    idx = str(tmp_path / "ivf2_idx")
+    build_ivf2_index(corpus, idx, n_coarse=2, n_fine=2, iters=1)
+    for b in batches:
+        ivf2_append_batch(spark, idx, b)
+
+    query = list(emb.orderBy("vec_id").limit(1).collect()[0]["embedding"])
+    before = [
+        tuple(r)
+        for r in ivf2_search(spark, idx, query, p_coarse=2, p_fine=2, topk=10).collect()
+    ]
+    assert len(before) == 10
+
+    n_before = len(_data_files(f"{idx}/vectors"))
+    plans = compact_index(spark, idx)
+    assert not plans["vectors"].skipped
+    assert len(_data_files(f"{idx}/vectors")) < n_before
+    assert glob.glob(f"{idx}/vectors/coarse_id=*/fine_id=*"), "two-level layout lost"
+
+    after = [
+        tuple(r)
+        for r in ivf2_search(spark, idx, query, p_coarse=2, p_fine=2, topk=10).collect()
+    ]
+    assert after == before
+
+
 def test_compact_index_is_idempotent_and_schedulable(spark, tmp_path):
     """Second run straight after the first: every plan reports skipped
     (already at target), so an unconditional scheduled compactor is safe."""
