@@ -177,6 +177,8 @@ def _ensure_persisted(spark, sf_dir: str) -> tuple:
     separately as persisted_build_sec."""
     if sf_dir in _persisted:
         return _persisted[sf_dir]
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -186,6 +188,9 @@ def _ensure_persisted(spark, sf_dir: str) -> tuple:
     from op_etl_spark.suite.dedup import INC_MOD, INC_REMAINDER, _docs
 
     base = tempfile.mkdtemp(prefix="bench_persisted_idx_")
+    # full IVF + LSH index copies live here — without the atexit hook one
+    # leaked index tree accumulates in /tmp per bench invocation
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )

@@ -90,6 +90,28 @@ class TestTailReconstruction:
         got = _queries(str(p))
         assert dead not in got and len(got) == len(bench.HEADLINE) - 1
 
+    def test_stale_fingerprint_new_layout_salvages_visible_pairs(self, tmp_path):
+        # the r9 ADVICE case: a round-8+ artifact (qh/qv AFTER the
+        # queries dict, "sf" at the very end with no '}, "sf"' anchor)
+        # whose fingerprint went stale because HEADLINE grew. The tail is
+        # cut INSIDE the queries dict; every legacy salvage path targeted
+        # the pre-r8 key order, so this used to raise ValueError and
+        # crash the CI gate instead of degrading to the visible pairs.
+        from tools.bench_diff import _queries
+
+        timings, line = self._synthetic_bench_line()
+        # forge a stale fingerprint so the qv zip path must refuse
+        import bench
+
+        line = line.replace(bench.headline_fingerprint(), "00000000")
+        assert '"qh": "00000000"' in line
+        p = tmp_path / "BENCH_stale_new.json"
+        p.write_text(json.dumps({"parsed": None, "tail": line[-2000:]}))
+        got = _queries(str(p))
+        # everything visible in the 2000-char window, nothing hallucinated
+        assert got and all(got[k] == timings[k] for k in got)
+        assert "metric" not in got and "value" not in got and "sf" not in got
+
     def test_stale_fingerprint_falls_back_not_wrong_names(self, tmp_path):
         # a qh that doesn't match the current HEADLINE must NOT be zipped;
         # the legacy pair-salvage path recovers what it can instead
