@@ -122,6 +122,10 @@ def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
     # already collects; recorded (probe-only) so the scale report can tell
     # deeper-graph round growth from degraded per-round cost
     potential_curve = [prev_sum]
+    # exiting at max_rounds without a no-change round is NOT convergence;
+    # the flag travels with the probe record so rounds_kx == max_rounds
+    # reads as "capped, unconverged", never "converged in max_rounds"
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
@@ -141,10 +145,17 @@ def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
         new_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
         potential_curve.append(new_sum)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
-    logging.getLogger(__name__).info("cc_fixpoint converged in %d rounds", rounds)
-    counters.record_loop("cc", rounds=rounds, potential=potential_curve)
+    logging.getLogger(__name__).info(
+        "cc_fixpoint %s in %d rounds",
+        "converged" if converged else "CAPPED UNCONVERGED",
+        rounds,
+    )
+    counters.record_loop(
+        "cc", rounds=rounds, converged=converged, potential=potential_curve
+    )
     return labels, rounds
 
 
@@ -563,13 +574,15 @@ def kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard density refinement — its members participate in >= k
     near-dup relations INSIDE the surviving subgraph, i.e. the template /
     boilerplate heart of a duplicate cluster rather than its halo. At
-    100 TB every round's cost is proportional to the CURRENT edge count,
-    which only shrinks; round count is bounded and asserted."""
+    100 TB every round's exchange is proportional to the removed-vertex
+    FRONTIER (incremental degree maintenance, operators/graph._PeelState);
+    round count is bounded and asserted. Membership comes straight off
+    the peel's maintained degree table — no final edge re-aggregate."""
+    from ..operators.graph import kcore_degrees
+
     edges = _symmetrize(_pairs(spark, sf_dir, min_common=KCORE_MIN_COMMON))
-    core, _ = kcore_fixpoint(edges, KCORE_K)
-    return core.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("core_degree")
-    )
+    members, _ = kcore_degrees(edges, KCORE_K, max_rounds=KCORE_MAX_ROUNDS)
+    return members.select(F.col("node").alias("doc_id"), "core_degree")
 
 
 def _kcore_oracle() -> str:
@@ -623,17 +636,16 @@ def kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     density pressure is the one-line summary of whether its clusters are
     chains (core sizes collapse immediately) or templates (a hard core
     persists). Exploits core NESTING: the k-core of the (k-1)-core IS
-    the k-core of the whole graph, so each level peels the previous
-    level's (strictly smaller) survivor set rather than restarting from
-    the full edge list."""
+    the k-core of the whole graph, so the whole ramp runs as ONE
+    continuous incremental peel (operators/graph.kcore_profile_counts):
+    level k+1 starts from the k-core's degree table, and per-level
+    node/edge counts come off that node-sized table instead of a
+    distinct+count over reconstructed edges."""
+    from ..operators.graph import kcore_profile_counts
+
     edges = _symmetrize(_pairs(spark, sf_dir, min_common=KCORE_MIN_COMMON))
-    rows = []
-    cur = edges
-    for k in KCORE_PROFILE_KS:
-        cur, _ = kcore_fixpoint(cur, k, max_rounds=KCORE_PROFILE_ROUNDS)
-        n_nodes = cur.select("src").distinct().count()
-        n_edges = cur.count() // 2
-        rows.append((k, n_nodes, n_edges))
+    rows = kcore_profile_counts(edges, KCORE_PROFILE_KS,
+                                max_rounds=KCORE_PROFILE_ROUNDS)
     return spark.createDataFrame(rows, "k int, n_nodes long, n_edges long")
 
 
