@@ -157,6 +157,12 @@ HEADLINE = [
     # timed window — the steady-state cost a deployed caller pays.
     "ivf_search_persisted",
     "dedup_delta_persisted",
+    # streaming throughput entries (AvailableNow over the 8-file event
+    # stream; see STREAMING_BENCH below) — wall seconds gated like any
+    # other query, rows/sec + batch latency in the `streaming` section
+    "stream_sessionize",
+    "stream_dedup_exact",
+    "stream_cdc_upsert",
 ]
 
 # --- bench-only persisted-index entries (not driver-declared queries:
@@ -228,6 +234,136 @@ EXTRA_QUERIES = {
     "dedup_delta_persisted": _dedup_delta_persisted,
 }
 
+# --- streaming micro-bench (round 9): every streaming operator was
+# correctness-gated but none had a performance number. These three run
+# the REAL streaming entry points (applyInPandasWithState sessionizer,
+# dropDuplicatesWithinWatermark, foreachBatch CDC merge) over the sf
+# events as an 8-file AvailableNow stream (maxFilesPerTrigger=1 -> 8
+# micro-batches), timing end-to-end wall seconds into `queries` (so the
+# bench_diff gate covers them) and publishing rows/sec + per-batch
+# latency in the `streaming` section. Batch-mode twins of all three are
+# oracle-checked by the driver; these entries exist for throughput
+# evidence, not correctness. ---
+
+_stream_src: dict[str, str] = {}
+
+
+def _ensure_stream_source(spark, sf_dir: str) -> str:
+    """Once per (process, sf_dir): rewrite events as 8 parquet files with
+    micros timestamps (the NANOS logical type needs read_events' session
+    handling, which a fresh readStream schema does not inherit)."""
+    if sf_dir in _stream_src:
+        return _stream_src[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from op_etl_spark.session import read_events
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="bench_stream_src_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = f"{base}/events8"
+    # ts comes back TIMESTAMP_NTZ; watermarks require TIMESTAMP
+    read_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    _stream_src[sf_dir] = src
+    return src
+
+
+def _read_event_stream(spark, sf_dir: str):
+    src = _ensure_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _drain(query) -> dict:
+    """Run an AvailableNow query to completion; return throughput stats
+    from its progress log (no extra work — the numbers piggyback on the
+    StreamingQueryProgress the engine emits anyway)."""
+    t0 = time.perf_counter()
+    query.awaitTermination()
+    wall = time.perf_counter() - t0
+    prog = [p for p in query.recentProgress if p["numInputRows"] > 0]
+    rows = sum(p["numInputRows"] for p in prog)
+    lats = [p["durationMs"]["triggerExecution"] for p in prog]
+    query.stop()
+    return {
+        "sec": round(wall, 3),
+        "rows": rows,
+        "rows_per_sec": round(rows / wall) if wall else None,
+        "n_batches": len(prog),
+        "mean_batch_ms": round(sum(lats) / len(lats)) if lats else None,
+        "max_batch_ms": max(lats) if lats else None,
+    }
+
+
+def _stream_sessionize(spark, sf_dir: str) -> dict:
+    from op_etl_spark.streaming.stateful import sessionize_stream
+
+    q = (
+        sessionize_stream(_read_event_stream(spark, sf_dir))
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _drain(q)
+
+
+def _stream_dedup(spark, sf_dir: str) -> dict:
+    from op_etl_spark.streaming.dedup import dedup_events_stream
+
+    q = (
+        dedup_events_stream(_read_event_stream(spark, sf_dir))
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _drain(q)
+
+
+def _stream_cdc_upsert(spark, sf_dir: str) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from op_etl_spark.streaming.upsert import start_upsert_stream
+
+    # fresh target + checkpoint per run: a CDC merge is stateful on disk,
+    # and reusing them would time an incremental no-op, not the merge
+    base = tempfile.mkdtemp(prefix="bench_stream_upsert_")
+    try:
+        updates = _read_event_stream(spark, sf_dir).select(
+            "user_id", "event_id", "ts", "value"
+        )
+        q = start_upsert_stream(
+            updates,
+            f"{base}/target",
+            f"{base}/ckpt",
+            key_cols=["user_id"],
+            seq_col="event_id",
+            available_now=True,
+        )
+        return _drain(q)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAMING_BENCH = {
+    "stream_sessionize": _stream_sessionize,
+    "stream_dedup_exact": _stream_dedup,
+    "stream_cdc_upsert": _stream_cdc_upsert,
+}
+
 
 def headline_fingerprint() -> str:
     """Stable fingerprint of the headline list (names + order) — emitted
@@ -263,6 +399,8 @@ def main() -> None:
     # actual plan execution time at this data scale and varies ±40%
     # run-to-run, which would make round-over-round comparison meaningless.
     for name in HEADLINE:
+        if name in STREAMING_BENCH:
+            continue
         err = run_one(name)
         if err:
             errors[name] = err
@@ -294,7 +432,7 @@ def main() -> None:
     build_phases: dict[str, dict[str, dict[str, float]]] = {}
     for _ in range(2):
         for name in HEADLINE:
-            if name in errors:
+            if name in errors or name in STREAMING_BENCH:
                 continue
             spark.catalog.clearCache()
             phases.reset()
@@ -320,6 +458,24 @@ def main() -> None:
                     build_sec.pop(name, None)
                     build_phases.pop(name, None)
 
+    # streaming entries: min of two full drains, the FIRST doubling as
+    # the warm pass (these are multi-second runs — a dedicated untimed
+    # warm would add ~40 s of wall for noise the min already absorbs).
+    # The CDC upsert builds fresh target/checkpoint dirs per run so every
+    # timed number is a full merge, never an incremental no-op.
+    streaming_stats: dict[str, dict] = {}
+    for name, fn in STREAMING_BENCH.items():
+        try:
+            best = None
+            for _ in range(2):
+                stats = fn(spark, sf_dir)
+                if best is None or stats["sec"] < best["sec"]:
+                    best = stats
+            timings[name] = best["sec"]
+            streaming_stats[name] = {k: v for k, v in best.items() if k != "sec"}
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+
     total = round(sum(timings.values()), 3)
     # Key order is deliberate: the round driver keeps only the LAST 2000
     # characters of this line, so the bulky human-readable sections
@@ -330,6 +486,7 @@ def main() -> None:
     # artifact against a reordered HEADLINE. ~700 chars of qv + totals
     # always survive the tail, so no round artifact loses query numbers.
     out = {
+        "streaming": streaming_stats,
         "build_phases": build_phases,
         "build_sec": build_sec,
         "search_sec": {n: round(timings[n] - b, 3) for n, b in build_sec.items()},
@@ -348,6 +505,8 @@ def main() -> None:
         out = {"persisted_build_sec": dict(PERSISTED_BUILD_SEC), **out}
     if not build_sec:
         del out["build_sec"], out["search_sec"], out["build_phases"]
+    if not streaming_stats:
+        del out["streaming"]
     if not errors:
         del out["errors"]
     print(json.dumps(out))

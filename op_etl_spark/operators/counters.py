@@ -61,6 +61,14 @@ def disable() -> None:
     _loops.clear()
 
 
+def is_enabled() -> bool:
+    """Probe-only query builders branch on this to attach a stage
+    observation point that the compound-predicate production plan has no
+    seam for (e.g. the interval join's candidate stage); production calls
+    see False and build the untouched plan."""
+    return _enabled
+
+
 def reset() -> None:
     """Forget recorded observations (e.g. between probe scales) while
     staying enabled."""

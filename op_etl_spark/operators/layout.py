@@ -111,6 +111,17 @@ def compact_files(
     this operator is the Hadoop-FS tier of that story.) The bounded
     non-atomic window is rename-swap only; readers never see partial data
     files because the temp write is complete before the first rename.
+
+    READER CONTRACT (single-writer, compact between query waves): a
+    query whose DataFrame was created BEFORE the swap holds the old file
+    listing and fails loudly mid-scan once the swap deletes those files
+    (Spark's "underlying files have been updated" FileNotFound — never
+    partial or wrong rows; pinned by
+    tests/test_round9_fixes.test_compaction_reader_contract). Schedule
+    compaction between query waves — the reference's rebuild-discipline
+    analogue — or use a commit-log table format where readers must
+    overlap writers. DataFrames created after the swap see the compacted
+    table atomically.
     """
     files = _list_data_files(spark, path)
     plan = _plan_from(files, target_file_bytes)

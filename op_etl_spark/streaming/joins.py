@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators import counters
+
 ATTRIBUTION_WINDOW_SECONDS = 3600
 
 
@@ -29,6 +31,7 @@ def attribute_purchases_to_clicks(
     purchases: DataFrame,
     click_watermark: str = "2 hours",
     purchase_watermark: str = "1 hour",
+    observe_as: str | None = None,
 ) -> DataFrame:
     """Inner interval join: every (click, purchase) pair for the same user
     where the purchase lands within 1 hour AFTER the click.
@@ -37,6 +40,18 @@ def attribute_purchases_to_clicks(
     until any purchase inside its attribution window can still arrive
     (purchase_watermark + attribution interval), while purchases can be
     dropped as soon as their own watermark passes.
+
+    `observe_as`: probe-only candidate/output instrumentation (the
+    round-8 verdict's interval-join economics ask). When the caller names
+    itself AND counters are enabled AND both inputs are batch, the join
+    decomposes into the user equi-join (the CANDIDATE stage — every
+    same-user click x purchase pair) followed by the interval predicate
+    as a filter, with a row counter on each side of the predicate. The
+    CollectMetrics node pins the predicate outside the join, so the
+    candidate count is real. Production and streaming calls never take
+    this path: counters are off in production (plan byte-identical,
+    plan_audit-enforced), and a streaming join must carry the range
+    condition INSIDE the join condition to bound its state.
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
@@ -53,15 +68,19 @@ def attribute_purchases_to_clicks(
         c = c.withWatermark("click_ts", click_watermark)
     if p.isStreaming:
         p = p.withWatermark("purchase_ts", purchase_watermark)
-    cond = (
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS")
-        )
+    interval = (F.col("purchase_ts") >= F.col("click_ts")) & (
+        F.col("purchase_ts")
+        <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS")
     )
-    return c.join(p, cond, "inner").select(
+    if observe_as and counters.is_enabled() and not (c.isStreaming or p.isStreaming):
+        joined = counters.observe_stage(
+            c.join(p, F.col("c_user") == F.col("p_user"), "inner"),
+            observe_as,
+            "candidates",
+        ).filter(interval)
+    else:
+        joined = c.join(p, (F.col("c_user") == F.col("p_user")) & interval, "inner")
+    out = joined.select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
@@ -69,6 +88,9 @@ def attribute_purchases_to_clicks(
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         "purchase_value",
     )
+    if observe_as:
+        out = counters.observe_stage(out, observe_as, "output")
+    return out
 
 
 def enrich_stream_with_dimension(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:

@@ -424,6 +424,7 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_purchases_to_clicks(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
+        observe_as="click_attribution",
     )
 
 
@@ -464,6 +465,7 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = attribute_purchases_to_clicks(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
+        observe_as="multitouch_attribution",
     )
     w = W.partitionBy("purchase_id")
     pos = F.row_number().over(w.orderBy("click_ts", "click_id"))
