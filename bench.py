@@ -157,6 +157,9 @@ HEADLINE = [
     # timed window — the steady-state cost a deployed caller pays.
     "ivf_search_persisted",
     "dedup_delta_persisted",
+    # batch twin of the CDC upsert's latest-wins reduction (oracle-gated
+    # as a declared query; the streamed version is stream_cdc_upsert)
+    "cdc_latest_state",
     # streaming throughput entries (AvailableNow over the 8-file event
     # stream; see STREAMING_BENCH below) — wall seconds gated like any
     # other query, rows/sec + batch latency in the `streaming` section

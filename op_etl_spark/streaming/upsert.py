@@ -9,10 +9,14 @@ WHOLE target every batch — a non-starter at 100 TB.
 Bounded-rewrite design: the target is Hive-partitioned by a stable hash
 bucket of the key (`__bucket = pmod(xxhash64(key), n_buckets)`). Each
 micro-batch then
-  1. reduces the batch to its latest row per key (one small shuffle),
-  2. reads back ONLY the buckets the batch touches — a partition filter,
-     so untouched buckets are never listed or read,
-  3. re-merges latest-wins inside those buckets, and
+  1. collects the distinct buckets the batch touches (one tiny agg),
+  2. reads back ONLY those buckets — a partition filter, so untouched
+     buckets are never listed or read,
+  3. merges latest-wins over (current buckets ∪ raw batch) in ONE
+     map-side-combining aggregation — duplicate keys inside the batch
+     collapse in the partial aggregate before the shuffle, so a
+     separate reduce-the-batch-first pass would only add a second
+     shuffle and a second stage barrier for nothing, and
   4. rewrites exactly those bucket directories (per-write dynamic
      partition overwrite — a writer option, so concurrent writes in the
      same session can't race a session-wide conf flip).
@@ -32,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 BUCKET_COL = "__bucket"
 DEFAULT_BUCKETS = 64
@@ -58,20 +61,28 @@ def latest_per_key(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFram
     remaining ORDERABLE columns' descending order so the reduction is
     deterministic on replayed duplicates (maps can't be sort keys; rows
     differing only in an unorderable column tie-break arbitrarily but
-    stably within a run)."""
+    stably within a run).
+
+    Implemented as `max_by(whole_row, struct(seq, orderable_others))`
+    rather than a row_number window: the aggregate partially combines
+    map-side (duplicate keys collapse before the shuffle) and needs no
+    per-partition sort, where the window forces shuffle + full sort +
+    filter. Struct ordering puts null fields first (smallest), matching
+    the window's `F.desc` nulls-last — and the order struct itself is
+    never null, so no key can be dropped the way a bare null `max_by`
+    ordinal would drop it."""
     types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
-    others = [
+    tiebreak = [
         c
         for c in df.columns
         if c not in key_cols and c != seq_col and _orderable(types[c])
     ]
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(seq_col), *[F.desc(c) for c in others]
-    )
+    order = F.struct(F.col(seq_col), *[F.col(c) for c in tiebreak])
+    row = F.max_by(F.struct(*[F.col(c) for c in df.columns]), order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(row.alias("__row"))
+        .select("__row.*")
     )
 
 
@@ -118,22 +129,24 @@ def merge_upsert_batch(
             f"merging with {n_buckets} would strand stale rows — rebuild the "
             "target to re-bucket"
         )
-    latest = (
-        latest_per_key(batch_df, key_cols, seq_col)
-        .withColumn(BUCKET_COL, _bucket(key_cols, n_buckets))
-        .persist()
-    )
+    # persist the RAW bucketed batch, not a pre-reduced one:
+    # latest_per_key's partial aggregate collapses the batch's duplicate
+    # keys map-side anyway, so reducing the batch separately first would
+    # just add a second shuffle and a second stage barrier per
+    # micro-batch. The persist keeps the touched-bucket probe and the
+    # merge from scanning the micro-batch source twice.
+    batch = batch_df.withColumn(BUCKET_COL, _bucket(key_cols, n_buckets)).persist()
     try:
         if existing is None:
-            merged = latest
+            merged = latest_per_key(batch, key_cols, seq_col)
         else:
-            touched = [r[0] for r in latest.select(BUCKET_COL).distinct().collect()]
+            touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
             current = spark.read.parquet(target_dir).filter(
                 F.col(BUCKET_COL).isin(touched)
             )
             merged = latest_per_key(
                 current.select(*cols, BUCKET_COL).unionByName(
-                    latest.select(*cols, BUCKET_COL)
+                    batch.select(*cols, BUCKET_COL)
                 ),
                 key_cols,
                 seq_col,
@@ -147,7 +160,7 @@ def merge_upsert_batch(
         if existing is None:
             _write_marker(spark, target_dir, n_buckets)
     finally:
-        latest.unpersist()
+        batch.unpersist()
 
 
 def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:

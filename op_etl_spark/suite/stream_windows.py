@@ -275,6 +275,40 @@ GROUP BY event_type
 """
 
 
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CDC upsert's latest-wins reduction
+    (streaming/upsert.py `latest_per_key`): the merged target state after
+    replaying the whole events table as one update batch keyed on
+    user_id with event_id as the CDC sequence. The merge is associative
+    (max_by), so replay-in-one-batch equals the eight-micro-batch
+    foreachBatch stream — that equality is pinned separately by
+    tests/test_streaming_upsert.py; this entry puts the reduction itself
+    under the DuckDB hash gate. event_id is globally unique in the
+    corpus, so the winning row per user is fully determined."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    from op_etl_spark.streaming.upsert import latest_per_key
+
+    return latest_per_key(ev, ["user_id"], "event_id").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+ORACLE_CDC_LATEST_STATE = """
+SELECT user_id,
+       event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       value AS last_value
+FROM (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
 def watermark_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode windowed aggregation under a watermark, run AS A
     STREAM, with late fixture rows PROVABLY dropped — the late-data
@@ -515,9 +549,11 @@ QUERIES = {
     "stream_dedup_events": stream_dedup_events,
     "watermark_hourly_counts": watermark_hourly_counts,
     "click_attribution": click_attribution,
+    "cdc_latest_state": cdc_latest_state,
 }
 
 ORACLE = {
+    "cdc_latest_state": ORACLE_CDC_LATEST_STATE,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "sliding_windows": ORACLE_SLIDING_WINDOWS,
     "stateful_sessionize_stream": ORACLE_STATEFUL_SESSIONIZE,

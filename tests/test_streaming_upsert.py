@@ -121,6 +121,20 @@ def test_latest_per_key_deterministic_on_ties(spark):
     assert len(got) == 1 and got[0].val == "y"  # struct-desc tiebreak
 
 
+def test_latest_per_key_null_seq_never_drops_a_key(spark):
+    """The max_by ordinal is a struct wrapping seq, never a bare seq: a
+    bare null ordinal would make max_by skip the row and an all-null-seq
+    key would VANISH from the merged state. Struct ordering instead
+    treats the null field as smallest, so non-null seq wins and an
+    all-null key still keeps exactly one row."""
+    df = spark.createDataFrame(
+        [(1, None, "only"), (2, None, "lo"), (2, 5, "hi")],
+        "k int, seq int, val string",
+    )
+    got = {r.k: (r.seq, r.val) for r in latest_per_key(df, KEYS, SEQ).collect()}
+    assert got == {1: (None, "only"), 2: (5, "hi")}
+
+
 def test_mismatched_buckets_rejected(spark, tmp_path):
     target = str(tmp_path / "t")
     merge_upsert_batch(_updates(spark, [(1, 1, "a")]), target, KEYS, SEQ, 8)
