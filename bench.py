@@ -468,16 +468,22 @@ def main() -> None:
     # timed number is a full merge, never an incremental no-op.
     streaming_stats: dict[str, dict] = {}
     for name, fn in STREAMING_BENCH.items():
-        try:
-            best = None
-            for _ in range(2):
+        # try/except INSIDE the pass loop: a pass-2 hiccup must not
+        # discard a valid pass-1 drain. Mirrors the batch loop exactly —
+        # the failing pass is recorded in errors, any successful pass's
+        # timing is kept
+        best = None
+        for _ in range(2):
+            try:
                 stats = fn(spark, sf_dir)
-                if best is None or stats["sec"] < best["sec"]:
-                    best = stats
+            except Exception as e:  # noqa: BLE001 — report, don't die
+                errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+                continue
+            if best is None or stats["sec"] < best["sec"]:
+                best = stats
+        if best is not None:
             timings[name] = best["sec"]
             streaming_stats[name] = {k: v for k, v in best.items() if k != "sec"}
-        except Exception as e:  # noqa: BLE001 — report, don't die
-            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
 
     total = round(sum(timings.values()), 3)
     # Key order is deliberate: the round driver keeps only the LAST 2000

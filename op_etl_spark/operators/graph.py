@@ -123,15 +123,24 @@ class _PeelState:
         )
         self._removed: list[DataFrame] = []
         self.cur_rows = self.snap_rows = self.edges_snap.count()
+        # live node count, maintained by the same per-round aggregate as
+        # cur_rows (an edge list has no isolated nodes, so 0 edges -> 0
+        # nodes; any peel over a non-empty graph refreshes it via _stats
+        # before returning)
+        self.cur_nodes = 0 if self.cur_rows == 0 else None
 
     def _stats(self, k: int) -> tuple[int, int]:
         """(live symmetric edge rows, frontier size) in ONE tiny job over
         the node-sized degree table: sum(deg) equals the live row count
-        because every live edge row contributes 1 to its src's degree."""
+        because every live edge row contributes 1 to its src's degree.
+        The same job refreshes `cur_nodes` — consumers that report node
+        counts (the degeneracy profile) never pay a dedicated count()."""
         row = self.deg.agg(
             F.sum("deg").alias("s"),
             F.sum(F.when(F.col("deg") < k, 1).otherwise(0)).alias("r"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
+        self.cur_nodes = int(row["n"] or 0)
         return int(row["s"] or 0), int(row["r"] or 0)
 
     def peel(self, k: int, max_rounds: int) -> tuple[int, list[int]]:
@@ -221,19 +230,50 @@ class _PeelState:
         )
 
 
+def _peel_once(edges: DataFrame, k: int, max_rounds: int) -> _PeelState:
+    """One-level peel with the loop-economics record every public entry
+    point shares (per-round surviving-edge counts the loop computes
+    anyway — recorded only when the probe enables counters, so the scale
+    report can separate "more rounds" from "costlier rounds" without an
+    extra pass)."""
+    st = _PeelState(edges)
+    st.rounds, edge_curve = st.peel(k, max_rounds)
+    counters.record_loop("kcore", k=k, rounds=st.rounds, edges=edge_curve)
+    return st
+
+
+def _peel_ramp(edges: DataFrame, ks, max_rounds: int):
+    """Continuous ascending-k peel over ONE shared state: exploits core
+    NESTING — the k-core of the (k-1)-core IS the k-core of the whole
+    graph — so level k+1 starts from the k-core's degree table, with no
+    edge rebuild and no per-level degree recompute. Yields (k, state)
+    after each level's fixpoint."""
+    st = _PeelState(edges)
+    last_k = None
+    for k in ks:
+        if last_k is not None and k < last_k:
+            raise ValueError(f"ks must be ascending, got {k} after {last_k}")
+        last_k = k
+        rounds, edge_curve = st.peel(k, max_rounds)
+        counters.record_loop("kcore", k=k, rounds=rounds, edges=edge_curve)
+        yield k, st
+
+
 def kcore(edges: DataFrame, k: int,
           max_rounds: int = KCORE_DEFAULT_MAX_ROUNDS):
     """k-core of a SYMMETRIC (src, dst) edge list: drop every node of
     degree < k (and its edges) per round until stable.  Returns
     (surviving symmetric edges, rounds); raises past `max_rounds`.
-    Per-round cost is frontier-incident, not survivor-wide — _PeelState."""
-    st = _PeelState(edges)
-    rounds, edge_curve = st.peel(k, max_rounds)
-    # per-round surviving-edge counts the loop computes anyway — recorded
-    # (when the probe enables counters) so the scale report can separate
-    # "more rounds" from "costlier rounds" without an extra pass
-    counters.record_loop("kcore", k=k, rounds=rounds, edges=edge_curve)
-    return st.surviving_edges(), rounds
+    Per-round cost is frontier-incident, not survivor-wide — _PeelState.
+
+    The returned edges are a LAZY bounded plan (the checkpointed
+    snapshot minus at most one accumulated-removals anti-join pair), not
+    a materialized table: single-action consumers — every declared query
+    — pay no extra write. A caller running SEVERAL actions over the
+    result should `localCheckpoint()` it once, or the anti-joins re-run
+    per action."""
+    st = _peel_once(edges, k, max_rounds)
+    return st.surviving_edges(), st.rounds
 
 
 def kcore_degrees(edges: DataFrame, k: int,
@@ -241,49 +281,30 @@ def kcore_degrees(edges: DataFrame, k: int,
     """(node, core_degree) membership of the k-core, straight off the
     peel's maintained degree table — no edge reconstruction, no final
     degree aggregate. Returns (membership DataFrame, rounds)."""
-    st = _PeelState(edges)
-    rounds, edge_curve = st.peel(k, max_rounds)
-    counters.record_loop("kcore", k=k, rounds=rounds, edges=edge_curve)
-    return st.degrees(), rounds
+    st = _peel_once(edges, k, max_rounds)
+    return st.degrees(), st.rounds
 
 
 def kcore_decompose(edges: DataFrame, ks,
                     max_rounds: int = KCORE_DEFAULT_MAX_ROUNDS):
     """Nested k-core decomposition over ascending `ks`: yields
-    (k, surviving symmetric edges) per level.  Exploits core NESTING —
-    the k-core of the (k-1)-core IS the k-core of the whole graph — so
-    the whole ramp runs as ONE continuous peel over shared state: level
-    k+1 starts from the k-core's degree table, with no edge rebuild and
-    no per-level degree recompute."""
-    st = _PeelState(edges)
-    last_k = None
-    for k in ks:
-        if last_k is not None and k < last_k:
-            raise ValueError(f"ks must be ascending, got {k} after {last_k}")
-        last_k = k
-        rounds, edge_curve = st.peel(k, max_rounds)
-        counters.record_loop("kcore", k=k, rounds=rounds, edges=edge_curve)
+    (k, surviving symmetric edges) per level, all levels peeled as one
+    continuous ramp (_peel_ramp)."""
+    for k, st in _peel_ramp(edges, ks, max_rounds):
         yield k, st.surviving_edges()
 
 
 def kcore_profile_counts(edges: DataFrame, ks,
                          max_rounds: int = KCORE_DEFAULT_MAX_ROUNDS):
     """[(k, n_nodes, n_edges)] degeneracy profile via one continuous
-    incremental peel: node counts come from the node-sized degree table
-    and edge counts from its maintained sum (each undirected edge holds
-    two symmetric rows), so no level ever reconstructs or re-aggregates
-    the edge set."""
-    st = _PeelState(edges)
-    out = []
-    last_k = None
-    for k in ks:
-        if last_k is not None and k < last_k:
-            raise ValueError(f"ks must be ascending, got {k} after {last_k}")
-        last_k = k
-        rounds, edge_curve = st.peel(k, max_rounds)
-        counters.record_loop("kcore", k=k, rounds=rounds, edges=edge_curve)
-        out.append((k, st.deg.count(), st.cur_rows // 2))
-    return out
+    incremental peel (_peel_ramp): node counts ride the per-round stats
+    aggregate the peel already runs and edge counts come from its
+    maintained sum (each undirected edge holds two symmetric rows), so
+    no level ever reconstructs, re-aggregates, or re-counts anything."""
+    return [
+        (k, st.cur_nodes, st.cur_rows // 2)
+        for k, st in _peel_ramp(edges, ks, max_rounds)
+    ]
 
 
 def truss_support(pairs: DataFrame) -> DataFrame:

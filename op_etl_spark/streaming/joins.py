@@ -88,7 +88,10 @@ def attribute_purchases_to_clicks(
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         "purchase_value",
     )
-    if observe_as:
+    # same streaming guard as the candidate stage above: df.observe with
+    # an Observation is rejected on streaming Datasets, and the counters
+    # are a batch-probe instrument anyway
+    if observe_as and counters.is_enabled() and not out.isStreaming:
         out = counters.observe_stage(out, observe_as, "output")
     return out
 

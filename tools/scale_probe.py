@@ -38,8 +38,9 @@ Two probe families:
                     scan-linear growth means sketch state leaked into a
                     corpus-sized shuffle.
 
-  skew            — the hot-key family: one user/event_type carries ~20%
-                    of event rows and one chained near-dup component 20%
+  skew            — the hot-key family: one user carries ~20% of event
+                    rows (one event_type ~10% — the v2 split at
+                    SKEW_TYPE_MOD) and one chained near-dup component 20%
                     of documents, AT BOTH SCALES; the ratio measures how
                     the salted aggregate, per-user session window, and CC
                     label loop behave as the hottest key itself grows Kx.
@@ -158,9 +159,11 @@ PAIR_QUERIES = [
 
 # Skew family: every other probe family scales VOLUME uniformly; this one
 # scales a hot key with it. The fixture plants, at every scale, one user
-# and one event_type carrying ~20% of ALL event rows (hot rows chosen by
-# event_id % 5 == 0, invariant under the copy fan since KEY_SHIFT % 5 ==
-# 0), and one near-dup chain component holding 20% of ALL documents
+# carrying ~20% of ALL event rows and one event_type carrying ~10% (the
+# v2 split at SKEW_TYPE_MOD: hot rows chosen by event_id % 5 == 0,
+# invariant under the copy fan since KEY_SHIFT % 5 == 0; every 2nd hot
+# row keeps its real type), and one near-dup chain component holding 20%
+# of ALL documents
 # (hot docs get a sliding window of CHAIN_W sequential "hotN" tokens, so
 # rank-adjacent docs share >= MIN_COMMON_TRIGRAMS trigrams while every
 # chain trigram stays far under DF_CAP — a giant component that grows
