@@ -296,6 +296,12 @@ def _drain(query) -> dict:
     prog = [p for p in query.recentProgress if p["numInputRows"] > 0]
     rows = sum(p["numInputRows"] for p in prog)
     lats = [p["durationMs"]["triggerExecution"] for p in prog]
+    # addBatch is the batch's actual plan execution inside the trigger;
+    # the rest of triggerExecution is streaming machinery (offset
+    # resolution, WAL + offset-log commits, planning) — publishing both
+    # shows how much of a bench-scale batch is fixed per-trigger cost
+    # that a cluster amortizes vs real per-row work
+    works = [p["durationMs"].get("addBatch", 0) for p in prog]
     query.stop()
     return {
         "sec": round(wall, 3),
@@ -304,6 +310,7 @@ def _drain(query) -> dict:
         "n_batches": len(prog),
         "mean_batch_ms": round(sum(lats) / len(lats)) if lats else None,
         "max_batch_ms": max(lats) if lats else None,
+        "mean_addbatch_ms": round(sum(works) / len(works)) if works else None,
     }
 
 
