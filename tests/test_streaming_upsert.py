@@ -135,6 +135,35 @@ def test_latest_per_key_null_seq_never_drops_a_key(spark):
     assert got == {1: (None, "only"), 2: (5, "hi")}
 
 
+def test_merge_is_split_invariant(spark, tmp_path):
+    """The redelivery/associativity contract the foreachBatch merge rests
+    on, checked end-to-end: replaying the same update set as ONE batch,
+    as THREE batches, and as three batches with one redelivered must all
+    land the identical target state. Seeded-random updates with heavy
+    key collision and duplicated (key, seq) pairs so the tie-break path
+    is exercised, not just the max path."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(12), rng.randrange(6), f"v{seed}_{i}")
+            for i in range(60)
+        ]
+        one = str(tmp_path / f"one_{seed}")
+        merge_upsert_batch(_updates(spark, rows), one, KEYS, SEQ, N_BUCKETS)
+
+        cut1, cut2 = sorted(rng.sample(range(1, len(rows)), 2))
+        parts = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+        split = str(tmp_path / f"split_{seed}")
+        for p in parts:
+            merge_upsert_batch(_updates(spark, p), split, KEYS, SEQ, N_BUCKETS)
+        # redeliver the middle batch (retry semantics: must be a no-op)
+        merge_upsert_batch(_updates(spark, parts[1]), split, KEYS, SEQ, N_BUCKETS)
+
+        assert _state(spark, one) == _state(spark, split), f"seed {seed}"
+
+
 def test_mismatched_buckets_rejected(spark, tmp_path):
     target = str(tmp_path / "t")
     merge_upsert_batch(_updates(spark, [(1, 1, "a")]), target, KEYS, SEQ, 8)
