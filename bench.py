@@ -51,6 +51,7 @@ HEADLINE = [
     "jaccard_verified_pairs",
     "incremental_lsh_dedup",
     "ngram_jaccard_pairs_capped",
+    "exact_substring_pairs",
     "minhash_lsh_candidates",
     "simhash64_near_pairs",
     "ann_bruteforce_topk",

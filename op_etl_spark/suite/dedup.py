@@ -767,6 +767,111 @@ def _capped_candidate_pairs(
     return counters.observe_stage(out, qname, "capped_out")
 
 
+# --- exact-substring duplicate spans: content-defined gram sampling ---
+#
+# The set-similarity family above (Jaccard/MinHash/SimHash) measures
+# SHINGLE-SET overlap; it cannot assert "these two documents share an
+# exact verbatim run of >= W consecutive tokens" — the property exact
+# substring dedup of LM training data cares about (long verbatim overlap
+# inflates memorization even between documents that are otherwise
+# dissimilar, so their Jaccard is tiny). This operator detects exact
+# runs with the content-defined sampling used by CDC/fingerprinting
+# systems (Rabin-fingerprint chunking, rsync, winnowing): sample gram
+# POSITIONS by a predicate on the gram's own hash, so two documents
+# sharing a run make identical sampling decisions inside it.
+
+SPAN_W = 6        # tokens per gram: every reported pair shares at least
+                  # one exact 6-token run VERBATIM (zero false positives)
+SPAN_SEL_MOD = 4  # keep a gram iff md5-int % 4 == 0: ~1/4 of positions;
+                  # a shared L-token run is missed only if all L-W+1 of
+                  # its grams hash off the residue (~0.75^(L-5) — the
+                  # standard content-defined-sampling recall trade)
+SPAN_DF_CAP = 64  # boilerplate guard, same bound as DF_CAP: pairs per
+                  # gram <= cap^2 at ANY corpus size
+
+
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id1, id2, n_shared_grams): document pairs sharing >= 1 exact
+    6-token run, with the count of distinct selected runs shared.
+
+    Plan: one narrow stage builds each doc's distinct 6-gram strings
+    from a single split (no re-split per gram), filters them by the
+    content-sampling residue JVM-side, and explodes; one shuffle groups
+    postings by gram (DF-capped before any pair work); pair expansion
+    happens inside the grouped posting arrays (`_posting_pairs` — no
+    self-join, no second corpus scan); one final shuffle aggregates
+    pair counts. Docs shorter than 6 tokens contribute nothing (their
+    exact duplication is exact_dedup_groups' job)."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .filter(F.size("words") >= SPAN_W)
+    )
+    words = F.col("words")
+    n = F.size(words)
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, n - (SPAN_W - 1)) for i in range(SPAN_W)]
+    )
+    grams = F.array_distinct(
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(SPAN_W)])
+        )
+    )
+    sel = F.filter(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(SPAN_SEL_MOD),
+        )
+        == 0,
+    )
+    sh = d.select(
+        F.struct(F.col("doc_id")).alias("m"), F.explode(sel).alias("gram")
+    )
+    posts = (
+        sh.groupBy("gram")
+        .agg(F.collect_list("m").alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= SPAN_DF_CAP))
+    )
+    from ..operators import counters
+
+    out = (
+        counters.observe_stage(
+            _posting_pairs(posts), "exact_substring_pairs", "candidates"
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return counters.observe_stage(out, "exact_substring_pairs", "output")
+
+
+ORACLE_SUBSTRING_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= {SPAN_W}),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(words[i:i+{SPAN_W - 1}], ' ')
+                                for i in range(1, len(words) - {SPAN_W - 2})])) AS gram
+  FROM w),
+sel AS (
+  SELECT doc_id, gram FROM g
+  WHERE ('0x' || substr(md5(gram), 1, 15))::BIGINT % {SPAN_SEL_MOD} = 0),
+capped AS (
+  SELECT gram FROM sel GROUP BY gram
+  HAVING count(*) >= 2 AND count(*) <= {SPAN_DF_CAP}),
+-- cap the posting stream BEFORE the self-join (same memory-shape rule
+-- as the capped-jaccard oracle above)
+capsel AS MATERIALIZED (
+  SELECT s.doc_id, s.gram FROM sel s JOIN capped c ON c.gram = s.gram)
+SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_grams
+FROM capsel a JOIN capsel b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 ORACLE_JACCARD_CAPPED = f"""
 WITH sh AS ({_DUCK_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -1440,6 +1545,7 @@ QUERIES = {
     # input). It remains above as the small-sf oracle baseline that
     # ngram_jaccard_pairs_capped / jaccard_verified_pairs are tested against.
     "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
+    "exact_substring_pairs": exact_substring_pairs,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "minhash_signature_sample": minhash_signature_sample,
     "simhash_fingerprints": simhash_fingerprints,
@@ -1457,6 +1563,7 @@ ORACLE = {
     "exact_dedup_groups": ORACLE_EXACT,
     "incremental_lsh_dedup": ORACLE_INCREMENTAL_LSH,
     "ngram_jaccard_pairs_capped": ORACLE_JACCARD_CAPPED,
+    "exact_substring_pairs": ORACLE_SUBSTRING_PAIRS,
     "minhash_lsh_candidates": ORACLE_MINHASH_LSH,
     "minhash_signature_sample": ORACLE_MINHASH_SAMPLE,
     "simhash_fingerprints": ORACLE_SIMHASH,

@@ -244,3 +244,71 @@ class TestWeightedJaccardDiscrimination:
         # on the other, plus the single seam shingles -> J_w near 0.5,
         # far from the ~1.0 the set version reports
         assert 0.3 <= pairs[(1, 2)] <= 0.6
+
+
+class TestExactSubstringPairs:
+    """Zero-false-positive contract of the content-defined gram sampler:
+    every reported pair shares a verbatim 6-token run; disjoint-vocab
+    docs never pair; the DF cap drops boilerplate; and a planted run of
+    >= SPAN_W + 3*SPAN_SEL_MOD tokens is reliably detected (the run
+    carries enough grams that content-sampling keeps at least one —
+    checked exactly against the sampler's own selection rule)."""
+
+    def test_no_false_positives_and_brute_force_agreement(self, spark, corpus):
+        got = {
+            (r.id1, r.id2): r.n_shared_grams
+            for r in dedup.exact_substring_pairs(spark, corpus).collect()
+        }
+        docs = {
+            r.doc_id: r.text.split(" ")
+            for r in spark.read.parquet(f"{corpus}/documents.parquet").collect()
+        }
+
+        def grams(toks):
+            return {
+                " ".join(toks[i : i + dedup.SPAN_W])
+                for i in range(len(toks) - dedup.SPAN_W + 1)
+            }
+
+        # brute force over the small corpus: selected, capped shared grams
+        import hashlib
+
+        def selected(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dedup.SPAN_SEL_MOD == 0
+
+        per_doc = {d: {g for g in grams(t) if selected(g)} for d, t in docs.items()}
+        df_count: dict = {}
+        for gs in per_doc.values():
+            for g in gs:
+                df_count[g] = df_count.get(g, 0) + 1
+        ids = sorted(per_doc)
+        expect = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared = {
+                    g
+                    for g in per_doc[a] & per_doc[b]
+                    if 2 <= df_count[g] <= dedup.SPAN_DF_CAP
+                }
+                if shared:
+                    expect[(a, b)] = len(shared)
+        assert got == expect
+        # every reported pair REALLY shares a verbatim 6-token run
+        for a, b in got:
+            assert grams(docs[a]) & grams(docs[b])
+
+    def test_boilerplate_cluster_dropped_planted_run_found(self, spark, tmp_path):
+        run = " ".join(f"planted{i}" for i in range(dedup.SPAN_W + 3 * dedup.SPAN_SEL_MOD))
+        rows = [(1, "prefix one two three " + run), (2, run + " suffix four five six")]
+        boiler = "common boilerplate tokens repeated verbatim across every clone doc here now"
+        rows += [(100 + i, boiler) for i in range(N_CLONES)]
+        df = spark.createDataFrame(
+            [(d, t, "en", "synthetic", len(t)) for d, t in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        out = str(tmp_path / "subcorpus")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        got = {(r.id1, r.id2) for r in dedup.exact_substring_pairs(spark, out).collect()}
+        assert (1, 2) in got  # the planted shared run is detected
+        # the boilerplate cluster (df >> cap) contributes no pair
+        assert not any(a >= 100 and b >= 100 for a, b in got)

@@ -116,7 +116,7 @@ def audit(name: str, p: str) -> dict:
         smells.add("BatchEvalPython")
     if "CollectMetrics" in tree:
         # operators/counters.py instrumentation leaked into a production
-        # plan: counters are OFF by default precisely so the 172
+        # plan: counters are OFF by default precisely so the 173
         # driver-facing plans stay byte-identical and bench timings stay
         # honest — a CollectMetrics node here means some code path calls
         # counters.enable() without disabling it again.

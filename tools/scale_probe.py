@@ -130,6 +130,7 @@ PAIR_QUERIES = [
     "exact_dedup_groups",
     "doc_fingerprints",
     "ngram_jaccard_pairs_capped",
+    "exact_substring_pairs",
     "minhash_lsh_candidates",
     "jaccard_verified_pairs",
     "prefix_filter_jaccard_pairs",
