@@ -158,6 +158,12 @@ HEADLINE = [
     # timed window — the steady-state cost a deployed caller pays.
     "ivf_search_persisted",
     "dedup_delta_persisted",
+    # round 9: SemDeDup cluster-then-prune keep/remove decisions (narrow
+    # literal-centroid assignment + cluster-keyed pair join) and
+    # embedding-space eval decontamination (1-row broadcast eval array,
+    # row-local argmax fold — zero corpus shuffles)
+    "semantic_dedup",
+    "semantic_decontaminate",
     # batch twin of the CDC upsert's latest-wins reduction (oracle-gated
     # as a declared query; the streamed version is stream_cdc_upsert)
     "cdc_latest_state",

@@ -395,8 +395,102 @@ GROUP BY 1
 """
 
 
+# --- embedding-space decontamination (semantic complement of the
+# n-gram decontaminate_overlap above) ---
+
+SEM_DECON_TAU = 0.35  # cosine to the nearest eval probe above this = contaminated
+SEM_DECON_MOD = 50  # vec_id % MOD == 0 selects the deterministic eval probes
+
+
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval decontamination: a training vector is
+    contaminated when its cosine to ANY eval probe reaches SEM_DECON_TAU.
+    N-gram overlap (decontaminate_overlap) only catches verbatim leakage;
+    paraphrased eval material needs the semantic check — standard
+    practice in LLM data curation (e.g. the fuzzy dedup + decon stages
+    of public corpus pipelines).
+
+    The eval set here is the deterministic vec_id % SEM_DECON_MOD == 0
+    slice (a stand-in for a real benchmark's embedded prompts; eval sets
+    are small by nature). Output: one row per training vector with its
+    nearest eval probe, the cosine, and the 0/1 contaminated decision.
+
+    100 TB shape: the eval set is aggregated into ONE row holding an
+    eval array (sorted by eval id) and broadcast — the corpus side is
+    then a SINGLE NARROW projection: a per-row fold over the eval array
+    computes max-cosine + argmax in one pass, so there is NO corpus
+    shuffle, no groupBy, no window anywhere in the plan. Contrast
+    ann_bruteforce_topk (probe rows × corpus join + per-probe top-k):
+    here the decision is per-corpus-row, so the join can collapse to a
+    1-row broadcast and the argmax to a row-local reduce. A real eval
+    set of ~100k × 1k-dim floats is ~400 MB as one row — above that,
+    chunk the eval array into B broadcast rows and take the max of B
+    narrow folds (still shuffle-free)."""
+    e = read_table(spark, sf_dir, "embeddings", fan=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    is_eval = F.col("vec_id") % SEM_DECON_MOD == 0
+    evals = (
+        e.filter(is_eval)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("eid"), F.col("emb").alias("ev")))
+            ).alias("evals")
+        )
+    )
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    # row-local argmax fold: strict > keeps the FIRST (lowest-eid) max
+    best = F.aggregate(
+        F.col("evals"),
+        F.struct(F.lit(-2.0).alias("c"), F.lit(-1).cast("long").alias("eid")),
+        lambda acc, ev: F.when(
+            _dot(F.col("emb"), ev["ev"]) / (norm * F.sqrt(_dot(ev["ev"], ev["ev"]))) > acc["c"],
+            F.struct(
+                (_dot(F.col("emb"), ev["ev"]) / (norm * F.sqrt(_dot(ev["ev"], ev["ev"])))).alias("c"),
+                ev["eid"].alias("eid"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        e.filter(~is_eval)
+        .join(F.broadcast(evals))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            F.col("best.eid").alias("eval_id"),
+            fround(F.col("best.c"), 4).alias("eval_cos"),
+            F.when(F.col("best.c") >= SEM_DECON_TAU, F.lit(1)).otherwise(F.lit(0)).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_SEM_DECON = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ev AS (SELECT vec_id AS eid, emb AS ev FROM e WHERE vec_id % {SEM_DECON_MOD} = 0),
+c AS (SELECT * FROM e WHERE vec_id % {SEM_DECON_MOD} <> 0),
+scored AS (
+  SELECT c.vec_id, ev.eid,
+         list_dot_product(c.emb, ev.ev)
+           / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(ev.ev, ev.ev))) AS cos
+  FROM c, ev),
+best AS (
+  SELECT vec_id, eid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid) AS rn
+  FROM scored)
+SELECT vec_id, eid AS eval_id,
+       floor(cos * 10000 + 0.5) / 10000.0 AS eval_cos,
+       CASE WHEN cos >= {SEM_DECON_TAU} THEN 1 ELSE 0 END AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
     "decontaminate_overlap": decontaminate_overlap,
+    "semantic_decontaminate": semantic_decontaminate,
     "temperature_mix_sample": temperature_mix_sample,
     "scrub_events_props": scrub_events_props,
     "training_corpus_funnel": training_corpus_funnel,
@@ -404,6 +498,7 @@ QUERIES = {
 
 ORACLE = {
     "decontaminate_overlap": ORACLE_DECONTAMINATE,
+    "semantic_decontaminate": ORACLE_SEM_DECON,
     "temperature_mix_sample": ORACLE_TEMPERATURE_MIX,
     "scrub_events_props": ORACLE_SCRUB,
     "training_corpus_funnel": ORACLE_FUNNEL,

@@ -516,6 +516,130 @@ WHERE o.d2_orig > 0
 """
 
 
+# --- SemDeDup: cluster-then-prune semantic deduplication ---
+
+SEMDEDUP_TAU = 0.35  # within-cluster cosine above this marks a semantic dup
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
+    embedding to its nearest centroid, then within each cluster mark as
+    REMOVED every vector that has a cosine >= SEMDEDUP_TAU neighbor with
+    higher keep-priority. Keep-priority follows the paper: the vector
+    with the LOWEST similarity-to-centroid survives (cluster-edge points
+    are kept, near-centroid redundancy is pruned); vec_id breaks exact
+    ties. Output: one row per vector with its cluster, centroid cosine,
+    and the 0/1 removal decision.
+
+    Clustering is one deterministic nearest-centroid assignment against
+    the exact per-label tick-mean centroids (the suite's reproducible
+    stand-in for trained k-means centroids — identical arithmetic on
+    both engines, so the oracle replicates it bit-for-bit).
+
+    100 TB shape: the centroid table is k rows of driver-side metadata
+    (collected once, baked into the plan as literals — the ann_index
+    `_assign` pattern), so assignment is a NARROW projection: the corpus
+    never shuffles to pick its cluster. The only corpus shuffle is the
+    cluster-keyed self-join, and SemDeDup scales k with corpus size
+    (50k lists for LAION-440M in the paper) so per-cluster population —
+    and with it per-cluster pair cost — stays constant: total cost is
+    linear in the corpus. The reference has no embedding operators;
+    this extends the dedup family (SURVEY §2 extensions) alongside
+    embedding_neardup_pairs, which finds PAIRS — this one makes the
+    per-document KEEP/REMOVE decision a curation funnel consumes."""
+    e = _emb(spark, sf_dir)
+    cent_rows = (
+        e.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long"))
+              / F.lit(1000000.0) / F.count(F.lit(1))).alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda s: s["cval"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    labels = F.array(*[F.lit(int(r["label"])) for r in cent_rows])
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r["centroid"]]) for r in cent_rows]
+    )
+    # narrow argmax: cosine against each literal centroid; first-max index
+    # = lowest label among ties (labels literal is sorted ascending)
+    coss = F.transform(cents, lambda c: _dot(F.col("emb"), c) / (_norm(F.col("emb")) * _norm(c)))
+    a1 = e.select(
+        "vec_id",
+        "emb",
+        F.element_at(labels, F.array_position(coss, F.array_max(coss)).cast("int")).alias("cluster"),
+        F.array_max(coss).alias("cosc"),
+    )
+    a = a1.alias("a")
+    b = a1.alias("b")
+    from ..operators import counters
+
+    cand = a.join(
+        b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cand = counters.observe_stage(cand, "semantic_dedup", "candidates")
+    pairs = (
+        cand.filter(_pair_cosine(F.col("a.emb"), F.col("b.emb")) >= SEMDEDUP_TAU)
+        .select(
+            F.when(
+                (F.col("a.cosc") < F.col("b.cosc"))
+                | ((F.col("a.cosc") == F.col("b.cosc")) & (F.col("a.vec_id") < F.col("b.vec_id"))),
+                F.col("b.vec_id"),
+            ).otherwise(F.col("a.vec_id")).alias("loser")
+        )
+    )
+    pairs = counters.observe_stage(pairs, "semantic_dedup", "output")
+    losers = pairs.distinct()
+    return (
+        a1.join(losers, a1["vec_id"] == losers["loser"], "left")
+        .select(
+            "cluster",
+            "vec_id",
+            fround("cosc", 4).alias("cosc"),
+            F.when(F.col("loser").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("removed"),
+        )
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH pos AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+cent AS (
+  SELECT label AS c_label, list(cval ORDER BY pos) AS centroid
+  FROM (SELECT label, pos,
+               sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*) AS cval
+        FROM pos GROUP BY 1, 2)
+  GROUP BY 1),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT vec_id, emb, c_label,
+         list_dot_product(emb, centroid)
+           / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(centroid, centroid))) AS cosc
+  FROM e, cent),
+a1 AS (
+  SELECT vec_id, emb, c_label AS cluster, cosc
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, c_label) AS rn
+        FROM scored)
+  WHERE rn = 1),
+losers AS (
+  SELECT DISTINCT CASE WHEN a.cosc < b.cosc OR (a.cosc = b.cosc AND a.vec_id < b.vec_id)
+                       THEN b.vec_id ELSE a.vec_id END AS loser
+  FROM a1 a JOIN a1 b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.emb, b.emb)
+        / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        >= {SEMDEDUP_TAU})
+SELECT a1.cluster, a1.vec_id,
+       floor(cosc * 10000 + 0.5) / 10000.0 AS cosc,
+       CASE WHEN l.loser IS NULL THEN 0 ELSE 1 END AS removed
+FROM a1 LEFT JOIN losers l ON a1.vec_id = l.loser
+"""
+
+
 QUERIES = {
     "embedding_stats": embedding_stats,
     "jl_projection_distortion": jl_projection_distortion,
@@ -523,6 +647,7 @@ QUERIES = {
     "ivf_centroid_rank": ivf_centroid_rank,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_signlsh_neardup": embedding_signlsh_neardup,
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLE = {
@@ -532,4 +657,5 @@ ORACLE = {
     "ivf_centroid_rank": ORACLE_IVF,
     "embedding_neardup_pairs": ORACLE_NEARDUP,
     "embedding_signlsh_neardup": ORACLE_SIGNLSH,
+    "semantic_dedup": ORACLE_SEMDEDUP,
 }

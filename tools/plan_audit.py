@@ -54,6 +54,7 @@ ALLOW = {
     "negative_pair_sample": {"BroadcastNestedLoopJoin"}, # 1-row corpus-size aggregate broadcast into the index math
     "neardup_triangle_stats": {"BroadcastNestedLoopJoin"},  # final assembly cross-join of three 1-row aggregates (node/edge stats, wedge count, triangle count)
     "temperature_mix_sample": {"BroadcastNestedLoopJoin"},  # 1-row (ntot, Z) normalizer broadcast onto the |sources| rate table
+    "semantic_decontaminate": {"BroadcastNestedLoopJoin"},  # 1-row eval-probe ARRAY broadcast over the corpus; the argmax is a row-local fold, so the corpus never shuffles
     "training_corpus_funnel": {"BroadcastNestedLoopJoin"},  # same 1-row mix normalizer inside the capstone funnel
     # Presentation ORDER BY over a group-bounded aggregate output: the
     # declared query semantics include the output order (oracle twins carry

@@ -156,6 +156,11 @@ PAIR_QUERIES = [
     "kcore_profile",
     "pq_recall_at_k",
     "ivfpq_recall_at_k",
+    # round 9: SemDeDup — the pairs fan shifts labels into disjoint
+    # domains per copy, so cluster COUNT grows K at constant cluster
+    # size: exactly the paper's k-proportional-to-N operating regime
+    # (the per-cluster pair join must read ~linear, not K^2)
+    "semantic_dedup",
 ]
 
 # Skew family: every other probe family scales VOLUME uniformly; this one
