@@ -400,6 +400,13 @@ GROUP BY 1
 
 SEM_DECON_TAU = 0.35  # cosine to the nearest eval probe above this = contaminated
 SEM_DECON_MOD = 50  # vec_id % MOD == 0 selects the deterministic eval probes
+# Eval benchmarks are FIXED artifacts: they do not grow with the training
+# corpus. The id cap pins that regime — every driver-scale vec_id is
+# below it (identical outputs at sf0.001/0.01/0.1), while fanned
+# rehearsal corpora (vec_id shifted by >= 10M per copy) add only CORPUS
+# rows, so sf1 measures 10x corpus against the SAME eval set instead of
+# a fixture-made 10x-eval-times-10x-corpus quadratic.
+SEM_DECON_EVAL_CAP = 2000
 
 
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,9 +418,11 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of public corpus pipelines).
 
     The eval set here is the deterministic vec_id % SEM_DECON_MOD == 0
-    slice (a stand-in for a real benchmark's embedded prompts; eval sets
-    are small by nature). Output: one row per training vector with its
-    nearest eval probe, the cosine, and the 0/1 contaminated decision.
+    slice below SEM_DECON_EVAL_CAP (a stand-in for a real benchmark's
+    embedded prompts; eval sets are small FIXED artifacts — the cap pins
+    that regime so fanned rehearsal corpora grow the corpus, never the
+    eval side). Output: one row per training vector with its nearest
+    eval probe, the cosine, and the 0/1 contaminated decision.
 
     100 TB shape: the eval set is aggregated into ONE row holding an
     eval array (sorted by eval id) and broadcast — the corpus side is
@@ -429,7 +438,9 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", fan=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    is_eval = F.col("vec_id") % SEM_DECON_MOD == 0
+    is_eval = (F.col("vec_id") % SEM_DECON_MOD == 0) & (
+        F.col("vec_id") < SEM_DECON_EVAL_CAP
+    )
     evals = (
         e.filter(is_eval)
         .agg(
@@ -470,8 +481,10 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SEM_DECON = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-ev AS (SELECT vec_id AS eid, emb AS ev FROM e WHERE vec_id % {SEM_DECON_MOD} = 0),
-c AS (SELECT * FROM e WHERE vec_id % {SEM_DECON_MOD} <> 0),
+ev AS (SELECT vec_id AS eid, emb AS ev FROM e
+       WHERE vec_id % {SEM_DECON_MOD} = 0 AND vec_id < {SEM_DECON_EVAL_CAP}),
+c AS (SELECT * FROM e
+      WHERE NOT (vec_id % {SEM_DECON_MOD} = 0 AND vec_id < {SEM_DECON_EVAL_CAP})),
 scored AS (
   SELECT c.vec_id, ev.eid,
          list_dot_product(c.emb, ev.ev)

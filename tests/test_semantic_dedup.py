@@ -125,19 +125,23 @@ def test_planted_duplicate_pruned_keeps_edge_point(spark, corpus):
 
 def test_semantic_decontaminate_matches_mirror(spark, corpus):
     from op_etl_spark.suite.contamination import (
+        SEM_DECON_EVAL_CAP,
         SEM_DECON_MOD,
         SEM_DECON_TAU,
         semantic_decontaminate,
     )
 
+    def _is_eval(vid):
+        return vid % SEM_DECON_MOD == 0 and vid < SEM_DECON_EVAL_CAP
+
     out, rows = corpus
     got = {r.vec_id: r for r in semantic_decontaminate(spark, out).collect()}
-    evals = sorted((vid, vec) for vid, vec, _ in rows if vid % SEM_DECON_MOD == 0)
+    evals = sorted((vid, vec) for vid, vec, _ in rows if _is_eval(vid))
     assert evals, "fixture must contain eval probes"
-    expected_ids = {vid for vid, _, _ in rows if vid % SEM_DECON_MOD != 0}
+    expected_ids = {vid for vid, _, _ in rows if not _is_eval(vid)}
     assert set(got) == expected_ids  # eval probes excluded from the output
     for vid, vec, _ in rows:
-        if vid % SEM_DECON_MOD == 0:
+        if _is_eval(vid):
             continue
         best = None
         for eid, ev in evals:  # ascending eid + strict > = first max
