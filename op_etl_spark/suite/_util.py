@@ -67,6 +67,20 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def dot_fold(a, b) -> Column:
+    """Sequential left-fold dot product over two array<double> columns —
+    the deterministic accumulation order that matches DuckDB's
+    list_dot_product bit-for-bit (the property every embedding oracle
+    twin relies on). One definition so a future fold fix has one site."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def norm_fold(a) -> Column:
+    return F.sqrt(dot_fold(a, a))
+
+
 def fround(col, n: int) -> Column:
     p = 10 ** n
     return F.floor(_c(col) * p + F.lit(0.5)) / F.lit(float(p))

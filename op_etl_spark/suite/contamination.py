@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import fround, read_table
+from ._util import dot_fold, fround, norm_fold, read_table
 from ..operators.sampling import hash_unit, hash_unit_sql
 
 NGRAM_N = 5
@@ -441,38 +441,49 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = (F.col("vec_id") % SEM_DECON_MOD == 0) & (
         F.col("vec_id") < SEM_DECON_EVAL_CAP
     )
+    # probe norms computed ONCE per probe before the aggregation — Spark
+    # does not CSE inside higher-order-function lambdas, so a naive
+    # per-(row, probe) re-fold of both norms multiplies the dominant
+    # O(N·|eval|·d) flops several-fold (measured on the sibling
+    # semantic_dedup assignment)
     evals = (
         e.filter(is_eval)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("vec_id").alias("eid"), F.col("emb").alias("ev")))
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("eid"),
+                        F.col("emb").alias("ev"),
+                        norm_fold("emb").alias("en"),
+                    )
+                )
             ).alias("evals")
         )
+        # empty eval set -> zero output rows, matching the oracle's cross
+        # join with an empty ev relation (without this the single
+        # empty-array row would keep every corpus row and emit sentinel
+        # cosines)
+        .filter(F.size("evals") > 0)
     )
-
-    def _dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-
-    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
-    # row-local argmax fold: strict > keeps the FIRST (lowest-eid) max
-    best = F.aggregate(
+    # row norm projected once; cosine computed once per (row, probe);
+    # argmax via array_max over (cos, -eid) structs — on exact double
+    # ties the max of -eid is the LOWEST eid, matching the oracle's
+    # row_number ORDER BY cos DESC, eid
+    scored = F.transform(
         F.col("evals"),
-        F.struct(F.lit(-2.0).alias("c"), F.lit(-1).cast("long").alias("eid")),
-        lambda acc, ev: F.when(
-            _dot(F.col("emb"), ev["ev"]) / (norm * F.sqrt(_dot(ev["ev"], ev["ev"]))) > acc["c"],
-            F.struct(
-                (_dot(F.col("emb"), ev["ev"]) / (norm * F.sqrt(_dot(ev["ev"], ev["ev"])))).alias("c"),
-                ev["eid"].alias("eid"),
-            ),
-        ).otherwise(acc),
+        lambda s: F.struct(
+            (dot_fold(F.col("emb"), s["ev"]) / (F.col("nrm") * s["en"])).alias("c"),
+            (-s["eid"]).alias("negid"),
+        ),
     )
     return (
         e.filter(~is_eval)
+        .withColumn("nrm", norm_fold("emb"))
         .join(F.broadcast(evals))
-        .withColumn("best", best)
+        .withColumn("best", F.array_max(scored))
         .select(
             "vec_id",
-            F.col("best.eid").alias("eval_id"),
+            (-F.col("best.negid")).alias("eval_id"),
             fround(F.col("best.c"), 4).alias("eval_cos"),
             F.when(F.col("best.c") >= SEM_DECON_TAU, F.lit(1)).otherwise(F.lit(0)).alias("contaminated"),
         )

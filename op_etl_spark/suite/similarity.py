@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ._util import fround, read_table
+import math
+
+from ._util import dot_fold as _dot, fround, norm_fold, read_table
 
 N_PROBES = 10
 TOP_K = 5
@@ -26,14 +28,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+_norm = norm_fold
 
 
 # --- vector stats sanity (norms, means) ---
@@ -574,7 +569,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.array(*[F.lit(float(v)) for v in r["centroid"]]).alias("c"),
-                F.lit(__import__("math").sqrt(_pydot(r["centroid"], r["centroid"]))).alias("cn"),
+                F.lit(math.sqrt(_pydot(r["centroid"], r["centroid"]))).alias("cn"),
             )
             for r in cent_rows
         ]

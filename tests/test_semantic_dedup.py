@@ -117,10 +117,14 @@ def test_planted_duplicate_pruned_keeps_edge_point(spark, corpus):
     a, b = got[1000], got[1001]
     assert a.cluster == b.cluster  # near-identical vectors co-cluster
     assert a.removed + b.removed >= 1  # at least one of the twins pruned
-    # the survivor of the pair is the one farther from the centroid
-    kept, gone = (a, b) if a.removed == 0 else (b, a)
-    if kept.removed == 0 and gone.removed == 1:
-        assert (kept.cosc, kept.vec_id) <= (gone.cosc, gone.vec_id)
+    # priority from the UNROUNDED mirror (output cosc is 4-dp rounded and
+    # could collide). The guaranteed pair property is one-sided: the twin
+    # CLOSER to the centroid is removed by its lower-priority partner;
+    # the partner itself may legitimately fall to a third neighbor, so
+    # its survival is covered by the full-mirror test, not asserted here.
+    assigned, _ = _mirror(rows)
+    higher = max((1000, 1001), key=lambda v: (assigned[v][1], v))
+    assert got[higher].removed == 1
 
 
 def test_semantic_decontaminate_matches_mirror(spark, corpus):
@@ -153,12 +157,32 @@ def test_semantic_decontaminate_matches_mirror(spark, corpus):
         assert got[vid].contaminated == (1 if best[1] >= SEM_DECON_TAU else 0)
 
 
+def test_semantic_decontaminate_empty_eval_set_yields_zero_rows(spark, tmp_path_factory):
+    """With no eval probes the oracle's cross join returns zero rows; the
+    Spark side must match (not one sentinel row per corpus vector)."""
+    from op_etl_spark.suite.contamination import semantic_decontaminate
+
+    rng = random.Random(7)
+    rows = [
+        (vid, [rng.randint(-256, 256) / 256.0 for _ in range(DIM)], 0)
+        for vid in range(1, 31)  # no vec_id % 50 == 0 -> empty eval set
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    )
+    out = str(tmp_path_factory.mktemp("semdecon_empty"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    assert semantic_decontaminate(spark, out).collect() == []
+
+
 def test_every_cluster_keeps_its_lowest_priority_vector(spark, corpus):
-    out, _ = corpus
-    res = semantic_dedup(spark, out).collect()
+    out, rows = corpus
+    got = {r.vec_id: r for r in semantic_dedup(spark, out).collect()}
+    # anchors from the UNROUNDED mirror priorities, not the rounded output
+    assigned, _ = _mirror(rows)
     by_cluster = {}
-    for r in res:
-        by_cluster.setdefault(r.cluster, []).append(r)
+    for vid, (cluster, cosc, _) in assigned.items():
+        by_cluster.setdefault(cluster, []).append((cosc, vid))
     for cluster, members in by_cluster.items():
-        anchor = min(members, key=lambda r: (r.cosc, r.vec_id))
-        assert anchor.removed == 0, f"cluster {cluster} pruned its anchor"
+        anchor = min(members)[1]
+        assert got[anchor].removed == 0, f"cluster {cluster} pruned its anchor"
