@@ -512,9 +512,61 @@ FROM best WHERE rn = 1
 """
 
 
+def embedding_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the two semantic hygiene stages in ONE DAG
+    (the embedding-side twin of training_corpus_funnel): SemDeDup
+    keep/remove decisions joined with the eval-decontamination flags,
+    rolled up per cluster — members, eval probes, semantic duplicates
+    removed, contaminated survivors, final training vectors, and an
+    id-sum witness over the final set so the oracle hash pins WHICH
+    vectors survived, not just how many.
+
+    Plan shape: the two declared queries compose as DataFrames, so
+    Catalyst fuses them — the corpus is scanned by each stage's own
+    bounded pattern (narrow literal-centroid assignment + cluster-keyed
+    self-join; 1-row broadcast eval array), the stage outputs join on
+    vec_id, and the rollup is one map-side-combining aggregate on
+    cluster id. Eval probes are absent from the decontamination output
+    by construction (left join), counted as n_eval and excluded from
+    the final set: eval material is never training data."""
+    from .similarity import semantic_dedup
+
+    d = semantic_dedup(spark, sf_dir)
+    c = semantic_decontaminate(spark, sf_dir).select("vec_id", "contaminated")
+    j = d.join(c, "vec_id", "left")
+    is_eval = F.col("contaminated").isNull()
+    is_final = (F.col("removed") == 0) & (F.col("contaminated") == 0)
+    return j.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(is_eval, 1).otherwise(0)).cast("bigint").alias("n_eval"),
+        F.sum("removed").cast("bigint").alias("n_dup_removed"),
+        F.sum(F.when(~is_eval, F.col("contaminated")).otherwise(0)).cast("bigint").alias("n_contaminated"),
+        F.sum(F.when(is_final, 1).otherwise(0)).cast("bigint").alias("n_final"),
+        F.sum(F.when(is_final, F.col("vec_id")).otherwise(0)).cast("bigint").alias("id_sum_final"),
+    )
+
+
+from .similarity import ORACLE_SEMDEDUP as _ORACLE_SEMDEDUP  # noqa: E402  (oracle reuse)
+
+ORACLE_EMB_FUNNEL = f"""
+WITH d AS ({_ORACLE_SEMDEDUP}),
+c AS ({ORACLE_SEM_DECON})
+SELECT d.cluster,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN c.contaminated IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       CAST(sum(d.removed) AS BIGINT) AS n_dup_removed,
+       CAST(sum(CASE WHEN c.contaminated IS NOT NULL THEN c.contaminated ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN d.removed = 0 AND c.contaminated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN d.removed = 0 AND c.contaminated = 0 THEN d.vec_id ELSE 0 END) AS BIGINT) AS id_sum_final
+FROM d LEFT JOIN c ON d.vec_id = c.vec_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "decontaminate_overlap": decontaminate_overlap,
     "semantic_decontaminate": semantic_decontaminate,
+    "embedding_curation_funnel": embedding_curation_funnel,
     "temperature_mix_sample": temperature_mix_sample,
     "scrub_events_props": scrub_events_props,
     "training_corpus_funnel": training_corpus_funnel,
@@ -523,6 +575,7 @@ QUERIES = {
 ORACLE = {
     "decontaminate_overlap": ORACLE_DECONTAMINATE,
     "semantic_decontaminate": ORACLE_SEM_DECON,
+    "embedding_curation_funnel": ORACLE_EMB_FUNNEL,
     "temperature_mix_sample": ORACLE_TEMPERATURE_MIX,
     "scrub_events_props": ORACLE_SCRUB,
     "training_corpus_funnel": ORACLE_FUNNEL,

@@ -585,6 +585,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(labels, F.array_position(coss, F.array_max(coss)).cast("int")).alias("cluster"),
         F.array_max(coss).alias("cosc"),
     )
+    # localCheckpoint: the assignment table feeds BOTH self-join sides and
+    # the final survivor join (and downstream compositions like
+    # embedding_curation_funnel) — without it each reference re-pays the
+    # O(N·k) centroid argmax and its own corpus scan (the plan-audit
+    # rescan axis counts them); with it assignment is computed once
+    a1 = a1.localCheckpoint()
     a = a1.alias("a")
     b = a1.alias("b")
     from ..operators import counters

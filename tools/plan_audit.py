@@ -55,6 +55,7 @@ ALLOW = {
     "neardup_triangle_stats": {"BroadcastNestedLoopJoin"},  # final assembly cross-join of three 1-row aggregates (node/edge stats, wedge count, triangle count)
     "temperature_mix_sample": {"BroadcastNestedLoopJoin"},  # 1-row (ntot, Z) normalizer broadcast onto the |sources| rate table
     "semantic_decontaminate": {"BroadcastNestedLoopJoin"},  # 1-row eval-probe ARRAY broadcast over the corpus; the argmax is a row-local fold, so the corpus never shuffles
+    "embedding_curation_funnel": {"BroadcastNestedLoopJoin"},  # inherits the decontamination stage's 1-row eval-array broadcast; the dedup stage's assignment table is checkpointed, so the corpus carries no extra scan
     "training_corpus_funnel": {"BroadcastNestedLoopJoin"},  # same 1-row mix normalizer inside the capstone funnel
     # Presentation ORDER BY over a group-bounded aggregate output: the
     # declared query semantics include the output order (oracle twins carry
