@@ -446,15 +446,22 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(row, probe) re-fold of both norms multiplies the dominant
     # O(N·|eval|·d) flops several-fold (measured on the sibling
     # semantic_dedup assignment)
+    # zero-norm guard (both sides, mirrored in the oracle): Spark's
+    # Divide returns NULL on x/0.0 while DuckDB follows IEEE (inf/NaN),
+    # so a zero-norm vector would diverge the argmax across engines —
+    # the declared semantics exclude degenerate vectors from BOTH the
+    # probe set and the corpus, engine-independently.
     evals = (
         e.filter(is_eval)
+        .withColumn("en", norm_fold("emb"))
+        .filter(F.col("en") > 0)
         .agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
                         F.col("vec_id").alias("eid"),
                         F.col("emb").alias("ev"),
-                        norm_fold("emb").alias("en"),
+                        F.col("en").alias("en"),
                     )
                 )
             ).alias("evals")
@@ -479,6 +486,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(~is_eval)
         .withColumn("nrm", norm_fold("emb"))
+        .filter(F.col("nrm") > 0)
         .join(F.broadcast(evals))
         .withColumn("best", F.array_max(scored))
         .select(
@@ -493,9 +501,11 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SEM_DECON = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 ev AS (SELECT vec_id AS eid, emb AS ev FROM e
-       WHERE vec_id % {SEM_DECON_MOD} = 0 AND vec_id < {SEM_DECON_EVAL_CAP}),
+       WHERE vec_id % {SEM_DECON_MOD} = 0 AND vec_id < {SEM_DECON_EVAL_CAP}
+         AND list_dot_product(emb, emb) > 0),
 c AS (SELECT * FROM e
-      WHERE NOT (vec_id % {SEM_DECON_MOD} = 0 AND vec_id < {SEM_DECON_EVAL_CAP})),
+      WHERE NOT (vec_id % {SEM_DECON_MOD} = 0 AND vec_id < {SEM_DECON_EVAL_CAP})
+        AND list_dot_product(emb, emb) > 0),
 scored AS (
   SELECT c.vec_id, ev.eid,
          list_dot_product(c.emb, ev.ev)

@@ -515,6 +515,230 @@ WHERE o.d2_orig > 0
 
 SEMDEDUP_TAU = 0.35  # within-cluster cosine above this marks a semantic dup
 
+# Above this many centroids the flat literal-baked argmax stops being the
+# right shape: SemDeDup's own operating regime scales k with the corpus
+# (50k lists for LAION-440M in the paper), and flat assignment is then
+# O(N*k*d) flops AND O(k*d) serialized-plan bytes. Past the threshold the
+# assignment routes through a two-level coarse/fine argmax (the
+# operators/ann_index.py build_ivf2_index cost model): ~3*sqrt(k)
+# distance evaluations per row, coarse reps as plan literals (O(sqrt(k))
+# plan bytes), fine cells as a BROADCAST table (data, not plan). Every
+# oracle-swept scale (sf0.001/0.01/0.1 at k=10; the sf1 rehearsal's
+# label fan at k=100) stays under the threshold, so declared results are
+# bit-exact flat argmax; the two-level path is exercised by the x32
+# scale probe (k=320) and by tests that force the threshold down.
+SEMDEDUP_FLAT_K_MAX = 128
+
+
+def _semdedup_centroids(e: DataFrame) -> list:
+    """Exact per-label tick-mean centroids, collected as k rows of driver
+    metadata (sorted by label). The suite's reproducible stand-in for
+    trained k-means centroids — identical arithmetic on both engines, so
+    the oracle replicates it bit-for-bit."""
+    return (
+        e.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long"))
+              / F.lit(1000000.0) / F.count(F.lit(1))).alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda s: s["cval"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+
+
+def _pydot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):  # left fold = F.aggregate's order, bit-identical
+        acc += x * y
+    return acc
+
+
+def _best_struct(cands):
+    """One-fold argmax: array_max over (cosine, -label) structs — the
+    cosine is computed ONCE per (row, centroid). Higher-order functions
+    are CodegenFallback, so Spark's subexpression elimination does NOT
+    collapse repeated transform()s: the earlier array_position(coss,
+    array_max(coss)) formulation paid the dominant O(N*k*d) fold ~3x per
+    row. Struct max compares cosine first, then -label: on exact double
+    ties the max of -label is the LOWEST label, matching both the old
+    first-position semantics and the oracle's ORDER BY cosc DESC, label."""
+    return F.array_max(
+        F.transform(
+            cands,
+            lambda s: F.struct(
+                (_dot(F.col("emb"), s["c"]) / (F.col("nrm") * s["cn"])).alias("c"),
+                s["neglabel"].alias("neglabel"),
+            ),
+        )
+    )
+
+
+def _cent_literal(rows) -> F.Column:
+    """[(label, centroid, cn)] -> literal array of (c, cn, neglabel)."""
+    return F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(v)) for v in c]).alias("c"),
+                F.lit(cn).alias("cn"),
+                F.lit(-int(label)).alias("neglabel"),
+            )
+            for label, c, cn in rows
+        ]
+    )
+
+
+def _assign_flat(en: DataFrame, cent_rows) -> DataFrame:
+    cents = _cent_literal(
+        [
+            (r["label"], r["centroid"], math.sqrt(_pydot(r["centroid"], r["centroid"])))
+            for r in cent_rows
+        ]
+    )
+    return en.withColumn("best", _best_struct(cents)).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        (-F.col("best.neglabel")).alias("cluster"),
+        F.col("best.c").alias("cosc"),
+    )
+
+
+def _assign_two_level(en: DataFrame, cent_rows) -> DataFrame:
+    """Coarse -> fine nearest-centroid assignment for corpus-scaled k
+    (the ann_index two-level cost model, composed here per the SemDeDup
+    k~N regime): group the k centroids into ~sqrt(k) coarse cells with a
+    deterministic driver-side Lloyd over the CENTROIDS (k rows of driver
+    metadata — the corpus never participates), route each row to its
+    max-cosine coarse rep (literal argmax, O(sqrt(k)) plan bytes), then
+    argmax over ONLY that cell's member centroids, shipped as a broadcast
+    fine table keyed by coarse_id (data bytes, not plan bytes). Per-row
+    flops: n_coarse + 2*|cell| ~ 3*sqrt(k) instead of k (nprobe=2).
+    Assignment is approximate in the standard IVF sense — the true
+    nearest centroid of a borderline row can live outside the probed
+    coarse cells — exactly like ivf_search with nprobe < n_lists, and
+    SemDeDup's own clustering is approximate k-means, so the partition
+    remains a valid SemDeDup clustering. Tests gate assignment recall
+    (fraction of rows agreeing with the exact flat argmax) and pin
+    determinism; every ORACLE-swept scale stays on the flat path (see
+    SEMDEDUP_FLAT_K_MAX), so declared results are never approximate."""
+    spark = en.sparkSession
+    cents = [
+        (
+            int(r["label"]),
+            list(r["centroid"]),
+            math.sqrt(_pydot(r["centroid"], r["centroid"])),
+        )
+        for r in cent_rows
+    ]
+    k = len(cents)
+    n_coarse = max(2, math.isqrt(k - 1) + 1)
+
+    def _cos(a, an, b, bn):
+        return _pydot(a, b) / (an * bn) if an and bn else -1.0
+
+    # deterministic seeds: evenly spaced over the label-sorted centroids
+    reps = [list(cents[(i * k) // n_coarse][1]) for i in range(n_coarse)]
+    assign = [0] * k
+    for _ in range(2):  # 2 Lloyd rounds over k driver rows — O(k*sqrt(k)*d)
+        rep_norms = [math.sqrt(_pydot(r, r)) for r in reps]
+        for j, (_, c, cn) in enumerate(cents):
+            assign[j] = max(
+                range(n_coarse),
+                key=lambda i: (_cos(c, cn, reps[i], rep_norms[i]), -i),
+            )
+        for i in range(n_coarse):
+            members = [cents[j][1] for j in range(k) if assign[j] == i]
+            if members:
+                reps[i] = [
+                    sum(m[d] for m in members) / len(members)
+                    for d in range(len(members[0]))
+                ]
+    cells: dict[int, list] = {}
+    for j, (label, c, cn) in enumerate(cents):
+        cells.setdefault(assign[j], []).append((label, c, cn))
+    # drop empty cells and reindex so the literal argmax never routes a
+    # row to a coarse id with no fine members
+    live = sorted(cells)
+    coarse_rows = [
+        (i, reps[old], math.sqrt(_pydot(reps[old], reps[old])))
+        for i, old in enumerate(live)
+    ]
+    # neglabel = -i, so the struct max's tie-break picks the LOWEST
+    # coarse index, mirroring the fine argmax's lowest-label rule
+    coarse_lit = _cent_literal(coarse_rows)
+    fine = spark.createDataFrame(
+        [
+            (i, [(int(lb), list(c), float(cn)) for lb, c, cn in cells[old]])
+            for i, old in enumerate(live)
+        ],
+        "coarse_id int, cell array<struct<label:int, c:array<double>, cn:double>>",
+    )
+    # nprobe=2 routing (standard IVF): the true nearest centroid of a
+    # borderline row often lives in the runner-up coarse cell; probing
+    # the top-2 cells costs one extra broadcast join + ~sqrt(k) flops
+    # and removes most routing misses. top-2 via sort of the
+    # n_coarse-sized scored array — O(sqrt(k) log sqrt(k)) per row.
+    coarse_scored = F.transform(
+        coarse_lit,
+        lambda s: F.struct(
+            (_dot(F.col("emb"), s["c"]) / (F.col("nrm") * s["cn"])).alias("c"),
+            s["neglabel"].alias("neglabel"),
+        ),
+    )
+    routed = (
+        en.withColumn("__top2", F.slice(F.reverse(F.array_sort(coarse_scored)), 1, 2))
+        .withColumn("cid1", (-F.col("__top2")[0]["neglabel"]).cast("int"))
+        .withColumn("cid2", (-F.col("__top2")[1]["neglabel"]).cast("int"))
+    )
+
+    def _cell_best(cell_col):
+        return F.array_max(
+            F.transform(
+                cell_col,
+                lambda s: F.struct(
+                    (_dot(F.col("emb"), s["c"]) / (F.col("nrm") * s["cn"])).alias("c"),
+                    (-s["label"]).alias("neglabel"),
+                ),
+            )
+        )
+
+    f1 = fine.select(
+        F.col("coarse_id").alias("cid1"), F.col("cell").alias("__cell1")
+    )
+    f2 = fine.select(
+        F.col("coarse_id").alias("cid2"), F.col("cell").alias("__cell2")
+    )
+    return (
+        routed.join(F.broadcast(f1), "cid1")
+        .join(F.broadcast(f2), "cid2", "left")  # cid2 null when n_coarse == 1
+        .withColumn(
+            "best",
+            # greatest ignores the null second-cell argmax; on an exact
+            # (cosine, neglabel) tie across cells both structs are equal,
+            # so the pick is still the lowest label
+            F.greatest(_cell_best(F.col("__cell1")), _cell_best(F.col("__cell2"))),
+        )
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            (-F.col("best.neglabel")).alias("cluster"),
+            F.col("best.c").alias("cosc"),
+        )
+    )
+
+
+def semdedup_assign(en: DataFrame, cent_rows, flat_k_max: int | None = None) -> DataFrame:
+    """Nearest-centroid assignment for a corpus with a projected `nrm`
+    norm column: flat literal argmax while the codebook is driver-scale,
+    two-level coarse/fine past SEMDEDUP_FLAT_K_MAX."""
+    cap = SEMDEDUP_FLAT_K_MAX if flat_k_max is None else flat_k_max
+    if len(cent_rows) <= cap:
+        return _assign_flat(en, cent_rows)
+    return _assign_two_level(en, cent_rows)
+
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
@@ -532,65 +756,54 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so the oracle replicates it bit-for-bit).
 
     100 TB shape: the centroid table is k rows of driver-side metadata
-    (collected once, baked into the plan as literals — the ann_index
-    `_assign` pattern), so assignment is a NARROW projection: the corpus
-    never shuffles to pick its cluster. The only corpus shuffle is the
-    cluster-keyed self-join, and SemDeDup scales k with corpus size
-    (50k lists for LAION-440M in the paper) so per-cluster population —
-    and with it per-cluster pair cost — stays constant: total cost is
-    linear in the corpus. The reference has no embedding operators;
-    this extends the dedup family (SURVEY §2 extensions) alongside
-    embedding_neardup_pairs, which finds PAIRS — this one makes the
-    per-document KEEP/REMOVE decision a curation funnel consumes."""
-    e = _emb(spark, sf_dir)
-    cent_rows = (
-        e.select("label", F.posexplode("emb").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg((F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long"))
-              / F.lit(1000000.0) / F.count(F.lit(1))).alias("cval"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
-        .select("label", F.transform("pairs", lambda s: s["cval"]).alias("centroid"))
-        .orderBy("label")
-        .collect()
-    )
-    def _pydot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):  # left fold = F.aggregate's order, bit-identical
-            acc += x * y
-        return acc
+    (collected once — the ann_index `_assign` pattern), so assignment is
+    a NARROW projection: the corpus never shuffles to pick its cluster.
+    While k is driver-scale the centroids bake into the plan as literals;
+    past SEMDEDUP_FLAT_K_MAX (SemDeDup's own regime scales k with corpus
+    size — 50k lists for LAION-440M in the paper) assignment routes
+    through the two-level coarse/fine argmax so per-row flops stay
+    ~2*sqrt(k) and plan bytes ~sqrt(k) (see semdedup_assign). The only
+    corpus shuffle is the cluster-keyed self-join, and with k~N the
+    per-cluster population — and with it per-cluster pair cost — stays
+    constant: total cost is linear in the corpus. The reference has no
+    embedding operators; this extends the dedup family (SURVEY §2
+    extensions) alongside embedding_neardup_pairs, which finds PAIRS —
+    this one makes the per-document KEEP/REMOVE decision a curation
+    funnel consumes."""
+    from pyspark import StorageLevel
 
-    labels = F.array(*[F.lit(int(r["label"])) for r in cent_rows])
-    # centroid norms are driver-computed literals and the row norm is
-    # projected ONCE — the naive transform re-folds norm(emb) and
-    # norm(c) per (row, centroid), tripling the O(N·k·d) assignment
-    # flops (measured 18.3 s -> the dominant term at the 32x probe)
-    cents = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(v)) for v in r["centroid"]]).alias("c"),
-                F.lit(math.sqrt(_pydot(r["centroid"], r["centroid"]))).alias("cn"),
-            )
-            for r in cent_rows
-        ]
-    )
-    en = e.withColumn("nrm", _norm(F.col("emb")))
-    # narrow argmax: cosine against each literal centroid; first-max index
-    # = lowest label among ties (labels literal is sorted ascending)
-    coss = F.transform(cents, lambda s: _dot(F.col("emb"), s["c"]) / (F.col("nrm") * s["cn"]))
-    a1 = en.select(
-        "vec_id",
-        "emb",
-        "nrm",
-        F.element_at(labels, F.array_position(coss, F.array_max(coss)).cast("int")).alias("cluster"),
-        F.array_max(coss).alias("cosc"),
-    )
-    # localCheckpoint: the assignment table feeds BOTH self-join sides and
-    # the final survivor join (and downstream compositions like
-    # embedding_curation_funnel) — without it each reference re-pays the
-    # O(N·k) centroid argmax and its own corpus scan (the plan-audit
-    # rescan axis counts them); with it assignment is computed once
-    a1 = a1.localCheckpoint()
+    from ..operators import phases
+
+    e = _emb(spark, sf_dir)
+    with phases.phase("semantic_dedup", "centroids"):
+        cent_rows = _semdedup_centroids(e)
+    # zero-norm guard (mirrored in the oracle): Spark's Divide NULLs on
+    # x/0.0 while DuckDB follows IEEE (inf/NaN) — degenerate vectors and
+    # degenerate centroids are excluded on BOTH engines so the declared
+    # semantics are engine-independent (no-op on the suite corpora)
+    cent_rows = [r for r in cent_rows if _pydot(r["centroid"], r["centroid"]) > 0]
+    # centroid norms are driver-computed and the row norm is projected
+    # ONCE — the naive transform re-folds norm(emb) and norm(c) per
+    # (row, centroid), tripling the O(N·k·d) assignment flops (measured
+    # 18.3 s -> the dominant term at the 32x probe)
+    en = e.withColumn("nrm", _norm(F.col("emb"))).filter(F.col("nrm") > 0)
+    a1 = semdedup_assign(en, cent_rows)
+    # The assignment table feeds BOTH self-join sides and the final
+    # survivor join (and downstream compositions like
+    # embedding_curation_funnel) — without materialization each reference
+    # re-pays the O(N·k) centroid argmax and its own corpus scan (the
+    # plan-audit rescan axis counts them). persist(MEMORY_AND_DISK) +
+    # eager count, NOT localCheckpoint: persisted blocks are recomputable
+    # from lineage on executor loss (a checkpointed assignment of a
+    # 100 TB corpus on executor-local storage makes the job
+    # unrecoverable), and spark.catalog.clearCache() between bench passes
+    # actually releases them, where checkpoint blocks wait for
+    # ContextCleaner driver GC (the orphan-block hazard bench.py
+    # documents). The eager count doubles as the "assign" phase timing —
+    # the build/pair-join decomposition bench.py publishes.
+    a1 = a1.persist(StorageLevel.MEMORY_AND_DISK)
+    with phases.phase("semantic_dedup", "assign"):
+        a1.count()
     a = a1.alias("a")
     b = a1.alias("b")
     from ..operators import counters
@@ -636,12 +849,14 @@ cent AS (
                sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*) AS cval
         FROM pos GROUP BY 1, 2)
   GROUP BY 1),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 scored AS (
   SELECT vec_id, emb, c_label,
          list_dot_product(emb, centroid)
            / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(centroid, centroid))) AS cosc
-  FROM e, cent),
+  FROM e, cent
+  WHERE list_dot_product(centroid, centroid) > 0),
 a1 AS (
   SELECT vec_id, emb, c_label AS cluster, cosc
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, c_label) AS rn
