@@ -28,7 +28,13 @@ exactly the foreachBatch redelivery contract.
 The bucket count is part of the target's physical identity: it's pinned
 in a `_n_buckets` marker on first write and later merges must match —
 silently re-bucketing would strand stale rows in buckets the new formula
-never touches (duplicate keys with no error).
+never touches (duplicate keys with no error). A target is NOT stuck at
+its birth count forever: `rebucket_target` is the offline migration
+(read-all -> rewrite under the new formula -> swap), run under the same
+single-writer contract as layout compaction — stop the merge stream,
+rebucket, resume. The marker also records the key columns, so the
+migration can't silently re-bucket under a different key than the
+merges used.
 """
 
 from __future__ import annotations
@@ -91,23 +97,45 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def _read_marker(spark: SparkSession, target_dir: str) -> int | None:
+def _read_marker_lines(spark: SparkSession, target_dir: str) -> list[str] | None:
     fs, jpath = _fs(spark, f"{target_dir}/{_MARKER}")
     if not fs.exists(jpath):
         return None
     jvm = spark._jvm
     reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(jpath)))
     try:
-        return int(reader.readLine().strip())
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line.strip())
+            line = reader.readLine()
+        return lines
     finally:
         reader.close()
 
 
-def _write_marker(spark: SparkSession, target_dir: str, n_buckets: int) -> None:
+def _read_marker(spark: SparkSession, target_dir: str) -> int | None:
+    lines = _read_marker_lines(spark, target_dir)
+    return int(lines[0]) if lines else None
+
+
+def _read_marker_keys(spark: SparkSession, target_dir: str) -> list[str] | None:
+    """Key columns recorded at first write; None for pre-round-10
+    markers (one line), which stay readable and mergeable."""
+    lines = _read_marker_lines(spark, target_dir)
+    if lines and len(lines) > 1 and lines[1]:
+        return lines[1].split(",")
+    return None
+
+
+def _write_marker(
+    spark: SparkSession, target_dir: str, n_buckets: int, key_cols: list[str] | None = None
+) -> None:
     fs, jpath = _fs(spark, f"{target_dir}/{_MARKER}")
     stream = fs.create(jpath, True)
+    body = f"{n_buckets}\n" + (",".join(key_cols) + "\n" if key_cols else "")
     try:
-        stream.write(f"{n_buckets}\n".encode())
+        stream.write(body.encode())
     finally:
         stream.close()
 
@@ -135,6 +163,13 @@ def merge_upsert_batch(
     # just add a second shuffle and a second stage barrier per
     # micro-batch. The persist keeps the touched-bucket probe and the
     # merge from scanning the micro-batch source twice.
+    marker_keys = _read_marker_keys(spark, target_dir)
+    if marker_keys is not None and marker_keys != list(key_cols):
+        raise ValueError(
+            f"target {target_dir} was bucketed on key {marker_keys}; merging "
+            f"on {list(key_cols)} would route existing keys to the wrong "
+            "buckets — rebucket_target under the new key first"
+        )
     batch = batch_df.withColumn(BUCKET_COL, _bucket(key_cols, n_buckets)).persist()
     try:
         if existing is None:
@@ -158,9 +193,67 @@ def merge_upsert_batch(
             .parquet(target_dir)
         )
         if existing is None:
-            _write_marker(spark, target_dir, n_buckets)
+            _write_marker(spark, target_dir, n_buckets, list(key_cols))
     finally:
         batch.unpersist()
+
+
+def rebucket_target(
+    spark: SparkSession,
+    target_dir: str,
+    new_n_buckets: int,
+    key_cols: list[str] | None = None,
+) -> None:
+    """Offline bucket-count migration: read the WHOLE target, rewrite
+    every row under the new `pmod(xxhash64(key), new_n)` formula into a
+    sibling directory, then swap it into place. This is the lifecycle
+    step the first-write pin deliberately lacks — a target born at 64
+    buckets does not stay 64-bucket at 100 TB; it gets rebucketed when
+    per-bucket size crosses the rewrite-cost budget.
+
+    Contract (same single-writer rule as index/layout compaction):
+    - stop the merge stream first; a merge racing the swap could write
+      into the directory being deleted. Resume after.
+    - cost is one full read + one full write of the target — O(target),
+      by design; it is the MIGRATION, not the per-batch path.
+    - the swap is delete-then-rename: a crash between the two leaves
+      the finished `__rebucket_tmp` directory next to a missing target;
+      re-running the operation is NOT the recovery (there is nothing to
+      read) — rename the tmp dir into place by hand. The tmp dir is
+      complete and self-describing (data + marker) before the old
+      target is touched.
+
+    `key_cols` defaults to the key recorded in the target's marker at
+    first write; passing a different key re-buckets AND re-keys (only
+    sensible when the caller knows the stored rows are already one per
+    new key)."""
+    existing = _read_marker(spark, target_dir)
+    if existing is None:
+        raise ValueError(f"{target_dir} is not an upsert target (no marker)")
+    keys = list(key_cols) if key_cols else _read_marker_keys(spark, target_dir)
+    if not keys:
+        raise ValueError(
+            f"target {target_dir} predates key recording — pass key_cols"
+        )
+    if existing == new_n_buckets and key_cols is None:
+        return
+    tmp = target_dir.rstrip("/") + "__rebucket_tmp"
+    fs, tmp_path = _fs(spark, tmp)
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)
+    (
+        spark.read.parquet(target_dir)
+        .drop(BUCKET_COL)
+        .withColumn(BUCKET_COL, _bucket(keys, new_n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(tmp)
+    )
+    _write_marker(spark, tmp, new_n_buckets, keys)
+    fs, target_path = _fs(spark, target_dir)
+    fs.delete(target_path, True)
+    if not fs.rename(tmp_path, target_path):
+        raise IOError(f"rename {tmp} -> {target_dir} failed; data is in {tmp}")
 
 
 def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:
