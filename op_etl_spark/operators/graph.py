@@ -75,6 +75,41 @@ def load_edge_table(spark: SparkSession, path: str) -> DataFrame:
 BROADCAST_REMOVED_MAX = 1_000_000
 
 
+def _ckpt_leaf(df: DataFrame) -> DataFrame:
+    """localCheckpoint + re-wrap the materialized RDD as a FRESH leaf
+    plan carrying no inherited statistics.
+
+    Dataset.localCheckpoint deliberately preserves the child plan's
+    Catalyst statistics on the LogicalRDD it returns (SPARK-27712). In
+    an iterative peel that is a time bomb: the maintained table appears
+    on several join sides of the next round's plan, so the inherited
+    sizeInBytes estimates MULTIPLY — digits(size) roughly triple per
+    k-truss round (x2 per k-core round) — and by round ~10 Catalyst's
+    stats arithmetic is doing Toom-Cook multiplications on thousand-
+    digit BigIntegers on the DRIVER: measured 0.7 s -> 5 s -> 22 s ->
+    112 s per round on the sf0.1 truss with CONSTANT data, plan shape,
+    job and task counts (the tasks stayed at 21; the time was all
+    planning). Re-wrapping the already-materialized checkpoint RDD in a
+    stats-free LogicalRDD resets the estimate to the conf default each
+    round, so stats stay O(1) digits at any depth. Join strategy is
+    unaffected: the frontier is explicitly broadcast and AQE sizes the
+    rest from runtime shuffle statistics.
+
+    internalCreateDataFrame is `private[sql]` (public in bytecode, the
+    standard py4j seam); if a future Spark removes it, fall back to the
+    plain checkpoint — correct, but restoring the deep-peel slowdown."""
+    ck = df.localCheckpoint()
+    try:
+        jdf = ck._jdf
+        js = df.sparkSession._jsparkSession
+        fresh = js.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, df.sparkSession)
+    except Exception:  # noqa: BLE001 — internal-API drift: keep correctness
+        return ck
+
+
 class _PeelState:
     """Incremental-degree k-core peeling over one edge snapshot.
 
@@ -115,11 +150,9 @@ class _PeelState:
     the recompute formulation's."""
 
     def __init__(self, edges: DataFrame):
-        self.edges_snap = edges.select("src", "dst").localCheckpoint()
-        self.deg = (
-            self.edges_snap.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint()
+        self.edges_snap = _ckpt_leaf(edges.select("src", "dst"))
+        self.deg = _ckpt_leaf(
+            self.edges_snap.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         )
         self._removed: list[DataFrame] = []
         self.cur_rows = self.snap_rows = self.edges_snap.count()
@@ -187,8 +220,8 @@ class _PeelState:
                     ),
                 )
                 .filter(F.col("deg") > 0)
-                .localCheckpoint()
             )
+            self.deg = _ckpt_leaf(self.deg)
             self._removed.append(removed)
             self.cur_rows, n_rem = self._stats(k)
             edge_curve.append(self.cur_rows)
@@ -201,7 +234,7 @@ class _PeelState:
         """Fold accumulated removals into the snapshot (one anti-join
         pass). Every surviving row's endpoints are alive, so the new
         snapshot's row count is exactly sum(deg) == cur_rows."""
-        self.edges_snap = self.surviving_edges().localCheckpoint()
+        self.edges_snap = _ckpt_leaf(self.surviving_edges())
         self._removed = []
         self.snap_rows = self.cur_rows
 
@@ -322,38 +355,194 @@ def truss_support(pairs: DataFrame) -> DataFrame:
     )
 
 
+class _TrussState:
+    """Incremental-support k-truss peeling (round 10) — the edge
+    analogue of _PeelState, motivated by the same measurement: the old
+    round body recounted EVERY surviving edge's triangle support per
+    round via the full wedge-closure double-join (39 rounds on the
+    sf0.1 near-dup graph = 39 edge-wide double-joins).  The maintained
+    object is the SUPPORT table
+
+        sup(e) == e's triangle count in the subgraph of alive edges
+
+    (alive edges carry a row even at support 0, matching the oracle's
+    coalesce(sup, 0) round semantics), and each round only
+      1. filters `sup` for the frontier R dropping below k-2,
+      2. enumerates triangles THROUGH R against the LIVE adjacency —
+         symmetrize(sup): `sup`'s key set IS the alive edge set, so no
+         separate snapshot, no compaction, and no aliveness-membership
+         joins exist; the wedge join is proportional to
+         frontier-incident wedges, with R broadcast below
+         BROADCAST_REMOVED_MAX,
+      3. flags which side edges are themselves in R (broadcast
+         left-join against the frontier) and decrements the surviving
+         side edges in one map-side update pass.
+
+    Batch-removal dedup (the standard decremental triangle-maintenance
+    rule): a triangle containing m >= 1 frontier edges is enumerated
+    once per frontier edge; only the LEXICOGRAPHICALLY SMALLEST frontier
+    edge emits its decrements, and only to non-frontier edges — so a
+    destroyed triangle decrements each of its surviving edges exactly
+    once, and frontier edges (dropped wholesale in the same update)
+    never receive one.
+
+    Invariant argument: removing frontier R from the alive graph
+    destroys exactly the triangles with >= 1 edge in R whose other
+    edges are alive.  Step (2) enumerates every triangle through each
+    r in R whose side edges are in the live adjacency — alive by
+    construction (edges dead from earlier rounds left `sup` the round
+    they died, after their triangles were subtracted; sup was correct
+    then, by induction).  Side edges in R are flagged in (3) and
+    excluded from decrements, and the min-edge rule collapses
+    multi-frontier-edge triangles to one emission."""
+
+    def __init__(self, pairs: DataFrame, k: int):
+        self.k = k
+        snap = _ckpt_leaf(pairs.select("a", "b"))
+        self.cur_rows = snap.count()
+        base = truss_support(snap).withColumnRenamed("support", "sup")
+        # alive edges keep a row even at zero support: truss_support's
+        # inner wedge join omits triangle-free edges, but the oracle's
+        # left-join + coalesce(0) is the declared round semantics
+        self.sup = _ckpt_leaf(
+            snap.join(base, ["a", "b"], "left")
+            .select("a", "b", F.coalesce(F.col("sup"), F.lit(0)).alias("sup"))
+        )
+
+    def _stats(self) -> tuple[int, int]:
+        """(alive edges, frontier size) in one tiny aggregate over the
+        maintained support table."""
+        row = self.sup.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("sup") < self.k - 2, 1).otherwise(0)).alias("r"),
+        ).collect()[0]
+        return int(row["n"] or 0), int(row["r"] or 0)
+
+    def _round(self, n_frontier: int) -> tuple[int, int]:
+        """Subtract the frontier's destroyed triangles from surviving
+        edges' support and drop the frontier rows. Returns the updated
+        (alive edges, next frontier size), observed ON the update's own
+        materialization (pyspark Observation riding the checkpoint
+        action) so a round costs exactly one job — no separate stats
+        pass. The CollectMetrics node lives only in the materialized
+        round plan; the maintained `sup` the next round (and the
+        returned query plan) reads is a fresh stats-free leaf, so
+        production plans stay free of observation nodes (the plan-audit
+        CollectMetricsLeak axis).
+
+        `sup`'s key set IS the alive edge set, so the adjacency for the
+        wedge join is symmetrize(sup) — no separate snapshot, no
+        compaction, and no aliveness membership joins: every edge of an
+        enumerated triangle is alive-or-frontier by construction.
+
+        The destroyed triangles are then grouped BY TRIANGLE, which
+        makes the batch-removal bookkeeping intrinsic: a triangle with m
+        frontier edges is enumerated exactly m times (once per frontier
+        edge), so its GENERATOR set collected in the group is exactly
+        its frontier edges — and every non-generator edge is therefore a
+        survivor (an in-frontier edge would have enumerated the triangle
+        itself). One decrement per (triangle, non-generator edge), no
+        membership joins, no ordering rule."""
+        small = n_frontier <= BROADCAST_REMOVED_MAX
+        is_front = F.col("sup") < self.k - 2
+        removed = self.sup.filter(is_front).select("a", "b")
+        rem = F.broadcast(removed) if small else removed
+        sym = symmetrize(self.sup.select("a", "b"))
+        # triangles through a frontier edge (a,b): common neighbor c in
+        # the LIVE adjacency — cost ~ frontier-incident wedges
+        tri = (
+            rem.join(
+                sym.select(F.col("src").alias("a"), F.col("dst").alias("c")), "a"
+            )
+            .join(
+                sym.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+                ["b", "c"],
+            )
+            .select(
+                F.array_sort(F.array("a", "b", "c")).alias("ns"),
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")).alias("gen"),
+            )
+            .groupBy("ns")
+            .agg(F.collect_set("gen").alias("gens"))
+        )
+        n0, n1, n2 = (F.col("ns")[i] for i in range(3))
+        edges3 = F.array(
+            F.struct(n0.alias("a"), n1.alias("b")),
+            F.struct(n0.alias("a"), n2.alias("b")),
+            F.struct(n1.alias("a"), n2.alias("b")),
+        )
+        decs = (
+            tri.select(
+                F.explode(
+                    F.filter(edges3, lambda e: ~F.array_contains("gens", e))
+                ).alias("e")
+            )
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        # decs is frontier-incident (bounded by destroyed-triangle side
+        # edges) — broadcast it under the same gate so the update is a
+        # single map-side pass over the maintained table
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        upd = (
+            self.sup.filter(~is_front)
+            .join(F.broadcast(decs) if small else decs, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (F.col("sup") - F.coalesce(F.col("dec"), F.lit(0))).alias("sup"),
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("sup") < self.k - 2, 1).otherwise(0)
+                ).alias("r"),
+            )
+        )
+        self.sup = _ckpt_leaf(upd)
+        row = obs.get
+        return int(row["n"] or 0), int(row["r"] or 0)
+
+    def peel(self, max_rounds: int) -> tuple[int, list[int]]:
+        """Rounds and edge-curve semantics identical to the recompute
+        formulation: the confirming no-change round counts, an emptied
+        graph converges without one."""
+        rounds = 0
+        edge_curve = [self.cur_rows]
+        if self.cur_rows == 0:
+            return rounds, edge_curve
+        _, n_front = self._stats()
+        for _ in range(max_rounds):
+            rounds += 1
+            if n_front == 0:
+                edge_curve.append(self.cur_rows)
+                return rounds, edge_curve
+            self.cur_rows, n_front = self._round(n_front)
+            edge_curve.append(self.cur_rows)
+            if self.cur_rows == 0:
+                return rounds, edge_curve
+        raise RuntimeError(
+            f"k-truss peeling did not converge in {max_rounds} rounds"
+        )
+
+    def surviving_edges(self) -> DataFrame:
+        return self.sup.select("a", "b")
+
+
 def ktruss(pairs: DataFrame, k: int,
            max_rounds: int = KTRUSS_DEFAULT_MAX_ROUNDS):
     """k-truss of a CANONICAL (a < b) pair list: drop every edge whose
     triangle support inside the surviving subgraph is < k-2, until
     stable.  Returns (surviving canonical pairs, rounds); raises past
-    `max_rounds`."""
-    pairs = pairs.select("a", "b").localCheckpoint()
-    n_edges = pairs.count()
-    rounds = 0
-    edge_curve = [n_edges]
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            counters.record_loop("ktruss", k=k, rounds=rounds, edges=edge_curve)
-            return pairs, rounds
-        rounds += 1
-        sup = truss_support(pairs).withColumnRenamed("support", "sup")
-        kept = (
-            pairs.join(
-                sup.filter(F.col("sup") >= k - 2).select("a", "b"),
-                ["a", "b"],
-                "left_semi",
-            )
-            .localCheckpoint()
-        )
-        n_after = kept.count()
-        edge_curve.append(n_after)
-        pairs = kept
-        if n_after == n_edges:
-            counters.record_loop("ktruss", k=k, rounds=rounds, edges=edge_curve)
-            return pairs, rounds
-        n_edges = n_after
-    raise RuntimeError(f"k-truss peeling did not converge in {max_rounds} rounds")
+    `max_rounds`.  Per-round cost is frontier-incident (incremental
+    support maintenance, _TrussState), not survivor-wide."""
+    st = _TrussState(pairs, k)
+    rounds, edge_curve = st.peel(max_rounds)
+    counters.record_loop("ktruss", k=k, rounds=rounds, edges=edge_curve)
+    return st.surviving_edges(), rounds
 
 
 def kcore_persisted(spark: SparkSession, path: str, k: int,

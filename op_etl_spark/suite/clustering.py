@@ -703,13 +703,16 @@ def ktruss_fixpoint(pairs: DataFrame, k: int, max_rounds: int = KTRUSS_MAX_ROUND
     has zero triangles — the truss keeps only edges embedded in locally
     dense (template/boilerplate) structure.
 
-    `pairs` must be canonical (a < b). Round body = two equi-joins of
-    the canonical edges against the symmetric adjacency (wedge closure
-    on the shared neighbor) + one count aggregate + one semi-join —
-    per-round cost proportional to wedges of the CURRENT subgraph, which
-    only shrinks. Convergence = scalar edge count (monotone), bounded by
-    `max_rounds` and raised past it — the oracle unrolls exactly that
-    many rounds. Returns (surviving canonical edges, rounds).
+    `pairs` must be canonical (a < b). Round body (round 10, incremental
+    support maintenance — operators/graph._TrussState): filter the
+    maintained support table for the frontier, enumerate triangles
+    through the REMOVED edges only (wedge join proportional to
+    frontier-incident wedges, frontier broadcast when small), and
+    decrement the surviving side edges — the k-core _PeelState idea
+    applied to edges, replacing the old full wedge-closure recount every
+    round. Convergence = scalar frontier count, bounded by `max_rounds`
+    and raised past it — the oracle unrolls exactly that many rounds.
+    Returns (surviving canonical edges, rounds).
 
     Algorithm body in operators/graph.py (see kcore_fixpoint note)."""
     from ..operators.graph import ktruss
@@ -724,11 +727,12 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-family extractor that discards chain links and hub spokes
     the k-core keeps.
 
-    Deliberately NOT in the bench headline or the 32x probe: peel-round
-    COUNT is a property of the graph's truss-peeling depth (39 rounds on
-    the sf0.1 graph, 2 at sf0.01), so wall-clock measures the corpus's
-    graph shape rather than a per-round cost curve; the per-round plan is
-    the same bounded wedge-closure join the triangle census probes."""
+    In the bench headline and the 32x probe since round 10: the old
+    exclusion argument — peel-round COUNT is a graph-shape property (39
+    rounds on the sf0.1 graph, 2 at sf0.01), so wall-clock conflates
+    depth with per-round cost — is resolved by the loop counters, which
+    decompose the probe ratio into rounds_growth x per_round_cost_ratio
+    (the fan replicates structure, so depth holds while volume grows)."""
     from ..operators.graph import truss_support
 
     truss, _ = ktruss_fixpoint(
