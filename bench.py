@@ -164,6 +164,14 @@ HEADLINE = [
     # row-local argmax fold — zero corpus shuffles)
     "semantic_dedup",
     "semantic_decontaminate",
+    # round 10: the capstone's fused plan gets its own number (its twin
+    # training_corpus_funnel was already a headline entry; the r9 gap
+    # was that the composition whose cost motivated the persisted
+    # assignment table had no recorded performance number), plus the
+    # incrementally-maintained k-truss peel so the r10 rewrite's win is
+    # visible round-over-round the way kcore_profile's r9 win was
+    "embedding_curation_funnel",
+    "ktruss_edges",
     # batch twin of the CDC upsert's latest-wins reduction (oracle-gated
     # as a declared query; the streamed version is stream_cdc_upsert)
     "cdc_latest_state",

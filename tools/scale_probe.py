@@ -159,8 +159,19 @@ PAIR_QUERIES = [
     # round 9: SemDeDup — the pairs fan shifts labels into disjoint
     # domains per copy, so cluster COUNT grows K at constant cluster
     # size: exactly the paper's k-proportional-to-N operating regime
-    # (the per-cluster pair join must read ~linear, not K^2)
+    # (the per-cluster pair join must read ~linear, not K^2). Round 10:
+    # the fan's per-copy permutation+sign decorrelation (v3) makes the
+    # OUTPUT curve measure the operator too — the r9 sign-only mask left
+    # each vector's self-copies re-correlated (sum of +-v_d^2 terms),
+    # and 95.7% of the fan assigned cross-copy: fixture-made output.
     "semantic_dedup",
+    # round 10: the capstone funnel (SemDeDup decisions x eval flags in
+    # one DAG) and the incremental-support k-truss peel — the latter was
+    # excluded while rounds-vs-per-round-cost could not be decomposed;
+    # the loop counters now separate them (fan replicates structure, so
+    # round depth should hold constant while per-round cost scales)
+    "embedding_curation_funnel",
+    "ktruss_edges",
 ]
 
 # Skew family: every other probe family scales VOLUME uniformly; this one
@@ -233,7 +244,9 @@ LABEL_SHIFT = 1_000  # floor; materialize_scaled raises it past max(label) read 
 
 # bumped whenever a materialize_* fixture's SEMANTICS change, so stale
 # /tmp dirs from an older probe version rebuild instead of mixing regimes
-FIXTURE_VERSION = "v2"
+# (v3: pairs-family embedding fan gained per-copy PERMUTATION on top of
+# the sign mask — see materialize_scaled)
+FIXTURE_VERSION = "v3"
 
 
 def _fresh_fixture_dir(out: str, base: str) -> None:
@@ -325,9 +338,9 @@ def materialize_scaled(spark, base: str, out: str, k: int,
 
     if family == "pairs":
         # embeddings: per copy i, shift vec_id, shift LABEL into its own
-        # domain (label + i*LABEL_SHIFT), and apply a deterministic +-1
-        # SIGN MASK (element d flips iff pmod(hash(i, d), 2) = 1; copy 0
-        # is the identity).
+        # domain (label + i*LABEL_SHIFT), and apply a deterministic
+        # signed PERMUTATION (seeded per copy: new[d] = s_d * old[pi(d)];
+        # copy 0 is the identity).
         #
         # - The label shift is the geo family's constant-density move:
         #   label is a BLOCKING key of the near-dup operators, so copies
@@ -338,31 +351,42 @@ def materialize_scaled(spark, base: str, out: str, k: int,
         #   autocorrelated, every vector near-matched its k-1 rotated
         #   selves, and output grew 1198x at k=32 — the probe measured
         #   fixture-made pairs, not the operator.)
-        # - diag(+-1) is orthogonal: norms and within-copy cosines are
-        #   preserved EXACTLY, while cross-copy dot products in the
-        #   UNBLOCKED queries (brute-force / PQ / IVFPQ top-k) become
-        #   sign-scrambled sums instead of k duplicates of the probe's
-        #   own neighborhood.
+        # - A signed permutation is orthogonal: norms and within-copy
+        #   cosines are preserved EXACTLY. The r9 fan used the sign mask
+        #   ALONE, which decorrelates two different vectors but NOT a
+        #   vector from its own copies: mask_i(v) . mask_j(v) =
+        #   sum(+-v_d^2) — all-positive terms under a random sign, so
+        #   self-copies stayed correlated and the UNBLOCKED semantic
+        #   assignment sent 95.7% of rows cross-copy (the r9 probe's
+        #   fixture-made 140.7x output curve). The permutation pairs
+        #   DIFFERENT dimensions across copies, so cross-copy dots are
+        #   scrambled sums even against a vector's own fan copies, and
+        #   output growth measures the operator.
         emb = spark.read.parquet(f"{base}/embeddings.parquet")
         # the shift must clear the base label domain or fan copies share
         # blocking labels and the cross-copy density artifact returns —
         # derive it from the data instead of trusting the constant
         max_label = emb.agg(F.max("label")).collect()[0][0] or 0
         label_shift = max(LABEL_SHIFT, max_label + 1)
+        dim = len(emb.select("embedding").first()["embedding"])
 
-        def _mask(copy: int):
-            # closure factory, NOT a default arg: Spark derives the
-            # higher-order function's arity from the lambda signature
-            return lambda v, d: F.when(
-                F.pmod(F.hash(F.lit(copy), d), F.lit(2)) == 0, v
-            ).otherwise(-v)
+        def _perm_sign(copy: int):
+            import random
+
+            rng = random.Random(97 + copy)  # seeded: fixture deterministic
+            perm = list(range(dim))
+            rng.shuffle(perm)
+            signs = [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+            return F.array(
+                *[
+                    F.lit(signs[d]) * F.col("embedding")[perm[d]]
+                    for d in range(dim)
+                ]
+            ).cast("array<float>")
 
         emb_copies = []
         for i in range(k):
-            if i == 0:
-                masked = F.col("embedding")
-            else:
-                masked = F.transform(F.col("embedding"), _mask(i))
+            masked = F.col("embedding") if i == 0 else _perm_sign(i)
             emb_copies.append(
                 emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_SHIFT))
                 .withColumn("label", F.col("label") + F.lit(i * label_shift))
@@ -610,6 +634,184 @@ def skew_join_aqe_probe(spark, queries, sf_dir: str) -> dict:
                 spark.conf.set(c, v)
 
 
+def semantic_assign_probe(spark, scaled: str) -> dict:
+    """Assignment-cost decomposition for the SemDeDup family (round-10
+    verdict ask #1): on the fanned fixture the centroid count crosses
+    SEMDEDUP_FLAT_K_MAX, so `semantic_dedup` routes through the
+    two-level coarse/fine argmax — this probe times BOTH assignment
+    implementations over the same corpus so the ~sqrt(k) claim is a
+    measured number, not a cost-model citation. (Assignment only: the
+    pair join downstream is identical either way.)"""
+    from op_etl_spark.suite import similarity as S
+
+    e = S._emb(spark, scaled)
+    cent = S._semdedup_centroids(e)
+    en = e.withColumn("nrm", S._norm(F.col("emb"))).filter(F.col("nrm") > 0)
+    k = len(cent)
+    n_coarse = max(2, __import__("math").isqrt(k - 1) + 1)
+    rep = {
+        "k": k,
+        "n_coarse": n_coarse,
+        "flops_per_row_flat": k,
+        # coarse scoring + two probed cells of ~k/n_coarse members each
+        "flops_per_row_two_level": n_coarse + 2 * -(-k // n_coarse),
+    }
+    for tag, build in (
+        ("flat", lambda: S._assign_flat(en, cent)),
+        ("two_level", lambda: S._assign_two_level(en, cent)),
+    ):
+        build().write.format("noop").mode("overwrite").save()  # warm
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best or 9e9, time.perf_counter() - t0)
+        rep[f"{tag}_sec"] = round(best, 3)
+    rep["speedup"] = round(rep["flat_sec"] / rep["two_level_sec"], 2)
+    print(f"  semantic_assign: {rep}", file=sys.stderr, flush=True)
+    return rep
+
+
+UPSERT_BATCH_BUCKET = 0  # the single-bucket batch targets this bucket
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def upsert_probe(spark, base: str, skew1: str, skewk: str, k: int) -> dict:
+    """Two measured claims about the CDC upsert that were previously
+    asserted from the design (round-10 verdict asks #4/#7):
+
+    1. touched-bucket economics — per-batch work is proportional to the
+       buckets the batch touches, not to target size: merge the SAME
+       row count into a fixed target as (a) a batch confined to one
+       bucket and (b) a batch spread over all buckets, and compare
+       seconds + bytes rewritten.
+    2. bucket skew — a hot key (SKEW_HOT_USER carries ~20% of all event
+       rows) does NOT grow its bucket directory unboundedly, because the
+       target stores LATEST-WINS STATE (one row per key), so per-bucket
+       bytes track distinct keys, not event history: build targets from
+       the skewed fixtures at 1x and Kx and compare the hot key's bucket
+       against the median bucket."""
+    import tempfile
+    import shutil
+
+    from op_etl_spark.session import read_events
+    from op_etl_spark.streaming.upsert import (
+        BUCKET_COL,
+        DEFAULT_BUCKETS,
+        _bucket,
+        merge_upsert_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="upsert_probe_")
+    rep: dict = {}
+    try:
+        # --- 1: touched-bucket economics on the base corpus ---
+        ev = (
+            read_events(spark, base)
+            .select("user_id", "event_id", "ts", "value")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        target = f"{tmp}/t0"
+        merge_upsert_batch(ev, target, ["user_id"], "event_id")
+        one = (
+            ev.withColumn("__b", _bucket(["user_id"], DEFAULT_BUCKETS))
+            .filter(F.col("__b") == UPSERT_BATCH_BUCKET)
+            .drop("__b")
+            .localCheckpoint()
+        )
+        n_rows = one.count()
+        spread = ev.orderBy("event_id").limit(n_rows).localCheckpoint()
+        econ = {"batch_rows": n_rows, "n_buckets": DEFAULT_BUCKETS,
+                "target_rows": spark.read.parquet(target).count()}
+        for tag, batch in (("one_bucket", one), ("all_buckets", spread)):
+            tcopy = f"{tmp}/t_{tag}"
+            shutil.copytree(target, tcopy)
+            before = _dir_bytes(tcopy)
+            touched = batch.withColumn(
+                "__b", _bucket(["user_id"], DEFAULT_BUCKETS)
+            ).select("__b").distinct().count()
+            t0 = time.perf_counter()
+            merge_upsert_batch(batch, tcopy, ["user_id"], "event_id")
+            sec = round(time.perf_counter() - t0, 3)
+            # dynamic overwrite replaces touched bucket dirs in place:
+            # rewritten bytes ~ bytes now stored in touched buckets
+            buckets = sorted(
+                d for d in os.listdir(tcopy) if d.startswith(f"{BUCKET_COL}=")
+            )
+            bb = {b: _dir_bytes(os.path.join(tcopy, b)) for b in buckets}
+            if tag == "one_bucket":
+                rewritten = bb[f"{BUCKET_COL}={UPSERT_BATCH_BUCKET}"]
+            else:
+                rewritten = sum(bb.values())
+            econ[tag] = {
+                "touched_buckets": touched,
+                "merge_sec": sec,
+                "rewritten_bytes": rewritten,
+                "target_bytes_before": before,
+            }
+        econ["bytes_ratio"] = round(
+            econ["all_buckets"]["rewritten_bytes"]
+            / max(econ["one_bucket"]["rewritten_bytes"], 1),
+            2,
+        )
+        rep["touched_bucket_econ"] = econ
+        print(f"  upsert econ: {econ}", file=sys.stderr, flush=True)
+
+        # --- 2: hot-key bucket growth at 1x vs Kx ---
+        skew = {}
+        for tag, d in (("1x", skew1), ("kx", skewk)):
+            ev_s = (
+                read_events(spark, d)
+                .select("user_id", "event_id", "ts", "value")
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            t = f"{tmp}/skew_{tag}"
+            # 4 sequential merges = a replayed change stream; the hot
+            # user's updates hit its bucket every batch
+            for part in range(4):
+                merge_upsert_batch(
+                    ev_s.filter(F.pmod(F.col("event_id"), F.lit(4)) == part),
+                    t,
+                    ["user_id"],
+                    "event_id",
+                )
+            hot_bucket = spark.createDataFrame(
+                [(SKEW_HOT_USER,)], "user_id long"
+            ).select(_bucket(["user_id"], DEFAULT_BUCKETS).alias("b")).collect()[0]["b"]
+            sizes = sorted(
+                _dir_bytes(os.path.join(t, dd))
+                for dd in os.listdir(t)
+                if dd.startswith(f"{BUCKET_COL}=")
+            )
+            med = sizes[len(sizes) // 2]
+            hot = _dir_bytes(os.path.join(t, f"{BUCKET_COL}={hot_bucket}"))
+            skew[tag] = {
+                "hot_bucket_bytes": hot,
+                "median_bucket_bytes": med,
+                "hot_over_median": round(hot / max(med, 1), 2),
+                "n_buckets_present": len(sizes),
+            }
+            print(f"  upsert skew {tag}: {skew[tag]}", file=sys.stderr, flush=True)
+        skew["verdict"] = (
+            "latest-wins state bounds the hot bucket: stored bytes track "
+            "distinct keys per bucket (pmod-uniform), not the hot key's "
+            f"event history — hot/median {skew['1x']['hot_over_median']} at 1x "
+            f"vs {skew['kx']['hot_over_median']} at {k}x"
+        )
+        rep["hot_key_bucket"] = skew
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rep
+
+
 def grade(median_ratio: float, k: int) -> str:
     if median_ratio > k:
         return "SUPERLINEAR"
@@ -644,6 +846,25 @@ def main() -> None:
     from op_etl_spark import suite
 
     spark = get_spark("scale-probe")
+    if family == "upsert":
+        skew_base = "/tmp/scale_probe_skew_x1"
+        materialize_skewed(spark, base, skew_base, 1)
+        materialize_skewed(spark, base, scaled.replace("upsert", "skew"), k)
+        report = {
+            "k": k,
+            "base": base,
+            "family": "upsert",
+            **upsert_probe(
+                spark, base, skew_base, scaled.replace("upsert", "skew"), k
+            ),
+        }
+        print(json.dumps(report))
+        out_path = os.environ.get(
+            "SCALE_PROBE_OUT", f"/tmp/scale_probe_{family}_x{k}.json"
+        )
+        with open(out_path, "w") as f:
+            f.write(json.dumps(report) + "\n")
+        return
     if family == "skew":
         # both probe points carry the same injected skew; only volume grows
         skew_base = "/tmp/scale_probe_skew_x1"
@@ -797,6 +1018,8 @@ def main() -> None:
         )
     if family == "skew" and "click_attribution" in names:
         report["skew_join_aqe"] = skew_join_aqe_probe(spark, queries, scaled)
+    if family == "pairs" and "semantic_dedup" in names:
+        report["semantic_assign"] = semantic_assign_probe(spark, scaled)
     print(json.dumps(report))
     # stdout shares a pipe with Spark's \r progress bars under 2>&1 —
     # always leave a clean copy on disk too
