@@ -17,16 +17,20 @@ Algorithms (both public, both cited in the suite docstrings):
   degrees instead of recomputing degrees from the full surviving edge
   set, so the per-round shuffles move only removed-incident rows plus
   the node table (see _PeelState).
-- k-truss: Cohen 2008 triangle-support peeling — per round a wedge-
-  closure double-join counts each surviving edge's triangles; edges with
-  support < k-2 drop.
+- k-truss: Cohen 2008 triangle-support peeling, distributed with
+  INCREMENTAL support maintenance (round 10): the maintained object is
+  the per-edge support table — each round enumerates only the triangles
+  destroyed by the removed-edge frontier and decrements their surviving
+  edges, instead of recounting every surviving edge's triangles via the
+  full wedge-closure double-join (see _TrussState).
 
 100 TB design: the k-core's per-round exchange is proportional to the
 REMOVED-vertex frontier (node-sized tables otherwise); the k-truss's to
-the current edge count, which only shrinks. The only driver-side values
-are scalar counts. Round budgets are hard bounds that RAISE rather than
-silently diverge (the suite's DuckDB oracles unroll exactly that many
-rounds, so engine and oracle can never quietly disagree about depth).
+frontier-incident wedges (edge-sized map-side scans otherwise). The
+only driver-side values are scalar counts. Round budgets are hard
+bounds that RAISE rather than silently diverge (the suite's DuckDB
+oracles unroll exactly that many rounds, so engine and oracle can never
+quietly disagree about depth).
 """
 
 from __future__ import annotations
