@@ -356,6 +356,39 @@ def test_pre_round10_marker_still_merges_and_demands_keys(spark, tmp_path):
     assert _state(spark, target) == before
 
 
+def test_peel_checkpoint_stats_stay_flat(spark):
+    """Dataset.localCheckpoint preserves the child plan's Catalyst stats
+    (SPARK-27712); in an iterative peel the maintained table feeds
+    several join sides, so inherited sizeInBytes estimates MULTIPLY and
+    their digit count grows geometrically per round — by round ~10 the
+    driver spends seconds-to-minutes in BigInteger arithmetic inside
+    stats estimation (measured: 0.7s -> 22s -> 112s per k-truss round at
+    constant data and task counts). _ckpt_leaf re-wraps the materialized
+    RDD as a stats-free leaf; this pins that the estimate stays O(1)
+    digits across rounds for BOTH peels."""
+    from op_etl_spark.operators.graph import _PeelState, _TrussState, symmetrize
+
+    pairs = _random_canonical(spark, 11, n_nodes=30, n_edges=120)
+
+    def digits(df):
+        return len(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    st = _TrussState(pairs, k=4)
+    _, nf = st._stats()
+    seen = [digits(st.sup)]
+    for _ in range(3):
+        if not nf:
+            break
+        _, nf = st._round(nf)
+        seen.append(digits(st.sup))
+    ps = _PeelState(symmetrize(pairs))
+    ps.peel(k=3, max_rounds=24)
+    seen.append(digits(ps.deg))
+    # Long.MaxValue is 19 digits; a couple of rounds of inherited-stat
+    # multiplication already blows past 50
+    assert max(seen) <= 25, seen
+
+
 def test_ktruss_edges_query_hash_unchanged(spark):
     """The declared ktruss_edges output on the real sf0.001 near-dup
     graph, pinned against the recompute reference end to end."""
