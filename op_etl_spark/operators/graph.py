@@ -35,7 +35,9 @@ quietly disagree about depth).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import warnings
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import counters
@@ -78,6 +80,36 @@ def load_edge_table(spark: SparkSession, path: str) -> DataFrame:
 # graph, the one regime where an edge-wide exchange is unavoidable.
 BROADCAST_REMOVED_MAX = 1_000_000
 
+# k-truss driver-path gates (_TrussState._driver_decs): frontiers up to
+# this many EDGES have their destroyed triangles enumerated driver-side
+# (the tail of a peel is dozens of few-edge rounds whose distributed cost
+# is pure job scheduling) ...
+KTRUSS_DRIVER_FRONTIER_MAX = 4096
+# ... provided their incident adjacency fits this LIMIT-guarded probe
+# (hub endpoints can make a tiny frontier touch a huge neighborhood — on
+# overflow the round falls back to the distributed body)
+KTRUSS_ADJ_PROBE_MAX = 1 << 18
+# next-frontier prefetch rides the update observation only when the
+# decremented-edge count (its exact upper bound, known driver-side)
+# stays metric-sized
+KTRUSS_PREFETCH_MAX = 1 << 16
+
+# Local-endgame gates: a peel shrinks its graph monotonically, and once
+# the WHOLE live graph fits a bounded driver budget (~a few MB of edge
+# tuples) every further distributed round is pure job-scheduling
+# overhead — dozens of logical rounds over data that would fit in one
+# task. Below these row counts the peel collects the live graph once,
+# finishes the fixpoint driver-locally with the identical round algebra
+# (same frontier rule, same min-generator triangle dedup, same
+# round/edge-curve accounting, same max_rounds raise), and re-ships the
+# result as a LocalRelation. Above them the incremental distributed
+# rounds run unchanged — this is a bounded endgame, not a small-data
+# shortcut: at the 32x probe scale the gates never trigger until the
+# fixpoint is nearly reached, and on a 100 TB graph they trigger exactly
+# when the surviving core actually is driver-sized.
+KTRUSS_LOCAL_EDGES_MAX = 1 << 18  # canonical (a, b, sup) rows
+KCORE_LOCAL_EDGES_MAX = 1 << 18  # symmetric (src, dst) rows
+
 
 def _ckpt_leaf(df: DataFrame) -> DataFrame:
     """localCheckpoint + re-wrap the materialized RDD as a FRESH leaf
@@ -101,17 +133,66 @@ def _ckpt_leaf(df: DataFrame) -> DataFrame:
 
     internalCreateDataFrame is `private[sql]` (public in bytecode, the
     standard py4j seam); if a future Spark removes it, fall back to the
-    plain checkpoint — correct, but restoring the deep-peel slowdown."""
+    plain checkpoint — correct, but restoring the deep-peel slowdown.
+    The fallback is LOUD (one-time RuntimeWarning) and the peel loops run
+    a stats-digit canary (_stats_canary) that raises before the driver
+    regresses to minutes-per-round planning, so internal-API drift can
+    never silently re-arm the bomb."""
     ck = df.localCheckpoint()
     try:
-        jdf = ck._jdf
-        js = df.sparkSession._jsparkSession
-        fresh = js.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(fresh, df.sparkSession)
-    except Exception:  # noqa: BLE001 — internal-API drift: keep correctness
+        return _internal_create(df.sparkSession, ck)
+    except Exception as e:  # noqa: BLE001 — internal-API drift: keep correctness
+        global _ckpt_fallback_warned
+        if not _ckpt_fallback_warned:
+            _ckpt_fallback_warned = True
+            warnings.warn(
+                "internalCreateDataFrame unavailable "
+                f"({type(e).__name__}: {e}); falling back to plain "
+                "localCheckpoint — inherited Catalyst stats (SPARK-27712) "
+                "will grow multiplicatively across peel rounds and the "
+                "peel's stats canary will raise once they leave O(1) digits",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
+
+
+def _internal_create(spark: SparkSession, ck: DataFrame) -> DataFrame:
+    """The py4j seam _ckpt_leaf re-wraps through — a module-level hook so
+    tests can simulate internal-API drift by monkeypatching it away."""
+    jdf = ck._jdf
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, spark)
+
+
+_ckpt_fallback_warned = False
+
+# A maintained table's sizeInBytes estimate should sit at O(1) digits
+# (Long.MaxValue is 19); inherited-stat multiplication roughly triples
+# the digit count per k-truss round, so 25 separates "conf default or a
+# real size" from "round two of the bomb" with margin on both sides.
+CKPT_STATS_DIGITS_MAX = 25
+
+
+def _stats_canary(df: DataFrame) -> DataFrame:
+    """Runtime guard on the SPARK-27712 stats bomb: raise the moment the
+    maintained table's planner size estimate leaves O(1) digits instead
+    of letting deep peels quietly degrade to minutes-per-round Catalyst
+    BigInteger arithmetic (the _ckpt_leaf fallback path's failure mode)."""
+    digits = len(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if digits > CKPT_STATS_DIGITS_MAX:
+        raise RuntimeError(
+            f"peel stats canary: sizeInBytes estimate has {digits} digits "
+            f"(> {CKPT_STATS_DIGITS_MAX}) — localCheckpoint is inheriting "
+            "child-plan statistics (SPARK-27712) and the iterative peel is "
+            "multiplying them; the _ckpt_leaf stats-free re-wrap is not "
+            "taking effect (internalCreateDataFrame drift?)"
+        )
+    return df
 
 
 class _PeelState:
@@ -165,6 +246,10 @@ class _PeelState:
         # nodes; any peel over a non-empty graph refreshes it via _stats
         # before returning)
         self.cur_nodes = 0 if self.cur_rows == 0 else None
+        # local-endgame adjacency (node -> neighbor set), entered once the
+        # live graph fits KCORE_LOCAL_EDGES_MAX and sticky from then on —
+        # the ramp's later levels peel the same driver-sized graph
+        self._local: dict | None = None
 
     def _stats(self, k: int) -> tuple[int, int]:
         """(live symmetric edge rows, frontier size) in ONE tiny job over
@@ -184,7 +269,13 @@ class _PeelState:
         """Peel to the k-core fixpoint. Returns (rounds, edge_curve);
         raises past max_rounds. Round count matches the recompute
         formulation: the confirming no-change round counts, an emptied
-        graph converges without one."""
+        graph converges without one. A graph under KCORE_LOCAL_EDGES_MAX
+        symmetric rows peels driver-locally (_peel_local) — same round
+        algebra and accounting, zero per-round jobs."""
+        if self._local is None and self.cur_rows <= KCORE_LOCAL_EDGES_MAX:
+            self._enter_local()
+        if self._local is not None:
+            return self._peel_local(k, max_rounds)
         rounds = 0
         edge_curve = [self.cur_rows]
         if self.cur_rows == 0:
@@ -214,7 +305,11 @@ class _PeelState:
                 .agg(F.count(F.lit(1)).alias("dec"))
                 .withColumnRenamed("dst", "src")
             )
-            self.deg = (
+            # next round's stats ride the update's own materialization
+            # (Observation on the checkpoint action) — one job per round,
+            # no separate _stats collect; same fusion as _TrussState
+            obs = Observation()
+            upd = (
                 self.deg.join(rem, "src", "left_anti")
                 .join(dec, "src", "left")
                 .select(
@@ -224,15 +319,71 @@ class _PeelState:
                     ),
                 )
                 .filter(F.col("deg") > 0)
+                .observe(
+                    obs,
+                    F.sum("deg").alias("s"),
+                    F.sum(
+                        F.when(F.col("deg") < k, 1).otherwise(0)
+                    ).alias("r"),
+                    F.count(F.lit(1)).alias("n"),
+                )
             )
-            self.deg = _ckpt_leaf(self.deg)
+            self.deg = _stats_canary(_ckpt_leaf(upd))
             self._removed.append(removed)
-            self.cur_rows, n_rem = self._stats(k)
+            row = obs.get
+            self.cur_nodes = int(row["n"] or 0)
+            self.cur_rows, n_rem = int(row["s"] or 0), int(row["r"] or 0)
             edge_curve.append(self.cur_rows)
             if self.cur_rows == 0:
                 return rounds, edge_curve
             if self.cur_rows <= self.snap_rows // 2:
                 self._compact()
+
+    def _enter_local(self) -> None:
+        """Collect the live symmetric adjacency once; all later levels of
+        the ramp peel it in place."""
+        rows = self.surviving_edges().collect()
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r[0], set()).add(r[1])
+        self._local = adj
+        self._removed = []
+        self.cur_rows = len(rows)
+        self.cur_nodes = len(adj)
+
+    def _peel_local(self, k: int, max_rounds: int) -> tuple[int, list[int]]:
+        """Driver-local peel with the distributed loop's exact round
+        accounting: frontier = nodes of degree < k, removal decrements
+        surviving neighbors, zero-degree nodes vanish in the same update,
+        the confirming round counts, raise past max_rounds."""
+        adj = self._local
+        rounds = 0
+        edge_curve = [self.cur_rows]
+        if self.cur_rows == 0:
+            return rounds, edge_curve
+        front = {v for v, s in adj.items() if len(s) < k}
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"k-core peeling did not converge in {max_rounds} rounds"
+                )
+            if not front:
+                edge_curve.append(self.cur_rows)
+                return rounds, edge_curve
+            for v in front:
+                for u in adj[v]:
+                    if u not in front:
+                        adj[u].discard(v)
+                del adj[v]
+            for u in [u for u, s in adj.items() if not s]:
+                del adj[u]
+            self.cur_rows = sum(len(s) for s in adj.values())
+            self.cur_nodes = len(adj)
+            edge_curve.append(self.cur_rows)
+            if self.cur_rows == 0:
+                return rounds, edge_curve
+            front = {v for v, s in adj.items() if len(s) < k}
 
     def _compact(self) -> None:
         """Fold accumulated removals into the snapshot (one anti-join
@@ -247,6 +398,20 @@ class _PeelState:
         minus every row touching a removed vertex. Built from the DF
         objects captured now, so the plan stays valid across later peels
         and compactions of this state."""
+        if self._local is not None:
+            from pyspark.sql import types as T
+
+            spark = self.edges_snap.sparkSession
+            st = self.edges_snap.schema
+            schema = T.StructType(
+                [
+                    T.StructField("src", st["src"].dataType),
+                    T.StructField("dst", st["dst"].dataType),
+                ]
+            )
+            return spark.createDataFrame(
+                [(v, u) for v, s in self._local.items() for u in s], schema
+            )
         e = self.edges_snap
         if self._removed:
             rem = self._removed[0]
@@ -262,6 +427,21 @@ class _PeelState:
         """(node, core_degree) membership — the degree table the peel
         maintains anyway, so membership queries skip reconstructing the
         edge set and re-aggregating it."""
+        if self._local is not None:
+            from pyspark.sql import types as T
+
+            spark = self.edges_snap.sparkSession
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        "node", self.edges_snap.schema["src"].dataType
+                    ),
+                    T.StructField("core_degree", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame(
+                [(v, len(s)) for v, s in self._local.items()], schema
+            )
         return self.deg.select(
             F.col("src").alias("node"), F.col("deg").alias("core_degree")
         )
@@ -412,125 +592,359 @@ class _TrussState:
             snap.join(base, ["a", "b"], "left")
             .select("a", "b", F.coalesce(F.col("sup"), F.lit(0)).alias("sup"))
         )
+        # frontier rows prefetched by the previous round's observation
+        # (driver-path rounds only, size-bounded before the metric is
+        # added) — saves the next round's frontier-collect job
+        self._next_front_rows: list | None = None
 
-    def _stats(self) -> tuple[int, int]:
-        """(alive edges, frontier size) in one tiny aggregate over the
-        maintained support table."""
-        row = self.sup.agg(
+    def _is_front(self):
+        return F.col("sup") < self.k - 2
+
+    def _obs_metrics(self) -> list:
+        """The scalar stats every round observes on its own update job:
+        alive edges, next frontier size, and the frontier's summed
+        support — `fsup` bounds the NEXT round's decrement table (each
+        destroyed triangle has >= 1 frontier edge and decrements <= 2
+        survivors, so |decs| <= 2 * fsup), which is the gate the decs
+        broadcast needs: frontier SIZE is the wrong proxy (a sub-1M
+        frontier of high-support edges can touch tens of millions of
+        survivor edges)."""
+        f = self._is_front()
+        return [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("sup") < self.k - 2, 1).otherwise(0)).alias("r"),
-        ).collect()[0]
-        return int(row["n"] or 0), int(row["r"] or 0)
+            F.sum(F.when(f, 1).otherwise(0)).alias("r"),
+            F.sum(F.when(f, F.col("sup"))).alias("fsup"),
+        ]
 
-    def _round(self, n_frontier: int) -> tuple[int, int]:
+    def _stats(self) -> tuple[int, int, int]:
+        """(alive edges, frontier size, frontier support sum) in one tiny
+        aggregate over the maintained support table — loop entry only;
+        in-loop rounds observe the same metrics on their own update job."""
+        row = self.sup.agg(*self._obs_metrics()).collect()[0]
+        return int(row["n"] or 0), int(row["r"] or 0), int(row["fsup"] or 0)
+
+    def _driver_decs(self, n_frontier: int) -> dict | None:
+        """Driver-local decrement computation for SMALL frontiers — the
+        round-overhead killer: from round ~3 of the sf0.1 peel the
+        frontier is <300 rows yet every distributed round paid ~0.6 s of
+        fixed job/stage/broadcast scheduling (the 40-round loop spent
+        ~24 s on ~1 s of actual work). With the frontier and its
+        incident adjacency both tiny, enumerate the destroyed triangles
+        in plain Python and ship the decrements back as a broadcast
+        LocalRelation: the whole round then costs ONE distributed job
+        (the update scan that materializes the new support table).
+
+        Scale safety: the frontier path is size-gated
+        (KTRUSS_DRIVER_FRONTIER_MAX rows collected — same order as the
+        scalar stats every round already returns) and the adjacency
+        probe is LIMIT-guarded — if frontier-incident edges exceed
+        KTRUSS_ADJ_PROBE_MAX (hub endpoints), return None and let the
+        distributed path run. Enumeration rule is the same min-generator
+        batch dedup as the distributed body: a destroyed triangle is
+        emitted only by its lexicographically smallest frontier edge,
+        and only toward non-frontier edges."""
+        if self._next_front_rows is not None:
+            front = self._next_front_rows
+        else:
+            front = [
+                (r[0], r[1])
+                for r in self.sup.filter(self._is_front())
+                .select("a", "b")
+                .collect()
+            ]
+        fset = set(front)
+        nodes = {x for e in fset for x in e}
+        # endpoint-incident adjacency probe as a broadcast semi-join pair
+        # (duplicates across the two arms are harmless set-inserts below).
+        # NOT isin(): a thousands-literal In expression costs one py4j
+        # round-trip per literal to BUILD — measured 4.8 s of pure driver
+        # time at 5k literals, dwarfing the job it feeds.
+        spark = self.sup.sparkSession
+        from pyspark.sql import types as T
+
+        nodes_df = spark.createDataFrame(
+            [(x,) for x in nodes],
+            T.StructType([T.StructField("a", self.sup.schema["a"].dataType)]),
+        )
+        e = self.sup.select("a", "b")
+        adj_rows = (
+            e.join(F.broadcast(nodes_df), "a", "left_semi")
+            .unionAll(
+                e.join(
+                    F.broadcast(nodes_df.withColumnRenamed("a", "b")),
+                    "b",
+                    "left_semi",
+                )
+            )
+            .limit(KTRUSS_ADJ_PROBE_MAX + 1)
+            .collect()
+        )
+        if len(adj_rows) > KTRUSS_ADJ_PROBE_MAX:
+            return None
+        adj: dict = {}
+        for row in adj_rows:
+            a, b = row[0], row[1]
+            if a in nodes:
+                adj.setdefault(a, set()).add(b)
+            if b in nodes:
+                adj.setdefault(b, set()).add(a)
+        empty: set = set()
+        dec: dict = {}
+        for a, b in fset:
+            for c in adj.get(a, empty) & adj.get(b, empty):
+                e1 = (a, c) if a < c else (c, a)
+                e2 = (b, c) if b < c else (c, b)
+                m = (a, b)
+                if e1 in fset and e1 < m:
+                    m = e1
+                if e2 in fset and e2 < m:
+                    m = e2
+                if m != (a, b):
+                    continue  # a smaller frontier edge owns this triangle
+                if e1 not in fset:
+                    dec[e1] = dec.get(e1, 0) + 1
+                if e2 not in fset:
+                    dec[e2] = dec.get(e2, 0) + 1
+        return dec
+
+    def _round(self, n_frontier: int, fsup: int) -> tuple[int, int, int]:
         """Subtract the frontier's destroyed triangles from surviving
         edges' support and drop the frontier rows. Returns the updated
-        (alive edges, next frontier size), observed ON the update's own
-        materialization (pyspark Observation riding the checkpoint
-        action) so a round costs exactly one job — no separate stats
-        pass. The CollectMetrics node lives only in the materialized
-        round plan; the maintained `sup` the next round (and the
-        returned query plan) reads is a fresh stats-free leaf, so
-        production plans stay free of observation nodes (the plan-audit
-        CollectMetricsLeak axis).
+        (alive edges, next frontier size, frontier support sum), observed
+        ON the update's own materialization (pyspark Observation riding
+        the checkpoint action) so a round costs one distributed job plus
+        at most two bounded driver probes — no separate stats pass. The
+        CollectMetrics node lives only in the materialized round plan;
+        the maintained `sup` the next round (and the returned query plan)
+        reads is a fresh stats-free leaf, so production plans stay free
+        of observation nodes (the plan-audit CollectMetricsLeak axis).
 
-        `sup`'s key set IS the alive edge set, so the adjacency for the
-        wedge join is symmetrize(sup) — no separate snapshot, no
-        compaction, and no aliveness membership joins: every edge of an
-        enumerated triangle is alive-or-frontier by construction.
+        Two bodies, same algebra:
+        - SMALL frontier (<= KTRUSS_DRIVER_FRONTIER_MAX): _driver_decs
+          enumerates the destroyed triangles driver-locally and the
+          decrements join in as a broadcast LocalRelation — the round is
+          ONE distributed job (the tail of a peel is dozens of
+          few-edge rounds whose cost is otherwise pure job scheduling).
+        - LARGE frontier: the distributed wedge enumeration below.
+          `sup`'s key set IS the alive edge set, so the adjacency for
+          the wedge join is symmetrize(sup) — no separate snapshot, no
+          compaction, no aliveness membership joins. Destroyed triangles
+          are grouped BY TRIANGLE, which makes the batch-removal
+          bookkeeping intrinsic: a triangle with m frontier edges is
+          enumerated exactly m times, so its GENERATOR set collected in
+          the group is exactly its frontier edges — one decrement per
+          (triangle, non-generator edge). The frontier broadcast gates
+          on its own row count; the decs broadcast gates on the 2*fsup
+          bound observed LAST round (frontier size is not a valid proxy
+          for decs size — see _obs_metrics)."""
+        is_front = self._is_front()
+        spark = self.sup.sparkSession
+        dec_map = (
+            self._driver_decs(n_frontier)
+            if n_frontier <= KTRUSS_DRIVER_FRONTIER_MAX
+            else None
+        )
+        if dec_map is not None:
+            survivors = self.sup.filter(~is_front)
+            if dec_map:
+                a_type = self.sup.schema["a"].dataType
+                b_type = self.sup.schema["b"].dataType
+                from pyspark.sql import types as T
 
-        The destroyed triangles are then grouped BY TRIANGLE, which
-        makes the batch-removal bookkeeping intrinsic: a triangle with m
-        frontier edges is enumerated exactly m times (once per frontier
-        edge), so its GENERATOR set collected in the group is exactly
-        its frontier edges — and every non-generator edge is therefore a
-        survivor (an in-frontier edge would have enumerated the triangle
-        itself). One decrement per (triangle, non-generator edge), no
-        membership joins, no ordering rule."""
-        small = n_frontier <= BROADCAST_REMOVED_MAX
-        is_front = F.col("sup") < self.k - 2
-        removed = self.sup.filter(is_front).select("a", "b")
-        rem = F.broadcast(removed) if small else removed
-        sym = symmetrize(self.sup.select("a", "b"))
-        # triangles through a frontier edge (a,b): common neighbor c in
-        # the LIVE adjacency — cost ~ frontier-incident wedges
-        tri = (
-            rem.join(
-                sym.select(F.col("src").alias("a"), F.col("dst").alias("c")), "a"
+                schema = T.StructType(
+                    [
+                        T.StructField("a", a_type),
+                        T.StructField("b", b_type),
+                        T.StructField("dec", T.LongType()),
+                    ]
+                )
+                decs_local = spark.createDataFrame(
+                    [(a, b, d) for (a, b), d in dec_map.items()], schema
+                )
+                upd = (
+                    survivors.join(F.broadcast(decs_local), ["a", "b"], "left")
+                    .select(
+                        "a",
+                        "b",
+                        (
+                            F.col("sup") - F.coalesce(F.col("dec"), F.lit(0))
+                        ).alias("sup"),
+                    )
+                )
+            else:
+                upd = survivors.select("a", "b", "sup")
+            # next round's frontier is a subset of the decremented edges,
+            # so its row count is bounded by len(dec_map) — when that
+            # bound is driver-scale, prefetch the frontier rows on the
+            # SAME observation and the next driver round skips its
+            # frontier-collect job entirely
+            prefetch = len(dec_map) <= KTRUSS_PREFETCH_MAX
+        else:
+            small = n_frontier <= BROADCAST_REMOVED_MAX
+            removed = self.sup.filter(is_front).select("a", "b")
+            rem = F.broadcast(removed) if small else removed
+            sym = symmetrize(self.sup.select("a", "b"))
+            # triangles through a frontier edge (a,b): common neighbor c
+            # in the LIVE adjacency — cost ~ frontier-incident wedges
+            tri = (
+                rem.join(
+                    sym.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+                    "a",
+                )
+                .join(
+                    sym.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+                    ["b", "c"],
+                )
+                .select(
+                    F.array_sort(F.array("a", "b", "c")).alias("ns"),
+                    F.struct(
+                        F.col("a").alias("a"), F.col("b").alias("b")
+                    ).alias("gen"),
+                )
+                .groupBy("ns")
+                .agg(F.collect_set("gen").alias("gens"))
             )
-            .join(
-                sym.select(F.col("src").alias("b"), F.col("dst").alias("c")),
-                ["b", "c"],
+            n0, n1, n2 = (F.col("ns")[i] for i in range(3))
+            edges3 = F.array(
+                F.struct(n0.alias("a"), n1.alias("b")),
+                F.struct(n0.alias("a"), n2.alias("b")),
+                F.struct(n1.alias("a"), n2.alias("b")),
             )
-            .select(
-                F.array_sort(F.array("a", "b", "c")).alias("ns"),
-                F.struct(F.col("a").alias("a"), F.col("b").alias("b")).alias("gen"),
+            decs = (
+                tri.select(
+                    F.explode(
+                        F.filter(edges3, lambda e: ~F.array_contains("gens", e))
+                    ).alias("e")
+                )
+                .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+                .agg(F.count(F.lit(1)).alias("dec"))
             )
-            .groupBy("ns")
-            .agg(F.collect_set("gen").alias("gens"))
-        )
-        n0, n1, n2 = (F.col("ns")[i] for i in range(3))
-        edges3 = F.array(
-            F.struct(n0.alias("a"), n1.alias("b")),
-            F.struct(n0.alias("a"), n2.alias("b")),
-            F.struct(n1.alias("a"), n2.alias("b")),
-        )
-        decs = (
-            tri.select(
-                F.explode(
-                    F.filter(edges3, lambda e: ~F.array_contains("gens", e))
-                ).alias("e")
+            # |decs| <= 2 * fsup (destroyed-triangle side edges): gate
+            # the broadcast on the bound of the table actually shipped,
+            # not on frontier size — a small frontier of high-support
+            # edges can touch survivor edges far past the broadcast limit
+            small_decs = 2 * fsup <= BROADCAST_REMOVED_MAX
+            upd = (
+                self.sup.filter(~is_front)
+                .join(
+                    F.broadcast(decs) if small_decs else decs, ["a", "b"], "left"
+                )
+                .select(
+                    "a",
+                    "b",
+                    (F.col("sup") - F.coalesce(F.col("dec"), F.lit(0))).alias(
+                        "sup"
+                    ),
+                )
             )
-            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("dec"))
-        )
-        # decs is frontier-incident (bounded by destroyed-triangle side
-        # edges) — broadcast it under the same gate so the update is a
-        # single map-side pass over the maintained table
-        from pyspark.sql import Observation
-
+            prefetch = False
         obs = Observation()
-        upd = (
-            self.sup.filter(~is_front)
-            .join(F.broadcast(decs) if small else decs, ["a", "b"], "left")
-            .select(
-                "a",
-                "b",
-                (F.col("sup") - F.coalesce(F.col("dec"), F.lit(0))).alias("sup"),
+        metrics = self._obs_metrics()
+        if prefetch:
+            metrics.append(
+                F.collect_list(
+                    F.when(self._is_front(), F.struct("a", "b"))
+                ).alias("fl")
             )
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.when(F.col("sup") < self.k - 2, 1).otherwise(0)
-                ).alias("r"),
-            )
-        )
-        self.sup = _ckpt_leaf(upd)
+        upd = upd.observe(obs, *metrics)
+        self.sup = _stats_canary(_ckpt_leaf(upd))
         row = obs.get
-        return int(row["n"] or 0), int(row["r"] or 0)
+        self._next_front_rows = (
+            [(r["a"], r["b"]) for r in row["fl"]] if prefetch else None
+        )
+        return int(row["n"] or 0), int(row["r"] or 0), int(row["fsup"] or 0)
 
     def peel(self, max_rounds: int) -> tuple[int, list[int]]:
         """Rounds and edge-curve semantics identical to the recompute
         formulation: the confirming no-change round counts, an emptied
-        graph converges without one."""
+        graph converges without one. Once the live graph fits the
+        driver budget the remaining rounds run locally (_peel_local) —
+        same algebra, same accounting, zero per-round jobs."""
         rounds = 0
         edge_curve = [self.cur_rows]
         if self.cur_rows == 0:
             return rounds, edge_curve
-        _, n_front = self._stats()
+        if self.cur_rows <= KTRUSS_LOCAL_EDGES_MAX:
+            return self._peel_local(rounds, edge_curve, max_rounds)
+        _, n_front, fsup = self._stats()
         for _ in range(max_rounds):
             rounds += 1
             if n_front == 0:
                 edge_curve.append(self.cur_rows)
                 return rounds, edge_curve
-            self.cur_rows, n_front = self._round(n_front)
+            self.cur_rows, n_front, fsup = self._round(n_front, fsup)
             edge_curve.append(self.cur_rows)
             if self.cur_rows == 0:
                 return rounds, edge_curve
+            if self.cur_rows <= KTRUSS_LOCAL_EDGES_MAX:
+                return self._peel_local(rounds, edge_curve, max_rounds)
         raise RuntimeError(
             f"k-truss peeling did not converge in {max_rounds} rounds"
         )
+
+    def _peel_local(
+        self, rounds: int, edge_curve: list[int], max_rounds: int
+    ) -> tuple[int, list[int]]:
+        """Local endgame: collect the live (a, b, sup) rows once, finish
+        the fixpoint with the identical round algebra (frontier rule,
+        min-generator triangle dedup, confirming-round and max_rounds
+        semantics), and re-ship the surviving support table as a
+        LocalRelation. The round budget CONTINUES the distributed
+        count — a peel that switches paths raises at exactly the same
+        depth it would have raised distributed."""
+        sup = {(r[0], r[1]): r[2] for r in self.sup.collect()}
+        adj: dict = {}
+        for a, b in sup:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        thr = self.k - 2
+        while True:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"k-truss peeling did not converge in {max_rounds} rounds"
+                )
+            rounds += 1
+            front = [e for e, s in sup.items() if s < thr]
+            if not front:
+                edge_curve.append(len(sup))
+                self._finalize_local(sup)
+                return rounds, edge_curve
+            fset = set(front)
+            for a, b in front:
+                for c in adj[a] & adj[b]:
+                    e1 = (a, c) if a < c else (c, a)
+                    e2 = (b, c) if b < c else (c, b)
+                    m = (a, b)
+                    if e1 in fset and e1 < m:
+                        m = e1
+                    if e2 in fset and e2 < m:
+                        m = e2
+                    if m != (a, b):
+                        continue  # a smaller frontier edge owns this triangle
+                    if e1 not in fset:
+                        sup[e1] -= 1
+                    if e2 not in fset:
+                        sup[e2] -= 1
+            for a, b in front:
+                del sup[(a, b)]
+                adj[a].discard(b)
+                if not adj[a]:
+                    del adj[a]
+                adj[b].discard(a)
+                if not adj[b]:
+                    del adj[b]
+            edge_curve.append(len(sup))
+            if not sup:
+                self._finalize_local(sup)
+                return rounds, edge_curve
+
+    def _finalize_local(self, sup: dict) -> None:
+        spark = self.sup.sparkSession
+        self.sup = spark.createDataFrame(
+            [(a, b, s) for (a, b), s in sup.items()], self.sup.schema
+        )
+        self.cur_rows = len(sup)
+        self._next_front_rows = None
 
     def surviving_edges(self) -> DataFrame:
         return self.sup.select("a", "b")

@@ -374,12 +374,12 @@ def test_peel_checkpoint_stats_stay_flat(spark):
         return len(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
     st = _TrussState(pairs, k=4)
-    _, nf = st._stats()
+    _, nf, fsup = st._stats()
     seen = [digits(st.sup)]
     for _ in range(3):
         if not nf:
             break
-        _, nf = st._round(nf)
+        _, nf, fsup = st._round(nf, fsup)
         seen.append(digits(st.sup))
     ps = _PeelState(symmetrize(pairs))
     ps.peel(k=3, max_rounds=24)

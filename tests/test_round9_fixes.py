@@ -94,10 +94,13 @@ def test_cascade_through_earlier_round_removals(spark):
     assert {r["node"] for r in members.collect()} == {0, 1, 2, 3}
 
 
-def test_compaction_preserves_results_and_rounds(spark):
+def test_compaction_preserves_results_and_rounds(spark, monkeypatch):
     # a 24-path at k=2 halves its live edges repeatedly -> the snapshot
     # compaction path runs several times; the peel must still fully
     # drain and report the same round count as an uncompacted state
+    # (force the distributed loop: the round-11 local endgame would
+    # otherwise absorb this driver-sized graph before compaction fires)
+    monkeypatch.setattr(graph, "KCORE_LOCAL_EDGES_MAX", 0)
     chain = [(i, i + 1) for i in range(24)]
     st = graph._PeelState(_sym(spark, chain))
     rounds, curve = st.peel(2, max_rounds=graph.KCORE_DEFAULT_MAX_ROUNDS)
