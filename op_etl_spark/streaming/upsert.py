@@ -151,6 +151,12 @@ def merge_upsert_batch(
     spark = batch_df.sparkSession
     cols = batch_df.columns
     existing = _read_marker(spark, target_dir)
+    if existing is None and adopt_pending_rebucket(spark, target_dir):
+        # a rebucket swap crashed between its renames: the complete tmp
+        # was just adopted — without this, the merge would treat the
+        # vanished target as a FIRST write and silently drop all prior
+        # state
+        existing = _read_marker(spark, target_dir)
     if existing is not None and existing != n_buckets:
         raise ValueError(
             f"target {target_dir} was bucketed with n_buckets={existing}; "
@@ -198,6 +204,58 @@ def merge_upsert_batch(
         batch.unpersist()
 
 
+_TMP_SUFFIX = "__rebucket_tmp"
+_OLD_SUFFIX = "__rebucket_old"
+
+
+def _swap_dirs(target_dir: str) -> tuple[str, str]:
+    base = target_dir.rstrip("/")
+    return base + _TMP_SUFFIX, base + _OLD_SUFFIX
+
+
+def adopt_pending_rebucket(spark: SparkSession, target_dir: str) -> bool:
+    """Finish (or clean up after) a rebucket_target swap that crashed
+    between steps. Safe to call any time under the single-writer rule;
+    merge_upsert_batch and read_upsert_target call it automatically when
+    the target's marker is missing, so no crash window requires manual
+    intervention. Returns True when a pending swap was adopted.
+
+    Decision table (the marker is written LAST into the tmp dir, so its
+    presence certifies a COMPLETE rewrite):
+    - target has a marker: the swap completed or never started — any
+      `__rebucket_old` left aside is debris from a finished swap, delete
+      it; a leftover `__rebucket_tmp` belongs to an ABORTED (pre-swap)
+      run and is left for the next rebucket_target to reclaim.
+    - target missing/markerless and tmp complete: adopt tmp (rename it
+      into place), then drop the old copy.
+    - target missing and only `__rebucket_old` complete (a rename that
+      lied on an object store): restore the old copy — the migration
+      re-runs, nothing is lost."""
+    tmp, old = _swap_dirs(target_dir)
+    fs, target_path = _fs(spark, target_dir)
+    _, tmp_path = _fs(spark, tmp)
+    _, old_path = _fs(spark, old)
+    if _read_marker(spark, target_dir) is not None:
+        if fs.exists(old_path):
+            fs.delete(old_path, True)
+        return False
+    if fs.exists(tmp_path) and _read_marker(spark, tmp) is not None:
+        if fs.exists(target_path):  # markerless partial leftover
+            fs.delete(target_path, True)
+        if not fs.rename(tmp_path, target_path):
+            raise IOError(f"adopt rename {tmp} -> {target_dir} failed")
+        if fs.exists(old_path):
+            fs.delete(old_path, True)
+        return True
+    if fs.exists(old_path) and _read_marker(spark, old) is not None:
+        if fs.exists(target_path):
+            fs.delete(target_path, True)
+        if not fs.rename(old_path, target_path):
+            raise IOError(f"adopt rename {old} -> {target_dir} failed")
+        return True
+    return False
+
+
 def rebucket_target(
     spark: SparkSession,
     target_dir: str,
@@ -216,17 +274,20 @@ def rebucket_target(
       into the directory being deleted. Resume after.
     - cost is one full read + one full write of the target — O(target),
       by design; it is the MIGRATION, not the per-batch path.
-    - the swap is delete-then-rename: a crash between the two leaves
-      the finished `__rebucket_tmp` directory next to a missing target;
-      re-running the operation is NOT the recovery (there is nothing to
-      read) — rename the tmp dir into place by hand. The tmp dir is
-      complete and self-describing (data + marker) before the old
-      target is touched.
+    - the swap is crash-safe: the tmp rewrite completes first (data,
+      then marker — the marker certifies completeness), then the live
+      target is renamed ASIDE, the tmp renamed IN, and the aside copy
+      deleted. The target path therefore always points at a complete
+      dataset except between the two renames — and a crash in that
+      window is self-healing: the next merge_upsert_batch or
+      read_upsert_target (or an explicit adopt_pending_rebucket) sees
+      the missing marker and adopts the complete tmp automatically.
 
     `key_cols` defaults to the key recorded in the target's marker at
     first write; passing a different key re-buckets AND re-keys (only
     sensible when the caller knows the stored rows are already one per
     new key)."""
+    adopt_pending_rebucket(spark, target_dir)
     existing = _read_marker(spark, target_dir)
     if existing is None:
         raise ValueError(f"{target_dir} is not an upsert target (no marker)")
@@ -237,10 +298,13 @@ def rebucket_target(
         )
     if existing == new_n_buckets and key_cols is None:
         return
-    tmp = target_dir.rstrip("/") + "__rebucket_tmp"
+    tmp, old = _swap_dirs(target_dir)
     fs, tmp_path = _fs(spark, tmp)
-    if fs.exists(tmp_path):
+    _, old_path = _fs(spark, old)
+    if fs.exists(tmp_path):  # aborted pre-swap run: reclaim
         fs.delete(tmp_path, True)
+    if fs.exists(old_path):
+        fs.delete(old_path, True)
     (
         spark.read.parquet(target_dir)
         .drop(BUCKET_COL)
@@ -251,13 +315,22 @@ def rebucket_target(
     )
     _write_marker(spark, tmp, new_n_buckets, keys)
     fs, target_path = _fs(spark, target_dir)
-    fs.delete(target_path, True)
+    if not fs.rename(target_path, old_path):
+        raise IOError(f"rename {target_dir} -> {old} failed; target untouched")
     if not fs.rename(tmp_path, target_path):
-        raise IOError(f"rename {tmp} -> {target_dir} failed; data is in {tmp}")
+        raise IOError(
+            f"rename {tmp} -> {target_dir} failed; the next read/merge "
+            "adopts the complete tmp automatically (adopt_pending_rebucket)"
+        )
+    fs.delete(old_path, True)
 
 
 def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:
-    """The merged state, without the internal bucket column."""
+    """The merged state, without the internal bucket column. A missing
+    marker triggers crash recovery for an interrupted rebucket swap
+    (one marker-existence probe on the happy path — no data listed)."""
+    if _read_marker(spark, target_dir) is None:
+        adopt_pending_rebucket(spark, target_dir)
     return spark.read.parquet(target_dir).drop(BUCKET_COL)
 
 
