@@ -164,6 +164,10 @@ HEADLINE = [
     # row-local argmax fold — zero corpus shuffles)
     "semantic_dedup",
     "semantic_decontaminate",
+    # round 11: the two-level (k > SEMDEDUP_FLAT_K_MAX) assignment gate —
+    # the k~N scale path's cost is now a first-class recorded number, not
+    # probe-only (VERDICT r10 'What's missing' #1)
+    "semantic_assign_two_level",
     # round 10: the capstone's fused plan gets its own number (its twin
     # training_corpus_funnel was already a headline entry; the r9 gap
     # was that the composition whose cost motivated the persisted

