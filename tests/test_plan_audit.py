@@ -115,6 +115,36 @@ class TestTableRescan:
         assert res["smells"] == []
         assert res["allowed"] == ["TableRescan"]
 
+    def test_cached_scan_reprints_dedupe_under_imr_only(self):
+        """Byte-identical scan blocks dedupe ONLY when the tree shows the
+        scan under an InMemoryRelation (a persisted subplan reprinting
+        its cache-build scan per InMemoryTableScan reference). The same
+        identical blocks WITHOUT an IMR ancestor must each count — e.g.
+        separately numbered subquery sections reprinting node (3)."""
+        block = SCAN_BLOCK.format(n=3, tbl="documents")
+        imr_tree = (
+            "BroadcastHashJoin (9)\n"
+            ":- InMemoryTableScan (1)\n"
+            ":     +- InMemoryRelation (2)\n"
+            ":           +- * ColumnarToRow (4)\n"
+            ":              +- Scan parquet  (3)\n"
+            "+- InMemoryTableScan (6)\n"
+            "      +- InMemoryRelation (7)\n"
+            "            +- * ColumnarToRow (4)\n"
+            "               +- Scan parquet  (3)"
+        )
+        res = audit("x", _plan(block, block, block, tree=imr_tree))
+        assert res["smells"] == [] and "rescans" not in res
+        bare_tree = (
+            "BroadcastHashJoin (9)\n"
+            ":- Scan parquet  (3)\n"
+            "+- Scan parquet  (3)\n"
+            "+- Scan parquet  (3)"
+        )
+        res = audit("x", _plan(block, block, block, tree=bare_tree))
+        assert res["smells"] == ["TableRescan"]
+        assert res["rescans"] == {"documents.parquet": 3}
+
 
 class TestCollectMetricsLeak:
     def test_instrumentation_in_production_plan_flagged(self):

@@ -116,6 +116,29 @@ def _detail_blocks(p: str):
             yield m.group(2), block
 
 
+def _cache_build_scan_ids(p: str) -> set[str]:
+    """Node ids of `Scan parquet` nodes the explain TREE places beneath an
+    InMemoryRelation — the cache-build scans whose detail blocks reprint
+    byte-identically once per InMemoryTableScan reference. Tracks tree
+    depth by the node name's column position (formatted explain indents
+    children strictly deeper), so only true IMR descendants qualify."""
+    ids: set[str] = set()
+    stack: list[tuple[int, bool]] = []  # (indent, is_under_or_at_IMR)
+    for line in p.splitlines():
+        m = re.search(r"([A-Za-z*][^()]*?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        indent = m.start(1)
+        name = m.group(1).lstrip("* ").strip()
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        under = any(f for _, f in stack)
+        stack.append((indent, name.startswith("InMemoryRelation")))
+        if name.startswith("Scan parquet") and under:
+            ids.add(m.group(2))
+    return ids
+
+
 def audit(name: str, p: str) -> dict:
     tree = p.split("\n\n", 1)[0]
     smells = set()
@@ -156,20 +179,24 @@ def audit(name: str, p: str) -> dict:
     # per-table scan counts: the same parquet table scanned >2x in one plan
     # is a missed reuse (the q15-style double-scan guard, with one rescan
     # of headroom for legitimate two-pass shapes like build+probe)
-    # Dedupe byte-identical scan blocks: a persisted subplan's
-    # InMemoryRelation re-prints its cache-build scan's detail block
-    # (same node id, same attribute ids) once per InMemoryTableScan
-    # reference, but those are all the SAME physical scan — it ran once,
-    # at cache materialization — and counting the reprints would flag a
-    # cached-reuse plan as a rescan, the exact opposite of what it is.
-    # Genuinely distinct scans of one table always differ in text
-    # (node id and/or attribute exprIds), so they still count.
+    # Dedupe byte-identical scan blocks, but ONLY for scans the tree
+    # shows under an InMemoryRelation: a persisted subplan re-prints its
+    # cache-build scan's detail block (same node id, same attribute ids)
+    # once per InMemoryTableScan reference, yet those are all the SAME
+    # physical scan — it ran once, at cache materialization — and
+    # counting the reprints would flag a cached-reuse plan as a rescan,
+    # the exact opposite of what it is. Scans NOT under an
+    # InMemoryRelation never dedupe, so a future plan shape that
+    # reprints byte-identical blocks for genuinely distinct scans (e.g.
+    # separately numbered subquery sections) still counts every one.
+    cached_ids = _cache_build_scan_ids(p)
     seen: set[str] = set()
     per_table: dict[str, int] = {}
     for block in p.split("\n\n"):
-        if not re.match(r"\(\d+\) Scan parquet", block):
+        m_id = re.match(r"\((\d+)\) Scan parquet", block)
+        if not m_id:
             continue
-        if block in seen:
+        if block in seen and m_id.group(1) in cached_ids:
             continue
         seen.add(block)
         loc = next((ln for ln in block.splitlines() if "Location:" in ln), "")
