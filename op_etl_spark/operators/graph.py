@@ -89,6 +89,14 @@ KTRUSS_DRIVER_FRONTIER_MAX = 4096
 # (hub endpoints can make a tiny frontier touch a huge neighborhood — on
 # overflow the round falls back to the distributed body)
 KTRUSS_ADJ_PROBE_MAX = 1 << 18
+# ... AND the alive-edge table itself is modest: the adjacency probe is a
+# full pass over `sup` (two broadcast semi-join arms), so its cost scales
+# with the LIVE table, not the frontier — measured on the x32 fixture
+# (3.58M alive edges, same session), driver-decs rounds lose to the fused
+# distributed round they replace (170.0s vs 159.1s for the whole peel).
+# Below ~1M alive edges the probe is a sub-second scan and the saved
+# shuffle stages dominate.
+KTRUSS_DRIVER_SUP_MAX = 1 << 20
 # next-frontier prefetch rides the update observation only when the
 # decremented-edge count (its exact upper bound, known driver-side)
 # stays metric-sized
@@ -720,10 +728,12 @@ class _TrussState:
         of observation nodes (the plan-audit CollectMetricsLeak axis).
 
         Two bodies, same algebra:
-        - SMALL frontier (<= KTRUSS_DRIVER_FRONTIER_MAX): _driver_decs
-          enumerates the destroyed triangles driver-locally and the
-          decrements join in as a broadcast LocalRelation — the round is
-          ONE distributed job (the tail of a peel is dozens of
+        - SMALL frontier (<= KTRUSS_DRIVER_FRONTIER_MAX) over a MODEST
+          live table (<= KTRUSS_DRIVER_SUP_MAX — the adjacency probe is
+          a full pass over `sup`, so it must stay sub-second):
+          _driver_decs enumerates the destroyed triangles driver-locally
+          and the decrements join in as a broadcast LocalRelation — the
+          round is ONE distributed job (the tail of a peel is dozens of
           few-edge rounds whose cost is otherwise pure job scheduling).
         - LARGE frontier: the distributed wedge enumeration below.
           `sup`'s key set IS the alive edge set, so the adjacency for
@@ -742,6 +752,7 @@ class _TrussState:
         dec_map = (
             self._driver_decs(n_frontier)
             if n_frontier <= KTRUSS_DRIVER_FRONTIER_MAX
+            and self.cur_rows <= KTRUSS_DRIVER_SUP_MAX
             else None
         )
         if dec_map is not None:

@@ -49,6 +49,17 @@ def test_truss_local_driver_distributed_equivalent(spark, monkeypatch, seed, k):
     assert local == driver_rounds == distributed
 
 
+def test_truss_sup_gate_keeps_distributed_body(spark, monkeypatch):
+    """Above KTRUSS_DRIVER_SUP_MAX alive edges the driver-decs path must
+    not fire (its adjacency probe is a full pass over the live table —
+    measured a net loss at the x32 scale), and results are identical."""
+    pairs = _random_canonical(spark, 11, n_nodes=26, n_edges=100)
+    monkeypatch.setattr(G, "KTRUSS_LOCAL_EDGES_MAX", 0)
+    want = _truss_result(spark, pairs, 4)  # driver-decs rounds
+    monkeypatch.setattr(G, "KTRUSS_DRIVER_SUP_MAX", 0)  # gate always closed
+    assert _truss_result(spark, pairs, 4) == want
+
+
 def test_truss_adj_probe_overflow_falls_back(spark, monkeypatch):
     """A frontier whose incident adjacency overflows the LIMIT-guarded
     probe must fall back to the distributed body, not truncate."""
