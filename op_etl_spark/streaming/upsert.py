@@ -128,12 +128,32 @@ def _read_marker_keys(spark: SparkSession, target_dir: str) -> list[str] | None:
     return None
 
 
+def _read_marker_schema(spark: SparkSession, target_dir: str) -> T.StructType | None:
+    """Target schema recorded at first write (round 11) — lets every
+    micro-batch read the target without the per-batch footer read +
+    driver schema merge. None for older markers (<= 2 lines), which fall
+    back to the inferred read."""
+    lines = _read_marker_lines(spark, target_dir)
+    if lines and len(lines) > 2 and lines[2]:
+        import json as _json
+
+        return T.StructType.fromJson(_json.loads(lines[2]))
+    return None
+
+
 def _write_marker(
-    spark: SparkSession, target_dir: str, n_buckets: int, key_cols: list[str] | None = None
+    spark: SparkSession,
+    target_dir: str,
+    n_buckets: int,
+    key_cols: list[str] | None = None,
+    schema_json: str | None = None,
 ) -> None:
     fs, jpath = _fs(spark, f"{target_dir}/{_MARKER}")
     stream = fs.create(jpath, True)
-    body = f"{n_buckets}\n" + (",".join(key_cols) + "\n" if key_cols else "")
+    body = f"{n_buckets}\n" + (",".join(key_cols) if key_cols else "")
+    if schema_json:
+        body += "\n" + schema_json
+    body += "\n"
     try:
         stream.write(body.encode())
     finally:
@@ -182,7 +202,24 @@ def merge_upsert_batch(
             merged = latest_per_key(batch, key_cols, seq_col)
         else:
             touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
-            current = spark.read.parquet(target_dir).filter(
+            # the target's schema was recorded in the marker at first
+            # write — passing it to the read skips the per-batch footer
+            # read + driver schema merge (~0.15s/batch at 64 buckets,
+            # growing with the target's file count). A recorded schema
+            # must still catch drift the inferred read caught via the
+            # select/union analysis error, so compare column names first.
+            marker_schema = _read_marker_schema(spark, target_dir)
+            reader = spark.read
+            if marker_schema is not None:
+                if sorted(marker_schema.fieldNames()) != sorted(batch.columns):
+                    raise ValueError(
+                        f"batch columns {sorted(batch.columns)} do not match "
+                        f"target {target_dir} columns "
+                        f"{sorted(marker_schema.fieldNames())} — schema drift "
+                        "is not mergeable; rewrite the target first"
+                    )
+                reader = reader.schema(marker_schema)
+            current = reader.parquet(target_dir).filter(
                 F.col(BUCKET_COL).isin(touched)
             )
             merged = latest_per_key(
@@ -192,14 +229,25 @@ def merge_upsert_batch(
                 key_cols,
                 seq_col,
             )
+        # one writer task per bucket: the reduced output is small enough
+        # that AQE coalesces it to a single partition, and that one task
+        # then writes every touched bucket directory sequentially (~64
+        # parquet file opens back to back). An explicit repartition on the
+        # bucket column spreads the per-file write cost across the
+        # cluster — exactly one file per bucket dir either way, so the
+        # layout contract (and the next merge's read) is unchanged.
         (
-            merged.write.mode("overwrite")
+            merged.repartition(n_buckets, F.col(BUCKET_COL))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(target_dir)
         )
         if existing is None:
-            _write_marker(spark, target_dir, n_buckets, list(key_cols))
+            _write_marker(
+                spark, target_dir, n_buckets, list(key_cols),
+                schema_json=merged.schema.json(),
+            )
     finally:
         batch.unpersist()
 
@@ -305,15 +353,19 @@ def rebucket_target(
         fs.delete(tmp_path, True)
     if fs.exists(old_path):
         fs.delete(old_path, True)
-    (
+    rewritten = (
         spark.read.parquet(target_dir)
         .drop(BUCKET_COL)
         .withColumn(BUCKET_COL, _bucket(keys, new_n_buckets))
-        .write.mode("overwrite")
+    )
+    (
+        rewritten.write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
     )
-    _write_marker(spark, tmp, new_n_buckets, keys)
+    _write_marker(
+        spark, tmp, new_n_buckets, keys, schema_json=rewritten.schema.json()
+    )
     fs, target_path = _fs(spark, target_dir)
     if not fs.rename(target_path, old_path):
         raise IOError(f"rename {target_dir} -> {old} failed; target untouched")

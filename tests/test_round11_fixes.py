@@ -219,3 +219,58 @@ def test_rebucket_stale_debris_cleaned_and_rerun_safe(spark, tmp_path):
     assert _state(spark, target) == before
     assert _read_marker(spark, target) == 16
     assert not os.path.exists(tmp) and not os.path.exists(old)
+
+
+# ---- round-11 optimization: marker-recorded schema on the merge path ----
+
+
+def test_marker_records_schema_and_fast_read_matches(spark, tmp_path):
+    """The first write records the target schema in the marker; later
+    merges read with it (no per-batch footer inference) and produce the
+    identical state."""
+    from op_etl_spark.streaming.upsert import _read_marker_schema
+
+    target = str(tmp_path / "t")
+    _mk_target(spark, target, n_buckets=8)
+    sch = _read_marker_schema(spark, target)
+    assert sch is not None and "__bucket" in sch.fieldNames()
+    assert set(sch.fieldNames()) == {"user_id", "seq", "v", "__bucket"}
+    got = {r[0]: (r[1], r[2]) for r in _state(spark, target)}
+    assert got[0] == (5, 0.5) and got[1] == (10, 1.0)  # latest per key
+
+
+def test_legacy_two_line_marker_still_merges(spark, tmp_path):
+    """Pre-round-11 markers (no schema line) must keep merging via the
+    inferred-read fallback — same final state."""
+    from op_etl_spark.streaming.upsert import (
+        _read_marker_schema,
+        _write_marker,
+        merge_upsert_batch,
+    )
+
+    target = str(tmp_path / "t")
+    _mk_target(spark, target, n_buckets=8)
+    # rewrite the marker without the schema line (a legacy target)
+    _write_marker(spark, target, 8, ["user_id"])
+    assert _read_marker_schema(spark, target) is None
+    b3 = spark.createDataFrame(
+        [(1, 999, 42.0)], "user_id long, seq long, v double"
+    )
+    merge_upsert_batch(b3, target, ["user_id"], "seq", n_buckets=8)
+    got = {r[0]: (r[1], r[2]) for r in _state(spark, target)}
+    assert got[1] == (999, 42.0) and got[0] == (5, 0.5)
+
+
+def test_marker_schema_drift_message_names_columns(spark, tmp_path):
+    """Schema drift against a recorded marker raises the explicit
+    ValueError (not a generic analysis error) and loses nothing."""
+    from op_etl_spark.streaming.upsert import merge_upsert_batch
+
+    target = str(tmp_path / "t")
+    _mk_target(spark, target, n_buckets=8)
+    widened = spark.createDataFrame(
+        [(0, 1000, 7.0, "x")], "user_id long, seq long, v double, extra string"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_upsert_batch(widened, target, ["user_id"], "seq", n_buckets=8)
+    assert len(_state(spark, target)) == 40  # nothing lost
