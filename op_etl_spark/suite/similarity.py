@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from ._util import dot_fold as _dot, fround, norm_fold, read_table
 
 N_PROBES = 10
@@ -741,6 +744,44 @@ def _assign_two_level(en: DataFrame, cent_rows) -> DataFrame:
     )
 
 
+def _flat_best_np(cent_rows):
+    """Vectorized twin of `_assign_flat`'s argmax as a pandas-UDF column
+    over (emb, nrm): one NumPy matmul per Arrow batch instead of an
+    interpreted Catalyst higher-order fold (CodegenFallback evaluates
+    each multiply-add through the expression interpreter — at k=160,
+    d=64 that is ~10k interpreted ops per ROW, the dominant cost of the
+    literal argmax past k~100).
+
+    ONLY bit-exact when embeddings AND centroids are exact-integer-valued
+    doubles (the SEM2_QSCALE quantization discipline): every product and
+    partial sum is then an integer below 2^53, exactly representable, so
+    any summation order — BLAS pairwise, FMA, or the sequential fold —
+    produces the identical double. Tie-break matches `_best_struct`:
+    NumPy argmax returns the FIRST maximum, and `cent_rows` arrives
+    label-sorted, so an exact cosine tie picks the lowest label. Norms
+    reuse `_pydot` per centroid so the divisor is computed by the same
+    fold as the literal path. Do NOT use for non-integer centroids
+    (e.g. `semantic_dedup`'s tick-means) — their sums round, and
+    summation order would leak into the last ulp."""
+
+    C = np.array([list(r["centroid"]) for r in cent_rows], dtype="float64")
+    cn = np.array(
+        [math.sqrt(_pydot(r["centroid"], r["centroid"])) for r in cent_rows]
+    )
+    labels = np.array([int(r["label"]) for r in cent_rows], dtype="int64")
+
+    @F.pandas_udf("struct<cluster: long, cosc: double>")
+    def _best(emb: pd.Series, nrm: pd.Series) -> pd.DataFrame:
+        E = np.vstack(emb.to_numpy())  # (n, d) exact-integer doubles
+        cos = (E @ C.T) / (nrm.to_numpy()[:, None] * cn[None, :])
+        j = cos.argmax(axis=1)  # first max = lowest label (label-sorted C)
+        return pd.DataFrame(
+            {"cluster": labels[j], "cosc": cos[np.arange(len(j)), j]}
+        )
+
+    return _best
+
+
 def semdedup_assign(en: DataFrame, cent_rows, flat_k_max: int | None = None) -> DataFrame:
     """Nearest-centroid assignment for a corpus with a projected `nrm`
     norm column: flat literal argmax while the codebook is driver-scale,
@@ -956,19 +997,27 @@ def semantic_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"semantic_assign_two_level fixture produced {len(cent_rows)} "
             f"centroids, expected {SEM2_K}"
         )
-    two = semdedup_assign(en, cent_rows).select("vec_id", "cluster", "cosc")
-    flat = _assign_flat(en, cent_rows).select(
-        F.col("vec_id").alias("fvid"), F.col("cluster").alias("flat_cluster")
-    )
-    return two.join(flat, two["vec_id"] == flat["fvid"]).select(
-        "vec_id",
-        F.col("cluster").cast("int").alias("cluster"),
-        F.col("flat_cluster").cast("int").alias("flat_cluster"),
-        F.when(F.col("cluster") == F.col("flat_cluster"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("agree"),
-        "cosc",
+    # the two-level output carries emb/nrm for exactly en's rows, so the
+    # flat agreement column rides the SAME pass as a vectorized pandas-UDF
+    # argmax (see _flat_best_np: bit-exact here because this fixture's
+    # embeddings and centroids are integer-valued doubles) — no second
+    # full-table literal argmax, no vec_id re-join. Before: scan + k=160
+    # interpreted fold + join (~6s of the query at sf0.1); after: one
+    # ArrowEvalPython matmul on rows already in flight.
+    two = semdedup_assign(en, cent_rows)
+    flat_best = _flat_best_np(cent_rows)
+    return (
+        two.withColumn("__flat", flat_best(F.col("emb"), F.col("nrm")))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("__flat.cluster").cast("int").alias("flat_cluster"),
+            F.when(F.col("cluster") == F.col("__flat.cluster"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("agree"),
+            "cosc",
+        )
     )
 
 
