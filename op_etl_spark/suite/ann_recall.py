@@ -20,6 +20,9 @@ Centroid updates round the per-position mean back onto the micro grid.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -55,18 +58,54 @@ def _sqdist(a, b):
     return _dot(a, a) + _dot(b, b) - 2 * _dot(a, b)
 
 
+def _cos_np():
+    """Cosine between two integer-valued-double array columns as one
+    vectorized pandas-UDF pass (the interpreted fold version cost ~570
+    CodegenFallback ops per candidate row across its three dots). Dots
+    are exact integers < 2^53 in any summation order; sqrt is
+    correctly-rounded IEEE on both engines, and the multiply-then-divide
+    sequence matches the column formulation, so the doubles are
+    bit-identical."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        num = (A * B).sum(axis=1)
+        return pd.Series(
+            num / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
+        )
+
+    return _cos
+
+
 def _assign_literal(qv: DataFrame, cent_list: list[list[float]]) -> DataFrame:
-    """argmin_list sqdist(q, c) via a centroid-literal distance array —
-    NARROW, zero shuffles (the earlier join+window form paid two shuffles
-    per Lloyd round for the identical result). Distances are exact
-    integers held in doubles, and array_position returns the FIRST
-    minimum, so tie-breaking matches the SQL twin's (d, list_id)
-    row_number ordering exactly."""
-    cents = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cent_list])
-    dists = F.transform(cents, lambda c: _sqdist(F.col("q"), c))
-    return qv.withColumn(
-        "list_id", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    """argmin_list sqdist(q, c) — NARROW, zero shuffles (the earlier
+    join+window form paid two shuffles per Lloyd round for the identical
+    result). Vectorized since round 11 as one pandas-UDF NumPy pass with
+    the n_lists x 64 centroid matrix held executor-local in the task
+    closure: the literal-array formulation evaluated ~8 x 190 interpreted
+    CodegenFallback ops per row per Lloyd pass. Bit-exact because every
+    operand is an exact-integer-valued double (products and partial sums
+    stay integers < 2^53 — summation order cannot round, and the direct
+    (a-b)^2 form equals the expanded |a|^2+|b|^2-2ab literal form
+    exactly), and NumPy's first-argmin reproduces the
+    array_position-of-min / SQL (d, list_id) tie-break."""
+    C = np.asarray(cent_list, dtype="float64")  # (n_lists, 64)
+
+    @F.pandas_udf("int")
+    def _amin(q: pd.Series) -> pd.Series:
+        if not len(q):
+            return pd.Series([], dtype="int32")
+        Q = np.vstack(q.to_numpy())  # (n, 64)
+        diff = Q[:, None, :] - C[None, :, :]
+        return pd.Series(
+            (diff * diff).sum(axis=2).argmin(axis=1).astype("int32")
+        )
+
+    return qv.withColumn("list_id", _amin(F.col("q")))
 
 
 def _index_tables(spark: SparkSession, sf_dir: str):
@@ -130,9 +169,7 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "pq", "list_id")
     )
 
-    cos = _dot(F.col("pq"), F.col("q")) / (
-        F.sqrt(_dot(F.col("pq"), F.col("pq"))) * F.sqrt(_dot(F.col("q"), F.col("q")))
-    )
+    cos = _cos_np()(F.col("pq"), F.col("q"))
     wk = W.partitionBy("probe_id").orderBy(F.desc("cos"), "cand_id")
 
     ivf_cand = (
@@ -280,9 +317,7 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         pscore.withColumn("rl", F.row_number().over(wpl))
         .select("probe_id", "pq", "list_id", "rl")
     )
-    cos = _dot(F.col("pq"), F.col("q")) / (
-        F.sqrt(_dot(F.col("pq"), F.col("pq"))) * F.sqrt(_dot(F.col("q"), F.col("q")))
-    )
+    cos = _cos_np()(F.col("pq"), F.col("q"))
     cand = (
         plr.join(alist, "list_id")
         .filter(F.col("vec_id") != F.col("probe_id"))

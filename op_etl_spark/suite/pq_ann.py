@@ -33,8 +33,12 @@ and rank orders are bit-identical on Spark and DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators import phases
 from ..operators.sampling import hash_unit, hash_unit_sql
@@ -170,32 +174,79 @@ def _collect_subspace_means(enc: DataFrame):
 
 
 def _encode(qv: DataFrame, books) -> DataFrame:
-    """Add code columns c0..c{M-1}: per-subspace argmin over the literal
-    codebook (first minimum — matches the SQL twin's (d, code) order)."""
-    out = qv
-    for m in range(PQ_M):
-        cents = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in books[m]]
+    """Add code columns c0..c{M-1}: per-subspace argmin over the codebook
+    (first minimum — matches the SQL twin's (d, code) order).
+
+    Vectorized as ONE pandas-UDF pass holding the (M, K, SUBDIM) codebook
+    tensor executor-local (shipped once with the task closure — the same
+    lookup-table locality the old literal-array plan had, without the
+    interpreted CodegenFallback fold that evaluated each multiply-add
+    through the expression interpreter: M*K*SUBDIM ~ 1k interpreted ops
+    per row per argmin column). Bit-exact because every operand is an
+    exact-integer-valued double on the micro grid: products and partial
+    sums stay integers < 2^53, so summation order cannot round, and
+    NumPy's first-argmin reproduces the array_position-of-min tie-break
+    over the code-ordered codebook."""
+    B = np.asarray(books, dtype="float64")  # (M, KCODES, SUBDIM)
+
+    @F.pandas_udf(
+        T.StructType(
+            [T.StructField(f"c{m}", T.IntegerType()) for m in range(PQ_M)]
         )
-        dists = F.transform(cents, lambda c: _sqdist(_sub(F.col("q"), m), c))
-        out = out.withColumn(
-            f"c{m}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return out
+    )
+    def _codes(q: pd.Series) -> pd.DataFrame:
+        if not len(q):
+            return pd.DataFrame({f"c{m}": pd.Series([], dtype="int32") for m in range(PQ_M)})
+        Q = np.vstack(q.to_numpy()).reshape(len(q), PQ_M, PQ_SUBDIM)
+        diff = Q[:, :, None, :] - B[None, :, :, :]  # (n, M, K, S)
+        codes = (diff * diff).sum(axis=3).argmin(axis=2).astype("int32")
+        return pd.DataFrame({f"c{m}": codes[:, m] for m in range(PQ_M)})
+
+    out = qv.withColumn("__codes", _codes(F.col("q")))
+    return out.select(
+        *qv.columns, *[F.col(f"__codes.c{m}").alias(f"c{m}") for m in range(PQ_M)]
+    )
 
 
 def _adc_score(books, probe_col: str = "pq"):
     """ADC approximate sqdist between the probe vector in `probe_col`
     and an encoded corpus row (c0..c{M-1}): sum over subspaces of the
-    exact sqdist between the probe subvector and the assigned codeword."""
-    total = F.lit(0.0)
-    for m in range(PQ_M):
-        cents = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in books[m]]
-        )
-        cw = F.element_at(cents, F.col(f"c{m}") + 1)
-        total = total + _sqdist(_sub(F.col(probe_col), m), cw)
-    return total
+    exact sqdist between the probe subvector and the assigned codeword.
+    Vectorized pandas-UDF twin of the old literal-codebook expression —
+    same exact-integer bit-exactness argument as _encode."""
+    B = np.asarray(books, dtype="float64")  # (M, KCODES, SUBDIM)
+    m_idx = np.arange(PQ_M)
+
+    @F.pandas_udf("double")
+    def _adc(probe: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(probe):
+            return pd.Series([], dtype="float64")
+        P = np.vstack(probe.to_numpy()).reshape(len(probe), PQ_M, PQ_SUBDIM)
+        C = np.vstack(codes.to_numpy()).astype("int64")  # (n, M)
+        diff = P - B[m_idx[None, :], C]  # (n, M, S)
+        return pd.Series((diff * diff).sum(axis=(1, 2)))
+
+    return _adc(
+        F.col(probe_col), F.array(*[F.col(f"c{m}") for m in range(PQ_M)])
+    )
+
+
+def _sqdist_np():
+    """Exact full-dimension sqdist between two integer-valued-double
+    array columns as a vectorized pandas UDF — the hot-path twin of
+    `_sqdist` for 64-dim operands (the interpreted zip_with/aggregate
+    fold costs ~190 interpreted ops per row; the matmul form is one
+    NumPy pass per Arrow batch). Exact-integer doubles make any
+    summation order bit-identical."""
+
+    @F.pandas_udf("double")
+    def _sqd(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        D = np.vstack(a.to_numpy()) - np.vstack(b.to_numpy())
+        return pd.Series((D * D).sum(axis=1))
+
+    return _sqd
 
 
 def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +276,7 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "probe_id",
             F.col("vec_id").alias("cand_id"),
-            _sqdist(F.col("pq"), F.col("q")).alias("d"),
+            _sqdist_np()(F.col("pq"), F.col("q")).alias("d"),
         )
         .withColumn("rn", F.row_number().over(wk_ex))
         .filter(F.col("rn") <= PQ_K)
@@ -472,7 +523,7 @@ def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv, cents, enc, books, probes = _ivfpq_index(spark, sf_dir)
 
     pscore = probes.join(F.broadcast(cents)).withColumn(
-        "d", _sqdist(F.col("pq"), F.col("c"))
+        "d", _sqdist_np()(F.col("pq"), F.col("c"))
     )
     wpl = W.partitionBy("probe_id").orderBy("d", "list_id")
     pres = (
@@ -508,7 +559,7 @@ def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("cand_id"),
-            _sqdist(F.col("pq"), F.col("q")).alias("d"),
+            _sqdist_np()(F.col("pq"), F.col("q")).alias("d"),
         )
         .withColumn("rn", F.row_number().over(wk_ex))
         .filter(F.col("rn") <= PQ_K)
