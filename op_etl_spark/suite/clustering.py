@@ -113,10 +113,24 @@ def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
     component and the fixpoint is exactly the component minimum."""
     import logging
 
+    from pyspark.sql import Observation
+
     from ..operators import counters
 
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
+    # the label-sum convergence scalar rides each round's own
+    # materialization (Observation on the eager localCheckpoint action) —
+    # one distributed job per round instead of checkpoint + separate
+    # sum-collect; same fusion as the graph peels' _round. The
+    # CollectMetrics node lives only in the materialized round plan:
+    # localCheckpoint replaces the lineage with a LogicalRDD leaf, so
+    # downstream (and returned) plans carry no observation node.
+    obs0 = Observation()
+    labels = (
+        nodes.select("doc_id", F.col("doc_id").alias("label"))
+        .observe(obs0, F.sum("label").alias("s"))
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"] or 0
     rounds = 0
     # the label-sum potential per round — the scalar the convergence check
     # already collects; recorded (probe-only) so the scale report can tell
@@ -137,12 +151,14 @@ def cc_fixpoint(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
             .agg(F.min("label").alias("label"))
         )
         par = hop.select(F.col("doc_id").alias("label"), F.col("label").alias("gl"))
+        obs = Observation()
         labels = (
             hop.join(par, "label")
             .select("doc_id", F.least("label", "gl").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
+        new_sum = obs.get["s"] or 0
         potential_curve.append(new_sum)
         if new_sum == prev_sum:
             converged = True
