@@ -974,6 +974,27 @@ def ktruss(pairs: DataFrame, k: int,
     return st.surviving_edges(), rounds
 
 
+def ktruss_with_support(pairs: DataFrame, k: int,
+                        max_rounds: int = KTRUSS_DEFAULT_MAX_ROUNDS):
+    """Like ktruss, but returns ((a, b, support), rounds) straight from
+    the MAINTAINED support table — the whole point of the incremental
+    peel is that sup(e) is exact at every step (pinned by
+    test_ktruss_maintained_support_is_exact), so the final wedge-closure
+    recount `truss_support(survivors)` is redundant work: one full
+    symmetrize + double-join + aggregate over the survivors, paid only
+    to recompute numbers the peel already holds.
+
+    Semantics caveat, k <= 2 only: threshold 0 keeps triangle-free
+    edges, which carry support 0 here but are DROPPED by a
+    truss_support recount (inner wedge join).  For k >= 3 every
+    survivor has support >= k-2 >= 1 and the two formulations are
+    row-for-row identical."""
+    st = _TrussState(pairs, k)
+    rounds, edge_curve = st.peel(max_rounds)
+    counters.record_loop("ktruss", k=k, rounds=rounds, edges=edge_curve)
+    return st.sup.select("a", "b", F.col("sup").alias("support")), rounds
+
+
 def kcore_persisted(spark: SparkSession, path: str, k: int,
                     max_rounds: int = KCORE_DEFAULT_MAX_ROUNDS):
     """Peel the k-core of a prebuilt edge table without re-deriving the

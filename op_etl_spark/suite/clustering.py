@@ -748,13 +748,20 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds on the sf0.1 graph, 2 at sf0.01), so wall-clock conflates
     depth with per-round cost — is resolved by the loop counters, which
     decompose the probe ratio into rounds_growth x per_round_cost_ratio
-    (the fan replicates structure, so depth holds while volume grows)."""
-    from ..operators.graph import truss_support
+    (the fan replicates structure, so depth holds while volume grows).
 
-    truss, _ = ktruss_fixpoint(
+    The output support column comes straight from the peel's MAINTAINED
+    table (round 11): the incremental peel keeps sup(e) exact at every
+    step, so the old final truss_support recount (symmetrize +
+    wedge-closure double-join over all survivors) was pure redundant
+    work — k=4 means every survivor carries support >= 2, where the
+    maintained table and a fresh recount are row-for-row identical."""
+    from ..operators.graph import ktruss_with_support
+
+    sup, _ = ktruss_with_support(
         _pairs(spark, sf_dir, min_common=KCORE_MIN_COMMON), KTRUSS_K
     )
-    return truss_support(truss)
+    return sup
 
 
 def _ktruss_oracle() -> str:

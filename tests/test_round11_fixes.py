@@ -319,3 +319,20 @@ def test_flat_best_np_matches_literal_argmax_bitexact(spark):
     }
     assert got == lit  # exact doubles, exact tie-breaks
     assert any(v[0] == 3 for v in got.values())  # the duplicated pair hit
+
+
+@pytest.mark.parametrize("seed,k", [(3, 4), (9, 4), (17, 3), (21, 5)])
+def test_ktruss_with_support_matches_recount(spark, seed, k):
+    """The maintained-support output path (ktruss_edges since round 11)
+    must be row-for-row identical to the retired formulation — peel,
+    then a fresh truss_support recount over the survivors — for every
+    k >= 3 (below that, threshold 0 keeps triangle-free edges the
+    recount's inner wedge join drops; no declared query peels there)."""
+    pairs = _random_canonical(spark, seed, n_nodes=24, n_edges=90)
+    got_df, rounds = G.ktruss_with_support(pairs, k=k)
+    assert got_df.columns == ["a", "b", "support"]
+    got = sorted(map(tuple, got_df.collect()))
+    truss, rounds_ref = G.ktruss(pairs, k=k)
+    want = sorted(map(tuple, G.truss_support(truss).collect()))
+    assert got == want
+    assert rounds == rounds_ref
