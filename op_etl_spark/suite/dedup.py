@@ -92,17 +92,21 @@ def _posting_pairs(posts: DataFrame, member_col: str = "m") -> DataFrame:
     Posting lists are bounded (doc-frequency of a shingle / LSH bucket
     size), so the k² in-array expansion is small and skew-free; at 100 TB
     you'd additionally cap/drop ultra-frequent shingles before this step.
+
+    The expansion is two nested explodes (Generate operators, whole-stage
+    codegen) rather than the earlier nested transform/filter/flatten
+    higher-order fold: HOFs are CodegenFallback, so that version built
+    every one of the k² candidate structs through the interpreted
+    expression evaluator — measured 20%+ of several pair queries' wall
+    time at sf0.1. Same rows, same (a, b) struct columns, same a < b
+    canonical filter.
     """
     xs = F.col(member_col)
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                xs, lambda x: F.transform(xs, lambda y: F.struct(x.alias("a"), y.alias("b")))
-            )
-        ),
-        lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+    return (
+        posts.select(xs.alias("_xs"), F.explode(xs).alias("a"))
+        .select("a", F.explode("_xs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    return posts.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 _DUCK_SHINGLES = """
