@@ -598,18 +598,17 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = in_vocab.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("tok")).alias("ts")
     )
+    # two nested explodes (codegen'd Generate operators) instead of the
+    # nested transform/filter/flatten fold: HOFs are CodegenFallback, so
+    # that shape built every one of the <=V^2 candidate structs per doc
+    # through the interpreted expression evaluator (same rewrite as
+    # dedup._posting_pairs). Same rows, same x < y canonical filter.
     ts = F.col("ts")
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                ts, lambda x: F.transform(ts, lambda y: F.struct(x.alias("x"), y.alias("y")))
-            )
-        ),
-        lambda p: p["x"] < p["y"],
-    )
     cxy = (
-        per_doc.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        per_doc.select(ts.alias("_ts"), F.explode(ts).alias("x"))
+        .select("x", F.explode("_ts").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("df_xy"))
         .filter(F.col("df_xy") >= PMI_MIN_PAIR_DOCS)
     )

@@ -336,3 +336,38 @@ def test_ktruss_with_support_matches_recount(spark, seed, k):
     want = sorted(map(tuple, G.truss_support(truss).collect()))
     assert got == want
     assert rounds == rounds_ref
+
+
+def test_exploded_pair_expansion_matches_hof_fold(spark):
+    """The pair family's candidate expansion (dedup._posting_pairs) and
+    pmi_collocations' co-occurrence expansion moved from nested
+    transform/filter/flatten higher-order folds (CodegenFallback — every
+    k^2 struct interpreted) to two codegen'd explodes. Pin row-for-row
+    equivalence against the HOF formulation on posting lists with dups,
+    singletons, and unordered members."""
+    from op_etl_spark.suite.dedup import _posting_pairs
+
+    rows = [
+        (["b", "a", "c"],),
+        (["x"],),
+        (["d", "a"],),
+        (["q", "q", "r"],),  # duplicate member: q<q filtered out, (q, r) emitted twice
+        ([],),
+    ]
+    posts = spark.createDataFrame(
+        [([{"doc_id": m, "sz": len(m)} for m in ms],) for (ms,) in rows], "m: array<struct<doc_id:string,sz:long>>"
+    )
+    xs = F.col("m")
+    hof = F.filter(
+        F.flatten(
+            F.transform(xs, lambda x: F.transform(xs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
+        ),
+        lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+    )
+    want = sorted(
+        map(tuple, posts.select(F.explode(hof).alias("p")).select("p.a", "p.b").collect())
+    )
+    got = sorted(map(tuple, _posting_pairs(posts).collect()))
+    assert got == want
+    # the duplicate-member list contributes (q, r) TWICE in both shapes
+    assert len([t for t in got if t[0][0] == "q"]) == 2
