@@ -237,22 +237,29 @@ def bloom_positions(build: DataFrame, key_col: str, m_bits: int, k: int = 7) -> 
 def bloom_probe(probe: DataFrame, key_col: str, positions: DataFrame, m_bits: int,
                 k: int = 7) -> DataFrame:
     """Membership test: a probe key passes iff all k of its bit positions
-    are set. Implemented as explode(k) -> broadcast semi-ish join on
-    position -> count == k. No false negatives by construction; false
-    positives are exactly the keys whose k positions all collide with set
-    bits."""
-    exploded = probe.select(
-        "*",
+    are set. Implemented as explode(k) -> LEFT broadcast join on position
+    -> min(hit) per probe row. The left join keeps zero-hit probe rows in
+    the aggregate, so no second (shuffled) join back to the probe side is
+    needed to recover them; the row id preserves duplicate probe rows'
+    multiplicity and is dropped before return (group members all descend
+    from one probe row, so first() per column is exact, not arbitrary).
+    No false negatives by construction; false positives are exactly the
+    keys whose k positions all collide with set bits."""
+    exploded = probe.withColumn("_rid", F.monotonically_increasing_id()).select(
+        "_rid",
+        *probe.columns,
         F.explode(
             F.array(*[(h60_salted(j, F.col(key_col)) % m_bits) for j in range(k)])
         ).alias("pos"),
     )
-    hits = (
-        exploded.join(F.broadcast(positions), "pos")
-        .groupBy(*probe.columns)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return probe.join(hits, probe.columns, "left").select(
-        *probe.columns,
-        (F.coalesce(F.col("n_hits"), F.lit(0)) == k).alias("bloom_pass"),
+    return (
+        exploded.join(
+            F.broadcast(positions.withColumn("_hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("_rid")
+        .agg(
+            *[F.first(c).alias(c) for c in probe.columns],
+            (F.min(F.col("_hit").isNotNull().cast("int")) == 1).alias("bloom_pass"),
+        )
+        .drop("_rid")
     )

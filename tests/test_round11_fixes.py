@@ -371,3 +371,25 @@ def test_exploded_pair_expansion_matches_hof_fold(spark):
     assert got == want
     # the duplicate-member list contributes (q, r) TWICE in both shapes
     assert len([t for t in got if t[0][0] == "q"]) == 2
+
+
+def test_bloom_probe_keeps_duplicate_probe_rows(spark):
+    """bloom_probe's round-11 shape (left join + min-hit per row id, no
+    shuffled rejoin) must preserve duplicate probe rows' multiplicity —
+    the retired formulation recovered it via the rejoin; the row-id group
+    key is the new carrier."""
+    from op_etl_spark.operators.sketches import (
+        bloom_positions, bloom_probe, bloom_size_bits,
+    )
+
+    build = spark.createDataFrame([(k,) for k in range(0, 60, 3)], "k long")
+    m = bloom_size_bits(20)
+    pos = bloom_positions(build, "k", m)
+    probe = spark.createDataFrame([(3,), (3,), (4,), (4,), (4,), (7,)], "k long")
+    out = bloom_probe(probe, "k", pos, m).collect()
+    assert sorted(r["k"] for r in out) == [3, 3, 4, 4, 4, 7]
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], set()).add(r["bloom_pass"])
+    assert by_key[3] == {True}          # member, duplicated: both rows pass
+    assert len(by_key[4]) == 1          # dup rows agree with each other
