@@ -989,6 +989,13 @@ def ktruss_with_support(pairs: DataFrame, k: int,
     truss_support recount (inner wedge join).  For k >= 3 every
     survivor has support >= k-2 >= 1 and the two formulations are
     row-for-row identical."""
+    if k < 3:
+        raise ValueError(
+            f"ktruss_with_support requires k >= 3 (got k={k}): at k <= 2 the "
+            "maintained table keeps triangle-free edges at support 0 that a "
+            "truss_support recount drops — use ktruss() + truss_support() "
+            "for that regime"
+        )
     st = _TrussState(pairs, k)
     rounds, edge_curve = st.peel(max_rounds)
     counters.record_loop("ktruss", k=k, rounds=rounds, edges=edge_curve)

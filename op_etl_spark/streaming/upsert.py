@@ -39,6 +39,7 @@ merges used.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -119,6 +120,22 @@ def _read_marker(spark: SparkSession, target_dir: str) -> int | None:
     return int(lines[0]) if lines else None
 
 
+def _parse_marker(lines: list[str] | None):
+    """(n_buckets, key_cols, schema) from one marker read — the merge path
+    calls this instead of three separate `_read_marker*` helpers so each
+    micro-batch pays ONE filesystem open for the marker, not three."""
+    if not lines:
+        return None, None, None
+    n = int(lines[0])
+    keys = lines[1].split(",") if len(lines) > 1 and lines[1] else None
+    schema = None
+    if len(lines) > 2 and lines[2]:
+        import json as _json
+
+        schema = T.StructType.fromJson(_json.loads(lines[2]))
+    return n, keys, schema
+
+
 def _read_marker_keys(spark: SparkSession, target_dir: str) -> list[str] | None:
     """Key columns recorded at first write; None for pre-round-10
     markers (one line), which stay readable and mergeable."""
@@ -170,13 +187,17 @@ def merge_upsert_batch(
     """Merge one batch of updates into the bucketed parquet target."""
     spark = batch_df.sparkSession
     cols = batch_df.columns
-    existing = _read_marker(spark, target_dir)
+    existing, marker_keys, marker_schema = _parse_marker(
+        _read_marker_lines(spark, target_dir)
+    )
     if existing is None and adopt_pending_rebucket(spark, target_dir):
         # a rebucket swap crashed between its renames: the complete tmp
         # was just adopted — without this, the merge would treat the
         # vanished target as a FIRST write and silently drop all prior
         # state
-        existing = _read_marker(spark, target_dir)
+        existing, marker_keys, marker_schema = _parse_marker(
+            _read_marker_lines(spark, target_dir)
+        )
     if existing is not None and existing != n_buckets:
         raise ValueError(
             f"target {target_dir} was bucketed with n_buckets={existing}; "
@@ -189,7 +210,6 @@ def merge_upsert_batch(
     # just add a second shuffle and a second stage barrier per
     # micro-batch. The persist keeps the touched-bucket probe and the
     # merge from scanning the micro-batch source twice.
-    marker_keys = _read_marker_keys(spark, target_dir)
     if marker_keys is not None and marker_keys != list(key_cols):
         raise ValueError(
             f"target {target_dir} was bucketed on key {marker_keys}; merging "
@@ -207,9 +227,11 @@ def merge_upsert_batch(
             # read + driver schema merge (~0.15s/batch at 64 buckets,
             # growing with the target's file count). A recorded schema
             # must still catch drift the inferred read caught via the
-            # select/union analysis error, so compare column names first.
-            marker_schema = _read_marker_schema(spark, target_dir)
-            reader = spark.read
+            # select/union analysis error: compare column names AND
+            # per-field types — a same-named column of a coercible
+            # different type (int vs long) would otherwise pass, be
+            # silently widened by unionByName, and leave the touched
+            # buckets unreadable under the marker's stale narrower type.
             if marker_schema is not None:
                 if sorted(marker_schema.fieldNames()) != sorted(batch.columns):
                     raise ValueError(
@@ -218,17 +240,44 @@ def merge_upsert_batch(
                         f"{sorted(marker_schema.fieldNames())} — schema drift "
                         "is not mergeable; rewrite the target first"
                     )
-                reader = reader.schema(marker_schema)
-            current = reader.parquet(target_dir).filter(
-                F.col(BUCKET_COL).isin(touched)
-            )
-            merged = latest_per_key(
-                current.select(*cols, BUCKET_COL).unionByName(
-                    batch.select(*cols, BUCKET_COL)
-                ),
-                key_cols,
-                seq_col,
-            )
+                batch_types = {f.name: f.dataType for f in batch.schema.fields}
+                drift = [
+                    f"{f.name}: target {f.dataType.simpleString()} vs "
+                    f"batch {batch_types[f.name].simpleString()}"
+                    for f in marker_schema.fields
+                    if batch_types[f.name] != f.dataType
+                ]
+                if drift:
+                    raise ValueError(
+                        f"batch column types drifted from target {target_dir} "
+                        f"({'; '.join(drift)}) — schema drift is not "
+                        "mergeable; rewrite the target first"
+                    )
+                # bucket filter pushed into the PATH LISTING: read only the
+                # touched `__bucket=<id>` subdirectories instead of listing
+                # the whole target (the listing cost scales with the
+                # target's total bucket count, the touched set with the
+                # batch's keys). basePath keeps the partition column; a
+                # glob that matches nothing (every touched bucket is new)
+                # falls back to a batch-only merge, which is exactly the
+                # union-with-empty-current semantics.
+                pat = "{" + ",".join(str(b) for b in sorted(touched)) + "}"
+                try:
+                    current = (
+                        spark.read.schema(marker_schema)
+                        .option("basePath", target_dir)
+                        .parquet(f"{target_dir}/{BUCKET_COL}={pat}")
+                    )
+                except AnalysisException:
+                    current = None
+            else:
+                current = spark.read.parquet(target_dir).filter(
+                    F.col(BUCKET_COL).isin(touched)
+                )
+            side = batch.select(*cols, BUCKET_COL)
+            if current is not None:
+                side = current.select(*cols, BUCKET_COL).unionByName(side)
+            merged = latest_per_key(side, key_cols, seq_col)
         # one writer task per bucket: the reduced output is small enough
         # that AQE coalesces it to a single partition, and that one task
         # then writes every touched bucket directory sequentially (~64

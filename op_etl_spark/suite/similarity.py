@@ -772,6 +772,13 @@ def _flat_best_np(cent_rows):
 
     @F.pandas_udf("struct<cluster: long, cosc: double>")
     def _best(emb: pd.Series, nrm: pd.Series) -> pd.DataFrame:
+        if not len(emb):  # np.vstack raises on an empty Arrow batch
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int64"),
+                    "cosc": pd.Series([], dtype="float64"),
+                }
+            )
         E = np.vstack(emb.to_numpy())  # (n, d) exact-integer doubles
         cos = (E @ C.T) / (nrm.to_numpy()[:, None] * cn[None, :])
         j = cos.argmax(axis=1)  # first max = lowest label (label-sorted C)

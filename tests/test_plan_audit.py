@@ -154,3 +154,44 @@ class TestCollectMetricsLeak:
     def test_clean_plan_not_flagged(self):
         res = audit("x", _plan(tree="HashAggregate (3)\n+- Scan parquet (1)"))
         assert "CollectMetricsLeak" not in res["smells"]
+
+
+ARROW_DUP_A = (
+    "(3) ArrowEvalPython\n"
+    "Arguments: [_amin(q#12)#44], [pythonUDF0#90], 200"
+)
+ARROW_DUP_B = (
+    "(6) ArrowEvalPython\n"
+    "Arguments: [_amin(q#12)#44], [pythonUDF0#91], 200"
+)
+ARROW_OTHER_APPLICATION = (
+    "(6) ArrowEvalPython\n"
+    "Arguments: [_amin(q#77)#45], [pythonUDF0#92], 200"
+)
+ARROW_CACHE_REPRINT = ARROW_DUP_A  # byte-identical block, same node id
+
+
+class TestDuplicatedPythonUDF:
+    def test_same_call_in_two_nodes_flagged(self):
+        # the guide-§4.4 shape: one UDF call expression (same call expr id
+        # #44) evaluated by two separate eval nodes — every row pays twice
+        p = _plan(ARROW_DUP_A, ARROW_DUP_B)
+        assert audit("x", p)["smells"] == ["DuplicatedPythonUDF"]
+
+    def test_distinct_applications_not_flagged(self):
+        # the same UDF applied to different inputs carries different expr
+        # ids — two genuine applications, not optimizer duplication
+        p = _plan(ARROW_DUP_A, ARROW_OTHER_APPLICATION)
+        assert audit("x", p)["smells"] == []
+
+    def test_cache_reprint_not_flagged(self):
+        # an InMemoryRelation subplan reprints its eval node byte-identically
+        # (same node id) once per cache reference — one physical evaluation
+        p = _plan(ARROW_DUP_A, ARROW_CACHE_REPRINT)
+        assert audit("x", p)["smells"] == []
+
+    def test_batch_eval_duplicate_also_flagged(self):
+        a = "(3) BatchEvalPython\nArguments: [f(body#2)#4], [pythonUDF0#9]"
+        b = "(5) BatchEvalPython\nArguments: [f(body#2)#4], [pythonUDF0#8]"
+        smells = audit("x", _plan(a, b, tree="AdaptiveSparkPlan (9)\nBatchEvalPython (3)\nBatchEvalPython (5)"))["smells"]
+        assert "DuplicatedPythonUDF" in smells

@@ -194,3 +194,48 @@ def test_unorderable_payload_column_accepted(spark, tmp_path):
     merge_upsert_batch(df, target, KEYS, SEQ, N_BUCKETS)
     got = read_upsert_target(spark, target).collect()
     assert len(got) == 1 and got[0].seq == 2
+
+
+def test_type_drift_raises_before_write(spark, tmp_path):
+    # ADVICE r11: a same-named column of a coercible different type (int
+    # vs long seq) must raise the drift error, not be silently widened by
+    # unionByName into files the marker's recorded schema can't read back
+    target = str(tmp_path / "t")
+    merge_upsert_batch(
+        _updates(spark, [(1, 10, "a")]), target, KEYS, SEQ, N_BUCKETS
+    )
+    drifted = _updates(spark, [(1, 11, "a2")]).withColumn(
+        "seq", F.col("seq").cast("long")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="drift"):
+        merge_upsert_batch(drifted, target, KEYS, SEQ, N_BUCKETS)
+    # the target is untouched and still mergeable with the right types
+    merge_upsert_batch(
+        _updates(spark, [(1, 12, "a3")]), target, KEYS, SEQ, N_BUCKETS
+    )
+    assert _state(spark, target)[1] == (12, "a3")
+
+
+def test_merge_into_all_new_buckets(spark, tmp_path):
+    # the bucket-pruned read lists only touched `__bucket=` subdirs; a
+    # batch whose touched buckets were ALL never written (glob matches
+    # nothing) must merge as batch-only, not error
+    target = str(tmp_path / "t")
+    rows = [(k, 10, f"v{k}") for k in range(4)]
+    first = [r for r in rows if _bucket_of(spark, r[0]) == _bucket_of(spark, 0)]
+    rest = [r for r in rows if r not in first]
+    merge_upsert_batch(_updates(spark, first), target, KEYS, SEQ, N_BUCKETS)
+    merge_upsert_batch(_updates(spark, rest), target, KEYS, SEQ, N_BUCKETS)
+    assert _state(spark, target) == {k: (s, v) for k, s, v in rows}
+
+
+def _bucket_of(spark, k):
+    from pyspark.sql import Row
+
+    return (
+        spark.createDataFrame([Row(k=k)])
+        .select(_bucket(["k"], N_BUCKETS).alias("b"))
+        .collect()[0]["b"]
+    )

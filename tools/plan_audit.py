@@ -16,7 +16,12 @@ would hurt at 100 TB:
     bounded-input windows (daily series, post-cutoff vocab) are
     allowlisted with the bound stated;
   - scan count per query (re-scans of the same table flag a missed
-    reuse).
+    reuse);
+  - duplicated Python UDF evaluation: the SAME ArrowEvalPython /
+    BatchEvalPython call expression (matching expr ids) appearing in
+    more than one eval node — the optimizer's filter-pushdown
+    duplication of a deterministic UDF (guide §4.4); every row pays
+    the UDF twice.
 
 Exit code 1 if any NEW smell appears outside the allowlist, so it can
 run in CI alongside the plan-property tests.
@@ -175,6 +180,36 @@ def audit(name: str, p: str) -> dict:
                 groups == 2 and (" ASC NULLS " in last or " DESC NULLS " in last)
             ):
                 smells.add("WindowNoPartition")
+    # §4.4 insurance (guide): the optimizer may DUPLICATE a deterministic
+    # Python UDF's evaluation when a filter on its output column is pushed
+    # below the projection that computes it — the plan then carries the
+    # SAME call expression (identical `udf(args#ids)#callId`, including the
+    # call's expr id) in two separate ArrowEvalPython / BatchEvalPython
+    # nodes, and every row pays the UDF twice. Distinct applications of one
+    # UDF to different inputs carry different expr ids, so they never
+    # collide. Byte-identical blocks (same node id) are cache reprints of
+    # one physical node — an InMemoryRelation subplan prints its eval node
+    # once per InMemoryTableScan reference — and are deduped first.
+    calls_by_node: dict[str, list[str]] = {}
+    seen_eval_blocks: set[str] = set()
+    for node, block in _detail_blocks(p):
+        if node not in ("ArrowEvalPython", "BatchEvalPython"):
+            continue
+        if block in seen_eval_blocks:
+            continue
+        seen_eval_blocks.add(block)
+        node_id = re.match(r"\((\d+)\)", block).group(1)
+        args = next((ln for ln in block.splitlines() if ln.startswith("Arguments: ")), "")
+        # a PythonUDF call prints `name(children)#<exprId>`; inner child
+        # expressions (casts, attrs) never print `)#<id>`, so the trailing
+        # ids enumerate exactly the UDF call expressions of this node
+        calls_by_node.setdefault(node_id, []).extend(re.findall(r"\)#(\d+)", args))
+    call_nodes: dict[str, int] = {}
+    for node_id, calls in calls_by_node.items():
+        for c in calls:
+            call_nodes[c] = call_nodes.get(c, 0) + 1
+    if any(n > 1 for n in call_nodes.values()):
+        smells.add("DuplicatedPythonUDF")
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", tree, re.M))
     # per-table scan counts: the same parquet table scanned >2x in one plan
     # is a missed reuse (the q15-style double-scan guard, with one rescan
