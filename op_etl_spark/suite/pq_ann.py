@@ -126,51 +126,72 @@ def _train_codebooks(
     ]
     for _ in range(PQ_ITERS):
         with phases.phase(pipeline, "lloyd"):
-            enc = _encode(qv, books)
-            rows = _collect_subspace_means(enc)
-        upd: dict[tuple[int, int], dict[int, float]] = {}
-        for r in rows:
-            upd.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
-        books = [
-            [
-                [
-                    upd.get((m, c), {}).get(p, books[m][c][p])
-                    for p in range(PQ_SUBDIM)
-                ]
-                for c in range(PQ_KCODES)
-            ]
-            for m in range(PQ_M)
-        ]
+            books = _lloyd_update_books(qv, books)
     return books
 
 
-def _collect_subspace_means(enc: DataFrame):
-    """One posexplode + groupBy((m, code, pos)) floored-mean pass over
-    ALL subspaces — 16 x 16 x 4 = 1024 metadata rows per Lloyd round."""
-    return (
-        enc.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.col(f"c{m}").alias("code"),
-                            _sub(F.col("q"), m).alias("sub"),
-                        )
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("s")
+def _lloyd_update_books(qv: DataFrame, books) -> list[list[list[float]]]:
+    """One Lloyd round over ALL subspaces fused into a SINGLE pass: each
+    task encodes its rows with the same NumPy argmin as `_encode` and
+    accumulates per-(m, code) partial subvector sums + counts, yielding
+    at most M x KCODES metadata rows per task (one mapInPandas job — no
+    16-way struct explode + posexplode of N x 64 value rows, no shuffled
+    two-key aggregation, no separate ArrowEvalPython encode pass per
+    round). The driver combines the task partials and floors the means
+    back onto the micro grid.
+
+    Bit-exact vs the previous explode + groupBy((m, code, pos)) form:
+    codes reuse the identical argmin expression; every subvector
+    component and partial sum is an exact-integer-valued double (< 2^53,
+    the module's quantization discipline — the same envelope F.sum ran
+    under), so summation order cannot round, and floor(sum/count + 0.5)
+    sees identical operands. A (m, code) cell with zero members keeps
+    its previous codeword, exactly like the old per-position
+    `upd.get(...).get(p, books[m][c][p])` fallback (a present cell always
+    carried all SUBDIM positions, so the fallbacks coincide)."""
+    B = np.asarray(books, dtype="float64")  # (M, KCODES, SUBDIM)
+
+    def _partials(batches):
+        sums = np.zeros((PQ_M, PQ_KCODES, PQ_SUBDIM))
+        cnts = np.zeros((PQ_M, PQ_KCODES), dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["q"].to_numpy()).reshape(len(pdf), PQ_M, PQ_SUBDIM)
+            diff = Q[:, :, None, :] - B[None, :, :, :]  # (n, M, K, S)
+            codes = (diff * diff).sum(axis=3).argmin(axis=2)  # (n, M)
+            for m in range(PQ_M):
+                np.add.at(sums[m], codes[:, m], Q[:, m, :])
+                cnts[m] += np.bincount(codes[:, m], minlength=PQ_KCODES)
+        m_idx, c_idx = np.nonzero(cnts)
+        yield pd.DataFrame(
+            {
+                "m": pd.Series(m_idx, dtype="int32"),
+                "code": pd.Series(c_idx, dtype="int32"),
+                "s": [sums[m, c] for m, c in zip(m_idx, c_idx)],
+                "n": pd.Series(cnts[m_idx, c_idx], dtype="int64"),
+            }
         )
-        .select("s.m", "s.code", F.posexplode("s.sub").alias("pos", "val"))
-        .groupBy("m", "code", "pos")
-        .agg(
-            F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
-            .cast("double")
-            .alias("mu")
-        )
+
+    rows = (
+        qv.select("q")
+        .mapInPandas(_partials, "m int, code int, s array<double>, n bigint")
         .collect()
     )
+    tot = np.zeros((PQ_M, PQ_KCODES, PQ_SUBDIM))
+    cnt = np.zeros((PQ_M, PQ_KCODES), dtype="int64")
+    for r in rows:
+        tot[r["m"], r["code"]] += np.asarray(r["s"], dtype="float64")
+        cnt[r["m"], r["code"]] += r["n"]
+    return [
+        [
+            [float(v) for v in np.floor(tot[m, c] / cnt[m, c] + 0.5)]
+            if cnt[m, c]
+            else books[m][c]
+            for c in range(PQ_KCODES)
+        ]
+        for m in range(PQ_M)
+    ]
 
 
 def _encode(qv: DataFrame, books) -> DataFrame:

@@ -1,0 +1,357 @@
+"""Round-12 pins.
+
+ANN builds:
+- the fused single-pass Lloyd update (mapInPandas partial sums) must
+  reproduce the retired posexplode + groupBy floored means BIT-EXACTLY,
+  including the empty-list / empty-codeword fallback to the previous
+  centroid.
+Two-level routing:
+- the vectorized nprobe=2 coarse routing must reproduce the retired
+  array_sort-of-(cos, -i)-structs formulation on the integer grid,
+  including exact-tie handling, and must be evaluated ONCE in the plan
+  (the un-marked UDF was duplicated by the fine join's isnotnull
+  pushdown — guide §4.4).
+Funnel:
+- the persisted flags table carries ONLY the columns the downstream
+  stages read (no md5/token stats in the cache).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- fused Lloyd round (ann_recall._lloyd_update) ---
+
+
+def _retired_ivf_lloyd(qv, cent_list):
+    """The retired posexplode + groupBy((list_id, pos)) round, verbatim."""
+    from op_etl_spark.suite.ann_recall import _assign_literal
+
+    assigned = _assign_literal(qv, cent_list)
+    rows = (
+        assigned.select("list_id", F.posexplode("q").alias("pos", "val"))
+        .groupBy("list_id", "pos")
+        .agg(
+            F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("double")
+            .alias("m")
+        )
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+        .select("list_id", F.transform("pairs", lambda s: s["m"]).alias("cu"))
+        .collect()
+    )
+    updated = {r.list_id: list(r.cu) for r in rows}
+    return [updated.get(i, cent_list[i]) for i in range(len(cent_list))]
+
+
+def test_fused_ivf_lloyd_matches_retired_formulation(spark):
+    from op_etl_spark.operators.sampling import hash_unit
+    from op_etl_spark.suite.ann_recall import (
+        RECALL_N_LISTS,
+        _lloyd_update,
+        _quantized,
+    )
+
+    qv = _quantized(spark, SF).localCheckpoint()
+    seeds = (
+        qv.orderBy(hash_unit(F.col("vec_id"), "ivf-seed"), F.col("vec_id"))
+        .limit(RECALL_N_LISTS)
+        .collect()
+    )
+    cents = [list(r.q) for r in seeds]
+    for _ in range(2):  # two rounds: exercises the updated-centroid input
+        new = _lloyd_update(qv, cents)
+        want = _retired_ivf_lloyd(qv, cents)
+        assert new == want  # bit-exact doubles, list for list
+        cents = new
+
+
+def test_fused_ivf_lloyd_keeps_empty_list_centroid(spark):
+    """A centroid so far away that no row assigns to it must survive a
+    round unchanged (the retired updated.get(i, cent_list[i]) fallback)."""
+    from op_etl_spark.suite.ann_recall import _lloyd_update, _quantized
+
+    qv = _quantized(spark, SF).localCheckpoint()
+    dim = len(qv.first()["q"])
+    near = list(qv.first()["q"])
+    far = [1e12] * dim
+    out = _lloyd_update(qv, [near, far])
+    assert out[1] == far  # empty list: previous centroid kept
+    assert out[0] != near  # every row landed here: mean recomputed
+
+
+def _retired_pq_lloyd(qv, books):
+    """The retired _encode + _collect_subspace_means round, verbatim."""
+    from op_etl_spark.suite.pq_ann import PQ_KCODES, PQ_M, PQ_SUBDIM, _encode, _sub
+
+    enc = _encode(qv, books)
+    rows = (
+        enc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"c{m}").alias("code"),
+                            _sub(F.col("q"), m).alias("sub"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.m", "s.code", F.posexplode("s.sub").alias("pos", "val"))
+        .groupBy("m", "code", "pos")
+        .agg(
+            F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("double")
+            .alias("mu")
+        )
+        .collect()
+    )
+    upd: dict[tuple[int, int], dict[int, float]] = {}
+    for r in rows:
+        upd.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
+    return [
+        [
+            [upd.get((m, c), {}).get(p, books[m][c][p]) for p in range(PQ_SUBDIM)]
+            for c in range(PQ_KCODES)
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def test_fused_pq_lloyd_matches_retired_formulation(spark):
+    from op_etl_spark.operators.sampling import hash_unit
+    from op_etl_spark.suite.pq_ann import (
+        PQ_KCODES,
+        PQ_M,
+        PQ_SUBDIM,
+        _lloyd_update_books,
+        _quantized,
+    )
+
+    qv = _quantized(spark, SF).localCheckpoint()
+    seeds = (
+        qv.orderBy(hash_unit(F.col("vec_id"), "pq-seed"), F.col("vec_id"))
+        .limit(PQ_KCODES)
+        .collect()
+    )
+    books = [
+        [list(r.q)[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for r in seeds]
+        for m in range(PQ_M)
+    ]
+    for _ in range(2):
+        new = _lloyd_update_books(qv, books)
+        want = _retired_pq_lloyd(qv, books)
+        assert new == want
+        books = new
+
+
+# --- two-level routing (similarity._assign_two_level) ---
+
+
+@pytest.fixture(scope="module")
+def sem2_en(spark):
+    """The SEM2 gate's integer-grid corpus + centroids at sf0.001."""
+    from op_etl_spark.suite import similarity as S
+
+    e = S.read_table(spark, SF, "embeddings", fan=True)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * S.SEM2_QSCALE + F.lit(0.5)).cast("double"),
+    )
+    en = (
+        e.select("vec_id", q.alias("emb"))
+        .withColumn("label", (F.col("vec_id") % S.SEM2_K).cast("int"))
+        .withColumn("nrm", S._norm(F.col("emb")))
+        .filter(F.col("nrm") > 0)
+    )
+    cent_rows = (
+        en.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("double")
+            .alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda s: s["cval"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    return en, [r for r in cent_rows if sum(v * v for v in r["centroid"]) > 0]
+
+
+def test_vectorized_routing_matches_retired_sort_formulation(spark, sem2_en):
+    """Replays _assign_two_level's driver-side Lloyd verbatim to obtain
+    the SAME coarse reps/cells, then compares the vectorized routing's
+    final (cluster, cosc) against a reference built with the retired
+    array_sort-of-structs routing over those cells — bit-exact on the
+    integer grid."""
+    import math
+
+    from op_etl_spark.suite import similarity as S
+
+    en, cent_rows = sem2_en
+    got = {
+        r["vec_id"]: (r["cluster"], r["cosc"])
+        for r in S._assign_two_level(en, cent_rows).collect()
+    }
+
+    # -- reference: retired routing over the identical cells --
+    cents = [
+        (
+            int(r["label"]),
+            list(r["centroid"]),
+            math.sqrt(S._pydot(r["centroid"], r["centroid"])),
+        )
+        for r in cent_rows
+    ]
+    k = len(cents)
+    n_coarse = max(2, math.isqrt(k - 1) + 1)
+
+    def _cos(a, an, b, bn):
+        return S._pydot(a, b) / (an * bn) if an and bn else -1.0
+
+    reps = [list(cents[(i * k) // n_coarse][1]) for i in range(n_coarse)]
+    assign = [0] * k
+
+    def _reassign():
+        rep_norms = [math.sqrt(S._pydot(r, r)) for r in reps]
+        for j, (_, c, cn) in enumerate(cents):
+            assign[j] = max(
+                range(n_coarse),
+                key=lambda i: (_cos(c, cn, reps[i], rep_norms[i]), -i),
+            )
+
+    for _ in range(2):
+        _reassign()
+        for i in range(n_coarse):
+            members = [cents[j][1] for j in range(k) if assign[j] == i]
+            if members:
+                reps[i] = [
+                    sum(m[d] for m in members) / len(members)
+                    for d in range(len(members[0]))
+                ]
+    _reassign()
+    cells: dict[int, list] = {}
+    for j, (label, c, cn) in enumerate(cents):
+        cells.setdefault(assign[j], []).append((label, c, cn))
+    live = sorted(cells)
+    coarse_rows = [
+        (i, reps[old], math.sqrt(S._pydot(reps[old], reps[old])))
+        for i, old in enumerate(live)
+    ]
+    coarse_lit = S._cent_literal(coarse_rows)
+    fine = spark.createDataFrame(
+        [
+            (i, [(int(lb), list(c), float(cn)) for lb, c, cn in cells[old]])
+            for i, old in enumerate(live)
+        ],
+        "coarse_id int, cell array<struct<label:int, c:array<double>, cn:double>>",
+    )
+    coarse_scored = F.transform(
+        coarse_lit,
+        lambda s: F.struct(
+            (S._dot(F.col("emb"), s["c"]) / (F.col("nrm") * s["cn"])).alias("c"),
+            s["neglabel"].alias("neglabel"),
+        ),
+    )
+    routed = (
+        en.withColumn("__top2", F.slice(F.reverse(F.array_sort(coarse_scored)), 1, 2))
+        .withColumn("cid1", (-F.col("__top2")[0]["neglabel"]).cast("int"))
+        .withColumn("cid2", (-F.col("__top2")[1]["neglabel"]).cast("int"))
+    )
+
+    def _cell_best(cell_col):
+        return F.array_max(
+            F.transform(
+                cell_col,
+                lambda s: F.struct(
+                    (S._dot(F.col("emb"), s["c"]) / (F.col("nrm") * s["cn"])).alias(
+                        "c"
+                    ),
+                    (-s["label"]).alias("neglabel"),
+                ),
+            )
+        )
+
+    f1 = fine.select(F.col("coarse_id").alias("cid1"), F.col("cell").alias("__cell1"))
+    f2 = fine.select(F.col("coarse_id").alias("cid2"), F.col("cell").alias("__cell2"))
+    want = {
+        r["vec_id"]: (r["cluster"], r["cosc"])
+        for r in (
+            routed.join(F.broadcast(f1), "cid1")
+            .join(F.broadcast(f2), "cid2", "left")
+            .withColumn(
+                "best",
+                F.greatest(_cell_best(F.col("__cell1")), _cell_best(F.col("__cell2"))),
+            )
+            .select(
+                "vec_id",
+                (-F.col("best.neglabel")).alias("cluster"),
+                F.col("best.c").alias("cosc"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_routing_udf_evaluated_once_in_plan(spark, sem2_en):
+    """Guide §4.4: without the nondeterministic marker the fine join's
+    isnotnull(cid1) pushdown duplicates the routing UDF below the
+    projection — the plan must carry exactly ONE _route eval node."""
+    from op_etl_spark.suite import similarity as S
+
+    en, cent_rows = sem2_en
+    df = S._assign_two_level(en, cent_rows)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"_route\(", p)) == len(set(re.findall(r"_route\([^#]*", p)))
+    blocks = [
+        b
+        for b in p.split("\n\n")
+        if re.match(r"\(\d+\) ArrowEvalPython", b.strip()) and "_route(" in b
+    ]
+    assert len(blocks) == 1, p[:2000]
+
+
+# --- funnel flags persist projection ---
+
+
+def test_funnel_persists_only_downstream_columns(spark):
+    from op_etl_spark.suite.contamination import training_corpus_funnel
+
+    df = training_corpus_funnel(spark, SF)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the discriminating node is the cached RELATION, not the scan: the
+    # pre-round-12 plan already projected 7 columns out of the cache while
+    # materializing all 13 (md5 h, token stats, join markers) into it
+    rels = re.findall(r"\(\d+\) InMemoryRelation\nArguments: \[([^\]]*)\]", p)
+    flags = [a for a in rels if "f_clean" in a]
+    assert flags, p[:2000]
+    for args in flags:
+        cols = {c.split("#")[0].strip() for c in args.split(",") if "#" in c}
+        assert cols <= {
+            "doc_id",
+            "source",
+            "f_split",
+            "f_quality",
+            "f_exact",
+            "f_near",
+            "f_clean",
+        }, cols
+    spark.catalog.clearCache()
