@@ -663,8 +663,8 @@ def _assign_two_level(en: DataFrame, cent_rows) -> DataFrame:
                     for d in range(len(members[0]))
                 ]
     # one final reassignment against the post-update reps: the cells rows
-    # are ROUTED to (coarse_lit below is built from the final reps) must
-    # be the cells those same reps DEFINE — without it, membership came
+    # are ROUTED to (the _route closure below is built from the final
+    # reps) must be the cells those same reps DEFINE — without it, membership came
     # from the start-of-last-iteration reps and routing from the end,
     # silently costing recall on every centroid the last update moved
     # across a cell boundary
@@ -679,9 +679,6 @@ def _assign_two_level(en: DataFrame, cent_rows) -> DataFrame:
         (i, reps[old], math.sqrt(_pydot(reps[old], reps[old])))
         for i, old in enumerate(live)
     ]
-    # neglabel = -i, so the struct max's tie-break picks the LOWEST
-    # coarse index, mirroring the fine argmax's lowest-label rule
-    coarse_lit = _cent_literal(coarse_rows)
     fine = spark.createDataFrame(
         [
             (i, [(int(lb), list(c), float(cn)) for lb, c, cn in cells[old]])
@@ -692,19 +689,57 @@ def _assign_two_level(en: DataFrame, cent_rows) -> DataFrame:
     # nprobe=2 routing (standard IVF): the true nearest centroid of a
     # borderline row often lives in the runner-up coarse cell; probing
     # the top-2 cells costs one extra broadcast join + ~sqrt(k) flops
-    # and removes most routing misses. top-2 via sort of the
-    # n_coarse-sized scored array — O(sqrt(k) log sqrt(k)) per row.
-    coarse_scored = F.transform(
-        coarse_lit,
-        lambda s: F.struct(
-            (_dot(F.col("emb"), s["c"]) / (F.col("nrm") * s["cn"])).alias("c"),
-            s["neglabel"].alias("neglabel"),
-        ),
-    )
+    # and removes most routing misses. Vectorized since round 12 as one
+    # pandas-UDF NumPy matmul per Arrow batch against the ~sqrt(k) coarse
+    # reps riding the task closure (sqrt(k) x d doubles — scale-safe;
+    # the fine cells stay a broadcast TABLE below, data bytes not
+    # closure bytes): the literal array_sort formulation evaluated
+    # n_coarse x d interpreted CodegenFallback multiply-adds per row.
+    # Bit-exact ONLY on the integer-grid discipline (every dot is an
+    # exact integer < 2^53 in any summation order; the divide sees the
+    # identical (nrm * cn) product) — the same precondition as
+    # _flat_best_np, satisfied by the SEM2 gate fixture; a non-integer
+    # caller (none declared) could see last-ulp routing flips vs the
+    # retired fold, never an invalid assignment. Tie-breaks match the
+    # retired desc-sort of (cos, -i) structs: NumPy first-argmax picks
+    # the LOWEST coarse index, and the runner-up repeats that rule with
+    # the winner masked out.
+    R = np.array([c for _, c, _ in coarse_rows], dtype="float64")
+    Rn = np.array([cn for _, _, cn in coarse_rows], dtype="float64")
+    n_live = len(coarse_rows)
+
+    @F.pandas_udf("struct<cid1: int, cid2: int>")
+    def _route(emb: pd.Series, nrm: pd.Series) -> pd.DataFrame:
+        if not len(emb):
+            return pd.DataFrame(
+                {
+                    "cid1": pd.Series([], dtype="int32"),
+                    "cid2": pd.array([], dtype="Int32"),
+                }
+            )
+        E = np.vstack(emb.to_numpy())
+        cs = (E @ R.T) / (nrm.to_numpy()[:, None] * Rn[None, :])
+        j1 = cs.argmax(axis=1)  # first max = lowest coarse index on ties
+        if n_live > 1:
+            cs[np.arange(len(j1)), j1] = -np.inf
+            cid2 = pd.array(cs.argmax(axis=1).astype("int32"), dtype="Int32")
+        else:
+            cid2 = pd.array([None] * len(j1), dtype="Int32")
+        return pd.DataFrame(
+            {"cid1": pd.Series(j1.astype("int32")), "cid2": cid2}
+        )
+
+    # asNondeterministic (guide §4.4): the fine join's isnotnull(cid1)
+    # filter otherwise gets pushed below this projection and the
+    # optimizer DUPLICATES the routing UDF — every row would pay the
+    # matmul twice (plan_audit's DuplicatedPythonUDF axis catches this).
+    # The kernel IS deterministic; the marker only pins evaluation count.
+    _route_once = _route.asNondeterministic()
     routed = (
-        en.withColumn("__top2", F.slice(F.reverse(F.array_sort(coarse_scored)), 1, 2))
-        .withColumn("cid1", (-F.col("__top2")[0]["neglabel"]).cast("int"))
-        .withColumn("cid2", (-F.col("__top2")[1]["neglabel"]).cast("int"))
+        en.withColumn("__r", _route_once(F.col("emb"), F.col("nrm")))
+        .withColumn("cid1", F.col("__r.cid1"))
+        .withColumn("cid2", F.col("__r.cid2"))
+        .drop("__r")
     )
 
     def _cell_best(cell_col):
