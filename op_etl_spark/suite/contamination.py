@@ -289,6 +289,20 @@ def training_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cont, "doc_id", "left")
         .withColumn("f_near", F.col("f_exact") & F.col("is_dup2").isNull())
         .withColumn("f_clean", F.col("f_near") & F.col("is_cont").isNull())
+        # project to exactly the columns the two downstream consumers
+        # (mix-rate aggregate, final rollup) read BEFORE persisting: the
+        # 32-char md5, token stats and join markers would otherwise be
+        # materialized into the cache for nothing — at 100 TB the flags
+        # manifest is doc_id + source + six booleans, not the hash column
+        .select(
+            "doc_id",
+            "source",
+            "f_split",
+            "f_quality",
+            "f_exact",
+            "f_near",
+            "f_clean",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = fl.filter("f_clean").groupBy("source").agg(F.count(F.lit(1)).alias("n"))
