@@ -980,6 +980,63 @@ SEM2_K = 160
 SEM2_QSCALE = 1_000_000
 
 
+def _label_centroids_np(en: DataFrame, k: int) -> list[dict]:
+    """Per-label floored-mean centroids over the SEM2 integer grid, fused
+    into a SINGLE pass: each task accumulates per-label partial sums +
+    counts with NumPy and yields at most k metadata rows (no posexplode
+    of N x d value rows, no two-level shuffled aggregation). The driver
+    combines partials and floors the means back onto the grid —
+    identical operands to the retired
+    groupBy((label, pos)).floor(sum/count + 0.5) chain: every component
+    and partial sum is an exact-integer-valued double < 2^53 (the
+    SEM2_QSCALE discipline), so summation order cannot round. Labels
+    with no rows are simply absent, exactly like the retired groupBy.
+    Returns label-sorted [{'label', 'centroid'}] rows."""
+
+    def _partials(batches):
+        sums = None
+        cnts = np.zeros(k, dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(pdf["emb"].to_numpy())
+            if sums is None:
+                sums = np.zeros((k, E.shape[1]))
+            lab = pdf["label"].to_numpy()
+            np.add.at(sums, lab, E)
+            cnts += np.bincount(lab, minlength=k)
+        live = np.flatnonzero(cnts)
+        if sums is None:
+            sums = np.zeros((k, 0))
+        yield pd.DataFrame(
+            {
+                "label": pd.Series(live, dtype="int32"),
+                "s": [sums[i] for i in live],
+                "n": pd.Series(cnts[live], dtype="int64"),
+            }
+        )
+
+    rows = (
+        en.select("label", "emb")
+        .mapInPandas(_partials, "label int, s array<double>, n bigint")
+        .collect()
+    )
+    tot: dict[int, np.ndarray] = {}
+    cnt: dict[int, int] = {}
+    for r in rows:
+        lb = r["label"]
+        s = np.asarray(r["s"], dtype="float64")
+        tot[lb] = tot[lb] + s if lb in tot else s
+        cnt[lb] = cnt.get(lb, 0) + r["n"]
+    return [
+        {
+            "label": lb,
+            "centroid": [float(v) for v in np.floor(tot[lb] / cnt[lb] + 0.5)],
+        }
+        for lb in sorted(tot)
+    ]
+
+
 def semantic_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked gate for the coarse->fine two-level assignment
     (_assign_two_level) — the path SemDeDup's k~N regime runs at scale,
@@ -1017,20 +1074,7 @@ def semantic_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", _norm(F.col("emb")))
         .filter(F.col("nrm") > 0)
     )
-    cent_rows = (
-        en.select("label", F.posexplode("emb").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(
-            F.floor(F.sum("val") / F.count(F.lit(1)) + F.lit(0.5))
-            .cast("double")
-            .alias("cval")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
-        .select("label", F.transform("pairs", lambda s: s["cval"]).alias("centroid"))
-        .orderBy("label")
-        .collect()
-    )
+    cent_rows = _label_centroids_np(en, SEM2_K)
     cent_rows = [r for r in cent_rows if _pydot(r["centroid"], r["centroid"]) > 0]
     if len(cent_rows) != SEM2_K:
         # the oracle bakes k (seed positions, n_coarse) as constants; a

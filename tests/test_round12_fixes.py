@@ -191,6 +191,20 @@ def sem2_en(spark):
     return en, [r for r in cent_rows if sum(v * v for v in r["centroid"]) > 0]
 
 
+def test_fused_label_centroids_match_retired_formulation(spark, sem2_en):
+    """_label_centroids_np (single-pass partial sums) must reproduce the
+    retired posexplode + groupBy((label, pos)) floored means bit-exactly
+    — sem2_en's fixture centroids ARE that retired chain's output."""
+    from op_etl_spark.suite import similarity as S
+
+    en, want_rows = sem2_en
+    got = S._label_centroids_np(en, S.SEM2_K)
+    got = [r for r in got if S._pydot(r["centroid"], r["centroid"]) > 0]
+    assert [(r["label"], list(r["centroid"])) for r in got] == [
+        (r["label"], list(r["centroid"])) for r in want_rows
+    ]
+
+
 def test_vectorized_routing_matches_retired_sort_formulation(spark, sem2_en):
     """Replays _assign_two_level's driver-side Lloyd verbatim to obtain
     the SAME coarse reps/cells, then compares the vectorized routing's
