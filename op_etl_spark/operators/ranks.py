@@ -137,6 +137,77 @@ def grouped_row_index(
     )
 
 
+def grouped_rows_at_rank(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_cols: str | list[str],
+    rank_fn,
+) -> tuple[list[Row], dict[tuple, int]]:
+    """Exact order-statistic row at ONE rank per group, plus group
+    counts: ([row_at_rank_{rank_fn(n_g)} for each group g], {g: n_g}).
+    `rank_fn(n)` maps a group's population to the 0-based rank wanted
+    (e.g. `lambda n: (n - 1) // 2` for the lower median).
+
+    The targeted sibling of `grouped_row_index`: same range partition +
+    per-(partition, group) metadata collect, but instead of ranking and
+    materializing EVERY row only the partitions that contain a requested
+    rank are window-sorted, and only the hit rows are collected —
+    `rows_at_ranks` generalized to per-group ranks. At bench scale that
+    is 1 sorted partition per group instead of all of them; at 100 TB it
+    is the difference between sorting the corpus twice and sorting
+    ~n_groups partitions. `order_cols` must total-order rows within a
+    group (include a unique key) or the selected row is
+    partition-dependent."""
+    sp = df.sparkSession
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n = int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+    keyed = (
+        df.repartitionByRange(n, *[F.col(c) for c in gcols + ocols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    rows = keyed.groupBy("__pid", *gcols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    if not rows:
+        return [], {}
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        by_group.setdefault(tuple(r[g] for g in gcols), []).append(r)
+    counts = {k: sum(r["__n"] for r in rs) for k, rs in by_group.items()}
+    # Locate each group's global rank inside the contiguous run of
+    # (partition, group) blocks — identical offset algebra to
+    # grouped_row_index's prefix sums, consumed on the driver instead of
+    # broadcast back.
+    want: dict[tuple[int, tuple], int] = {}
+    for key, rs in by_group.items():
+        target = rank_fn(counts[key]) + 1  # 1-based within the group
+        if not 1 <= target <= counts[key]:
+            raise ValueError(f"rank {target - 1} out of range for group {key}")
+        acc = 0
+        for r in sorted(rs, key=lambda r: r["__pid"]):
+            if acc < target <= acc + r["__n"]:
+                want[(r["__pid"], key)] = target - acc
+                break
+            acc += r["__n"]
+    hit_pids = sorted({p for p, _ in want})
+    cond = F.lit(False)
+    for (p, key), lr in sorted(want.items(), key=lambda kv: kv[0][0]):
+        gc = (F.col("__pid") == p) & (F.col("__lrn") == lr)
+        for g, v in zip(gcols, key):
+            gc = gc & F.col(g).eqNullSafe(F.lit(v))
+        cond = cond | gc
+    w = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+    hits = (
+        keyed.filter(F.col("__pid").isin(hit_pids))
+        .withColumn("__lrn", F.row_number().over(w))
+        .filter(cond)
+        .drop("__pid", "__lrn")
+        .collect()
+    )
+    by_key = {tuple(row[g] for g in gcols): row for row in hits}
+    return [by_key[k] for k in sorted(by_key)], counts
+
+
 def rows_at_ranks(
     df: DataFrame, cols: list[str], ranks: list[int]
 ) -> tuple[list[Row], int]:

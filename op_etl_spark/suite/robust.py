@@ -9,16 +9,17 @@ The hard part at scale is EXACT medians per group when a single group
 (event_type here — 5 values over the whole corpus) is itself corpus-sized:
 `percentile_approx` is approximate, `collect_list` is a driver bomb, and
 `row_number() OVER (PARTITION BY type ORDER BY value)` funnels each group
-through ONE reducer. `operators/ranks.grouped_row_index` solves it with
-range partitioning + per-(partition, group) offsets — every window in the
-plan is partitioned by (range-partition id, group), so per-reducer work is
-|partition|, not |group|.
+through ONE reducer. `operators/ranks.grouped_rows_at_rank` solves it with
+range partitioning + per-(partition, group) offsets — and sorts ONLY the
+partitions that contain a requested median rank, so per-reducer work is
+|partition| for the few hit partitions and zero for the rest.
 
-Two rank passes (values, then absolute deviations), both over the same
-5-row broadcast of per-group medians/counts. Determinism: the median IS an
-input double (no arithmetic); dev = |x - med| is one correctly-rounded
-IEEE754 subtraction; 3·MAD one multiplication — bit-identical on Spark and
-DuckDB, so the outlier predicate and all aggregates hash-match exactly.
+Two targeted rank probes (values, then absolute deviations); the 5-value
+med/MAD results ride literal maps into one final scan-and-aggregate.
+Determinism: the median IS an input double (no arithmetic); dev = |x - med|
+is one correctly-rounded IEEE754 subtraction; 3·MAD one multiplication —
+bit-identical on Spark and DuckDB, so the outlier predicate and all
+aggregates hash-match exactly.
 
 Reference parity note: the reference (ArcPy geospatial ETL) has no robust
 stats; this module is part of the training-data-pipeline extension surface
@@ -30,60 +31,80 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ranks import grouped_row_index
+from ..operators.ranks import grouped_rows_at_rank
 from ._util import fround, read_table, sql_cents
 
 OUTLIER_K = 3  # the classic Hampel identifier: |x - med| > 3 * MAD
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, value, dev, med, mad, n) — every event with its
-    group's exact lower median, MAD, and population; the shared input of
-    the declared queries. Lower median = element at 0-based rank
+def _robust_pair(spark: SparkSession, sf_dir: str) -> dict[str, tuple]:
+    """{event_type: (exact lower median, exact MAD)} — the robust pair
+    both declared queries gate on. Lower median = element at 0-based rank
     (n-1)//2 in (value, event_id) order — a real data point, defined for
     odd and even n alike, and exactly reproducible in SQL.
 
-    Checkpointed so each CALLER's two downstream reads share one build —
-    deliberately NOT cached across calls: a cross-call cache would make
-    the bench/probe time only the final aggregate and silently stop
-    measuring the rank machinery that is this module's whole point."""
+    Two TARGETED rank probes (`operators/ranks.grouped_rows_at_rank`):
+    each pass range-partitions once and then window-sorts ONLY the
+    partitions holding a requested median rank — the retired
+    formulation (`grouped_row_index` + filter rn == mid) ranked and
+    materialized every row of every partition, plus a separate count
+    job and a checkpoint of the full scored table, to keep 5 rows. The
+    selected elements are identical (same range partition, same offset
+    prefix sums, same (value/dev, event_id) total order), so med/MAD and
+    every downstream aggregate are bit-equal. Groups are metadata-scale
+    (5 event types); their values ride literal maps, not joins."""
     from op_etl_spark.session import read_events
 
     ev = read_events(spark, sf_dir).select("event_type", "value", "event_id")
-    mid = F.floor((F.col("n") - F.lit(1)) / F.lit(2)).cast("long")
+    mid = lambda n: (n - 1) // 2  # noqa: E731 — 0-based lower median
+    med_rows, _counts = grouped_rows_at_rank(
+        ev, "event_type", ["value", "event_id"], mid
+    )
+    med = {r["event_type"]: r["value"] for r in med_rows}
+    if not med:
+        return {}
+    med_c = _lit_map(med)
+    dev = ev.select(
+        "event_type",
+        F.abs(F.col("value") - med_c).alias("dev"),
+        "event_id",
+    )
+    mad_rows, _ = grouped_rows_at_rank(dev, "event_type", ["dev", "event_id"], mid)
+    return {r["event_type"]: (med[r["event_type"]], r["dev"]) for r in mad_rows}
 
-    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    idx = grouped_row_index(ev, "event_type", ["value", "event_id"], out="rn")
-    med = (
-        idx.join(F.broadcast(cnt), "event_type")
-        .filter(F.col("rn") == mid)
-        .select("event_type", F.col("value").alias("med"), "n")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("value") - F.col("med"))
-    )
-    idx2 = grouped_row_index(dev, "event_type", ["dev", "event_id"], out="rn2")
-    mad = idx2.filter(F.col("rn2") == mid).select(
-        "event_type", F.col("dev").alias("mad")
-    )
-    return dev.join(F.broadcast(mad), "event_type").localCheckpoint(eager=False)
+
+def _lit_map(d: dict):
+    """Literal map[event_type -> double] column — 5 entries of metadata
+    riding the plan instead of a broadcast join."""
+    return F.create_map(
+        *[F.lit(x) for k in sorted(d) for x in (k, float(d[k]))]
+    )[F.col("event_type")]
 
 
 def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: population, exact lower median, exact MAD, and the
     Hampel outlier count/fraction (|value - median| > 3·MAD).
 
-    Plan: two grouped-rank passes (operators/ranks.py) + three 5-row
-    broadcasts + one final aggregate — no unpartitioned window, no
-    collect of data rows, group size unbounded."""
-    s = _scored(spark, sf_dir)
-    out = F.when(F.col("dev") > OUTLIER_K * F.col("mad"), 1).otherwise(0)
+    Plan: two targeted rank probes (operators/ranks.py) + one final
+    scan-and-aggregate over literal (med, mad) maps — no unpartitioned
+    window, no collect of data rows, group size unbounded."""
+    from op_etl_spark.session import read_events
+
+    pair = _robust_pair(spark, sf_dir)
+    ev = read_events(spark, sf_dir).select("event_type", "value")
+    if pair:
+        med_c = _lit_map({k: v[0] for k, v in pair.items()})
+        mad_c = _lit_map({k: v[1] for k, v in pair.items()})
+    else:
+        med_c = mad_c = F.lit(None).cast("double")
+    dev = F.abs(F.col("value") - med_c)
+    out = F.when(dev > OUTLIER_K * mad_c, 1).otherwise(0)
     return (
-        s.groupBy("event_type")
+        ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("med").alias("med_value"),
-            F.min("mad").alias("mad_value"),
+            F.min(med_c).alias("med_value"),
+            F.min(mad_c).alias("mad_value"),
             F.sum(out).alias("n_outliers"),
         )
         .select(
@@ -137,15 +158,23 @@ def winsorized_event_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are re-quantized to exact integer cents before summing
     (_util.money_sum discipline) so the mean is order-independent and
     engine-exact."""
-    s = _scored(spark, sf_dir)
-    lo = F.col("med") - OUTLIER_K * F.col("mad")
-    hi = F.col("med") + OUTLIER_K * F.col("mad")
+    from op_etl_spark.session import read_events
+
+    pair = _robust_pair(spark, sf_dir)
+    ev = read_events(spark, sf_dir).select("event_type", "value")
+    if pair:
+        med_c = _lit_map({k: v[0] for k, v in pair.items()})
+        mad_c = _lit_map({k: v[1] for k, v in pair.items()})
+    else:
+        med_c = mad_c = F.lit(None).cast("double")
+    lo = med_c - OUTLIER_K * mad_c
+    hi = med_c + OUTLIER_K * mad_c
     w = F.greatest(lo, F.least(hi, F.col("value")))
     wc = F.floor(w * 100 + F.lit(0.5)).cast("long")
     rc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     clamped = F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
     return (
-        s.groupBy("event_type")
+        ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(clamped).alias("n_clamped"),
