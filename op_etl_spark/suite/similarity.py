@@ -537,18 +537,67 @@ def _semdedup_centroids(e: DataFrame) -> list:
     """Exact per-label tick-mean centroids, collected as k rows of driver
     metadata (sorted by label). The suite's reproducible stand-in for
     trained k-means centroids — identical arithmetic on both engines, so
-    the oracle replicates it bit-for-bit."""
-    return (
-        e.select("label", F.posexplode("emb").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg((F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long"))
-              / F.lit(1000000.0) / F.count(F.lit(1))).alias("cval"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
-        .select("label", F.transform("pairs", lambda s: s["cval"]).alias("centroid"))
-        .orderBy("label")
+    the oracle replicates it bit-for-bit.
+
+    Fused into ONE mapInPandas pass (the §2.3 discipline every other
+    centroid/Lloyd build in the suite now uses): each task quantizes its
+    rows to the integer tick grid and accumulates per-label partial tick
+    sums + counts as int64 — at most k metadata rows per task, no
+    posexplode of N x d value rows, no two-level shuffled aggregation.
+    The driver combines partials and divides exactly like the retired
+    groupBy chain: tick sums are exact int64 on both formulations (same
+    wrap envelope as Spark's long sum), and
+    float(total) / 1000000.0 / count reproduces Spark's
+    `sum(ticks) / lit(1000000.0) / count(1)` operand-for-operand (the
+    long -> double cast rounds identically), so every cval is the same
+    double the retired chain produced."""
+
+    def _partials(batches):
+        sums: dict = {}
+        cnts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(pdf["emb"].to_numpy())
+            T = np.floor(E * 1000000 + 0.5).astype("int64")
+            lab = pdf["label"].to_numpy()
+            for lb in np.unique(lab):
+                m = lab == lb
+                lb = int(lb)
+                if lb in sums:
+                    sums[lb] += T[m].sum(axis=0)
+                    cnts[lb] += int(m.sum())
+                else:
+                    sums[lb] = T[m].sum(axis=0)
+                    cnts[lb] = int(m.sum())
+        labs = sorted(sums)
+        yield pd.DataFrame(
+            {
+                "label": pd.Series(labs, dtype="int64"),
+                "s": [sums[lb] for lb in labs],
+                "n": pd.Series([cnts[lb] for lb in labs], dtype="int64"),
+            }
+        )
+
+    rows = (
+        e.select("label", "emb")
+        .mapInPandas(_partials, "label bigint, s array<bigint>, n bigint")
         .collect()
     )
+    tot: dict[int, list] = {}
+    cnt: dict[int, int] = {}
+    for r in rows:
+        lb = r["label"]
+        s = [int(v) for v in r["s"]]
+        tot[lb] = [a + b for a, b in zip(tot[lb], s)] if lb in tot else s
+        cnt[lb] = cnt.get(lb, 0) + r["n"]
+    return [
+        {
+            "label": lb,
+            "centroid": [float(v) / 1000000.0 / cnt[lb] for v in tot[lb]],
+        }
+        for lb in sorted(tot)
+    ]
 
 
 def _pydot(a, b):

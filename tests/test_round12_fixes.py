@@ -369,3 +369,110 @@ def test_funnel_persists_only_downstream_columns(spark):
             "f_clean",
         }, cols
     spark.catalog.clearCache()
+
+
+# --- targeted grouped rank probe (robust._robust_pair) ---
+
+
+def test_targeted_rank_probe_matches_retired_grouped_rank(spark):
+    """grouped_rows_at_rank must select the SAME element the retired
+    grouped_row_index + filter(rn == (n-1)//2) chain selected — odd and
+    even group sizes, duplicate order values, multi-partition groups."""
+    import random
+
+    from op_etl_spark.operators.ranks import grouped_row_index, grouped_rows_at_rank
+
+    rng = random.Random(12)
+    rows = []
+    eid = 0
+    for g, n in [("a", 101), ("b", 100), ("c", 1), ("d", 2), ("e", 4093)]:
+        for _ in range(n):
+            # coarse grid → plenty of exact ties exercising the event_id
+            # tiebreak inside and across range partitions
+            rows.append((g, float(rng.randint(0, 50)), eid))
+            eid += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, v double, eid long")
+
+    mid = lambda n: (n - 1) // 2  # noqa: E731
+    got_rows, counts = grouped_rows_at_rank(df, "g", ["v", "eid"], mid)
+    got = {r["g"]: (r["v"], r["eid"]) for r in got_rows}
+
+    idx = grouped_row_index(df, "g", ["v", "eid"], out="rn")
+    cnt = {r["g"]: r["n"] for r in df.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {}
+    for r in idx.collect():
+        if r["rn"] == mid(cnt[r["g"]]):
+            want[r["g"]] = (r["v"], r["eid"])
+
+    assert {k[0]: v for k, v in counts.items()} == cnt
+    assert got == want
+
+
+def test_robust_pair_matches_retired_scored_chain(spark):
+    """_robust_pair's (med, mad) must equal the retired _scored chain's
+    broadcast med/mad columns bit-for-bit on real fixture data."""
+    from op_etl_spark.operators.ranks import grouped_row_index
+    from op_etl_spark.session import read_events
+    from op_etl_spark.suite.robust import _robust_pair
+
+    got = _robust_pair(spark, SF)
+
+    ev = read_events(spark, SF).select("event_type", "value", "event_id")
+    mid = F.floor((F.col("n") - F.lit(1)) / F.lit(2)).cast("long")
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    idx = grouped_row_index(ev, "event_type", ["value", "event_id"], out="rn")
+    med = (
+        idx.join(F.broadcast(cnt), "event_type")
+        .filter(F.col("rn") == mid)
+        .select("event_type", F.col("value").alias("med"), "n")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    idx2 = grouped_row_index(dev, "event_type", ["dev", "event_id"], out="rn2")
+    mad = idx2.filter(F.col("rn2") == mid).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    want_med = {r["event_type"]: r["med"] for r in med.collect()}
+    want_mad = {r["event_type"]: r["mad"] for r in mad.collect()}
+
+    assert got == {k: (want_med[k], want_mad[k]) for k in want_med}
+
+
+# --- fused semdedup tick-mean centroid build (_semdedup_centroids) ---
+
+
+def test_fused_semdedup_centroids_match_retired_formulation(spark):
+    """The mapInPandas partial-tick-sums build must reproduce the retired
+    posexplode + groupBy((label, pos)) tick-mean chain BIT-EXACTLY."""
+    from op_etl_spark.suite import similarity as S
+
+    e = S._emb(spark, SF)
+    got = S._semdedup_centroids(e)
+
+    want = [
+        {"label": r["label"], "centroid": list(r["centroid"])}
+        for r in (
+            e.select("label", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long"))
+                    / F.lit(1000000.0)
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+            .select(
+                "label", F.transform("pairs", lambda s: s["cval"]).alias("centroid")
+            )
+            .orderBy("label")
+            .collect()
+        )
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["label"] == w["label"]
+        assert g["centroid"] == w["centroid"]  # exact double equality
