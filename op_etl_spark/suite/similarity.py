@@ -402,72 +402,89 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact int64 arithmetic — no float accumulation order anywhere;
     the single final ratio is two correctly-rounded divides.
 
-    Plan shape: signs (64x16 rows) broadcast; ticks are a narrow
-    posexplode; the projection is one map-side-combining groupBy
-    (vec_id, j); the pair joins are co-partitioned on vec_id. Everything
-    is corpus-linear — at 100 TB this is exactly a distributed dense
-    matmul against a broadcast matrix."""
+    Plan shape (fused, guide §2.3/§4.2): ONE mapInPandas pass quantizes
+    each row and multiplies it against the 64x16 sign matrix riding the
+    task closure — an int64 NumPy matmul in place of the retired
+    posexplode to N x 64 tick rows joined against a broadcast sign table
+    (an N x 1024 intermediate through a shuffled groupBy). The
+    consecutive-pair distances are then ONE narrow self-join on vec_id
+    (t and p vectors as 80 int64s per row) + a second batch kernel for
+    the exact squared-distance sums — the retired shape paid that join
+    twice, once per space, on exploded rows. Everything is corpus-linear
+    — at 100 TB this is exactly a distributed dense matmul against a
+    closure matrix. Bit-exactness: ticks are the same
+    floor(x * TICK + 0.5) doubles, and every sum is int64 with the same
+    wrap envelope as Spark's long arithmetic, so order cannot matter."""
+    import hashlib
+
+    # the 64x16 Achlioptas sign matrix from md5 parity — 1024 Python
+    # hashes of the same "jl|i|j" strings the retired Spark/oracle
+    # expressions hash; first 15 hex chars parsed base-16, even -> +1
+    S = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:15], 16) % 2
+                == 0
+                else -1
+                for j in range(JL_OUT_DIM)
+            ]
+            for i in range(JL_IN_DIM)
+        ],
+        dtype="int64",
+    )
+
+    def _feat(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            T = np.floor(E * JL_TICK + 0.5).astype("int64")
+            P = T @ S
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "t": list(T), "p": list(P)}
+            )
+
+    def _d2(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t1 = np.vstack(pdf["t"].to_numpy())
+            t2 = np.vstack(pdf["t2"].to_numpy())
+            p1 = np.vstack(pdf["p"].to_numpy())
+            p2 = np.vstack(pdf["p2"].to_numpy())
+            do = t1 - t2
+            dp = p1 - p2
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "d2_orig": (do * do).sum(axis=1),
+                    "d2_proj": (dp * dp).sum(axis=1),
+                }
+            )
+
     from pyspark import StorageLevel
 
     e = read_table(spark, sf_dir, "embeddings", fan=True)
-    # persisted: feeds the projection AND both sides of the original-space
-    # distance join — one corpus scan, not three (plan-audit rescan axis)
-    ticks = (
+    # persisted: feeds BOTH sides of the consecutive-pair self-join — one
+    # corpus scan + one kernel pass, not two (plan-audit rescan axis)
+    feat = (
         e.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        .select(
-            "vec_id",
-            "i",
-            F.floor(F.col("x") * JL_TICK + F.lit(0.5)).cast("long").alias("t"),
-        )
+        .mapInPandas(_feat, "vec_id long, t array<bigint>, p array<bigint>")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the 64x16 sign matrix from ONE range (no cross join): id -> (i, j)
-    cell = spark.range(JL_IN_DIM * JL_OUT_DIM).select(
-        (F.col("id") / JL_OUT_DIM).cast("long").alias("i"),
-        (F.col("id") % JL_OUT_DIM).alias("j"),
+    nxt = feat.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("t").alias("t2"),
+        F.col("p").alias("p2"),
     )
-    hx = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("jl|"),
-                    F.col("i").cast("string"),
-                    F.lit("|"),
-                    F.col("j").cast("string"),
-                ).cast("binary")
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    signs = cell.select(
-        "i", "j", F.when(hx % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s")
-    )
-    proj = (
-        ticks.join(F.broadcast(signs), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("s") * F.col("t")).alias("p"))
-    )
-    p2 = proj.select((F.col("vec_id") - 1).alias("vec_id"), "j", F.col("p").alias("q"))
-    d2p = (
-        proj.join(p2, ["vec_id", "j"])
-        .groupBy("vec_id")
-        .agg(F.sum((F.col("p") - F.col("q")) * (F.col("p") - F.col("q"))).alias("d2_proj"))
-    )
-    t2 = ticks.select((F.col("vec_id") - 1).alias("vec_id"), "i", F.col("t").alias("u"))
-    d2o = (
-        ticks.join(t2, ["vec_id", "i"])
-        .groupBy("vec_id")
-        .agg(F.sum((F.col("t") - F.col("u")) * (F.col("t") - F.col("u"))).alias("d2_orig"))
+    d2 = feat.join(nxt, "vec_id").mapInPandas(
+        _d2, "vec_id long, d2_orig bigint, d2_proj bigint"
     )
     return (
-        d2o.join(d2p, "vec_id")
-        .filter(F.col("d2_orig") > 0)
+        d2.filter(F.col("d2_orig") > 0)
         .select(
             F.col("vec_id").alias("id1"),
             (F.col("vec_id") + 1).alias("id2"),

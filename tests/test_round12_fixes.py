@@ -476,3 +476,138 @@ def test_fused_semdedup_centroids_match_retired_formulation(spark):
     for g, w in zip(got, want):
         assert g["label"] == w["label"]
         assert g["centroid"] == w["centroid"]  # exact double equality
+
+
+# --- fused JL projection (jl_projection_distortion) ---
+
+
+def test_jl_sign_matrix_matches_spark_md5_parity(spark):
+    """The Python-side md5-parity sign matrix must equal the retired
+    Spark expression cell for cell."""
+    import hashlib
+
+    import numpy as np
+
+    from op_etl_spark.suite.similarity import JL_IN_DIM, JL_OUT_DIM
+
+    S = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:15], 16) % 2
+                == 0
+                else -1
+                for j in range(JL_OUT_DIM)
+            ]
+            for i in range(JL_IN_DIM)
+        ]
+    )
+    cell = spark.range(JL_IN_DIM * JL_OUT_DIM).select(
+        (F.col("id") / JL_OUT_DIM).cast("long").alias("i"),
+        (F.col("id") % JL_OUT_DIM).alias("j"),
+    )
+    hx = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("jl|"),
+                    F.col("i").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = cell.select(
+        "i", "j", F.when(hx % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s")
+    ).collect()
+    for r in rows:
+        assert S[r["i"], r["j"]] == r["s"], (r["i"], r["j"])
+
+
+def test_fused_jl_matches_retired_formulation(spark):
+    """The fused matmul-kernel query must reproduce the retired
+    posexplode + broadcast-sign-join + double-self-join chain row for
+    row (exact int64 distances, identical ratio doubles)."""
+    from op_etl_spark.suite.similarity import (
+        JL_IN_DIM,
+        JL_OUT_DIM,
+        JL_TICK,
+        jl_projection_distortion,
+    )
+    from op_etl_spark.suite._util import fround, read_table
+
+    got = {
+        r["id1"]: (r["d2_orig"], r["d2_proj"], r["jl_ratio"])
+        for r in jl_projection_distortion(spark, SF).collect()
+    }
+
+    e = read_table(spark, SF, "embeddings", fan=True)
+    ticks = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x") * JL_TICK + F.lit(0.5)).cast("long").alias("t"),
+    )
+    cell = spark.range(JL_IN_DIM * JL_OUT_DIM).select(
+        (F.col("id") / JL_OUT_DIM).cast("long").alias("i"),
+        (F.col("id") % JL_OUT_DIM).alias("j"),
+    )
+    hx = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("jl|"),
+                    F.col("i").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    signs = cell.select(
+        "i", "j", F.when(hx % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s")
+    )
+    proj = (
+        ticks.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("t")).alias("p"))
+    )
+    p2 = proj.select((F.col("vec_id") - 1).alias("vec_id"), "j", F.col("p").alias("q"))
+    d2p = (
+        proj.join(p2, ["vec_id", "j"])
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("p") - F.col("q")) * (F.col("p") - F.col("q"))).alias("d2_proj"))
+    )
+    t2 = ticks.select((F.col("vec_id") - 1).alias("vec_id"), "i", F.col("t").alias("u"))
+    d2o = (
+        ticks.join(t2, ["vec_id", "i"])
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("t") - F.col("u")) * (F.col("t") - F.col("u"))).alias("d2_orig"))
+    )
+    want = {
+        r["id1"]: (r["d2_orig"], r["d2_proj"], r["jl_ratio"])
+        for r in d2o.join(d2p, "vec_id")
+        .filter(F.col("d2_orig") > 0)
+        .select(
+            F.col("vec_id").alias("id1"),
+            "d2_orig",
+            "d2_proj",
+            fround(
+                F.col("d2_proj") / F.lit(float(JL_OUT_DIM)) / F.col("d2_orig"), 4
+            ).alias("jl_ratio"),
+        )
+        .collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
