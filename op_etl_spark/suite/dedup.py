@@ -16,12 +16,16 @@ hex-parsed into 60/56-bit ints on both engines (Spark `conv`, DuckDB
 `('0x'||…)::BIGINT`), then a Carter-Wegman family h_k = (a + k*b) mod
 (2^61-1) derives all minhash functions with exact int64 arithmetic — 16×
 less hashing than the naive min(md5(k|shingle)) per k, with the pairwise-
-independence guarantee the naive seeding lacks. No Python UDFs anywhere —
-everything is codegen'd column expressions.
+independence guarantee the naive seeding lacks. Everything is codegen'd
+column expressions, except the 64-bit SimHash fingerprint whose vote
+partials run as one vectorized mapInPandas kernel (bit-exact by integer
+arithmetic — see `_simhash64`).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -483,35 +487,83 @@ SIMHASH64_BAND_BITS = 16
 
 def _simhash64(d: DataFrame) -> DataFrame:
     """(doc_id, b0..b3): 64-bit SimHash as four 16-bit band fingerprints.
-    One md5 per DISTINCT (doc, token); band t's bits come from hex chars
-    [1+4t, 4+4t]; bit i of band t = majority vote of token bit (ties ->
-    0), all tokens voting with multiplicity — same contract as the
-    16-bit `_simhash`. Multiplicity is folded in FIRST (a cheap
-    (doc_id, tok) count with full map-side combine), so the md5 + 64
-    bit-extract expressions — the expensive part — run once per distinct
-    token per doc, not once per occurrence; the vote sums weight each
-    distinct token by its count, which is arithmetically identical to
-    per-occurrence voting."""
-    toks = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hx = F.md5(F.col("tok").cast("binary"))
-    vcols = [
-        F.conv(F.substring(hx, 1 + 4 * t, 4), 16, 10).cast("long").alias(f"v{t}")
-        for t in range(SIMHASH64_BANDS)
-    ]
-    tv = toks.select("doc_id", "cnt", *vcols)
-    votes = [
-        F.sum(
-            F.col("cnt")
-            * (F.shiftright(F.col(f"v{t}"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{t}_{i}")
+    Band t's bits come from md5 hex chars [1+4t, 4+4t]; bit i of band t =
+    majority vote of token bit (ties -> 0), all tokens voting with
+    multiplicity — same contract as the 16-bit `_simhash`.
+
+    Fused (guide §2.3/§2.4/§4.2): the retired chain exploded every token
+    occurrence, shuffled the distinct (doc_id, tok) universe to fold
+    multiplicity, ran md5 + 64 bit-extract expressions per distinct-token
+    row, then shuffled the votes again into the per-doc 64-sum aggregate —
+    two corpus-sized Exchanges. Now ONE mapInPandas pass tokenizes each
+    Arrow batch (str.split(" ") == Java split(regex=" ", limit=-1) for
+    this metachar-free single-space pattern, trailing/leading empties
+    kept by both), hashes each DISTINCT token once per batch
+    (hashlib.md5 over the same UTF-8 bytes Spark's md5(cast binary)
+    hashes), folds multiplicity batch-locally and emits the 64 per-row
+    vote-sum columns; the groupBy(doc_id) that follows shuffles 64 longs
+    per document instead of the token universe. Vote sums are additive
+    over any row split (every vote is cnt * ±1 in exact int64, the same
+    wrap envelope as Spark's long sum, and 2*sum(cnt*bit) - sum(cnt) =
+    sum(cnt*(2*bit-1)) term-for-term in that ring), so the grouped sums —
+    and therefore the packed bits — are bit-identical to the retired
+    formulation for ANY doc_id multiplicity; rows with NULL text are
+    dropped exactly like the retired explode(split(NULL, ' ')) did.
+    Pinned by test_round12_fixes.py::
+    test_kernel_simhash64_matches_retired_formulation."""
+    n_bits = SIMHASH64_BANDS * SIMHASH64_BAND_BITS
+    cols = [
+        f"s{t}_{i}"
         for t in range(SIMHASH64_BANDS)
         for i in range(SIMHASH64_BAND_BITS)
     ]
-    agg = tv.groupBy("doc_id").agg(*votes)
+
+    def _votes(batches):
+        import hashlib
+
+        shifts = np.arange(SIMHASH64_BAND_BITS, dtype="int64")
+        for pdf in batches:
+            pdf = pdf[pdf["text"].notna()]
+            if not len(pdf):
+                continue
+            tok_lists = [t.split(" ") for t in pdf["text"]]
+            lens = np.array([len(t) for t in tok_lists], dtype="int64")
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists]
+            )
+            doc_idx = np.repeat(np.arange(len(pdf), dtype="int64"), lens)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            bits = np.empty((len(uniq), n_bits), dtype="int8")
+            for j, tok in enumerate(uniq):
+                hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                for t in range(SIMHASH64_BANDS):
+                    v = int(hx[4 * t : 4 * t + 4], 16)
+                    bits[j, 16 * t : 16 * t + 16] = (v >> shifts) & 1
+            # fold multiplicity batch-locally: one row per (doc, distinct
+            # tok), segments contiguous per doc because ukey is sorted
+            key = doc_idx * len(uniq) + inv
+            ukey, kcnt = np.unique(key, return_counts=True)
+            d_idx = ukey // len(uniq)
+            t_idx = ukey % len(uniq)
+            bounds = np.append(
+                np.searchsorted(d_idx, np.arange(len(pdf), dtype="int64")),
+                len(d_idx),
+            )
+            S = np.zeros((len(pdf), n_bits), dtype="int64")
+            C = np.zeros(len(pdf), dtype="int64")
+            for r in range(len(pdf)):
+                lo, hi = bounds[r], bounds[r + 1]
+                S[r] = kcnt[lo:hi] @ bits[t_idx[lo:hi]]
+                C[r] = kcnt[lo:hi].sum()
+            votes = 2 * S - C[:, None]
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for c_i, c in enumerate(cols):
+                out[c] = votes[:, c_i]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id bigint, " + ", ".join(f"{c} bigint" for c in cols)
+    partial = d.select("doc_id", "text").mapInPandas(_votes, schema)
+    agg = partial.groupBy("doc_id").agg(*[F.sum(c).alias(c) for c in cols])
     outs = []
     for t in range(SIMHASH64_BANDS):
         fp = None

@@ -611,3 +611,75 @@ def test_fused_jl_matches_retired_formulation(spark):
     }
     assert got == want
     spark.catalog.clearCache()
+
+
+# --- fused 64-bit SimHash fingerprint (dedup._simhash64) ---
+
+
+def _retired_simhash64(d):
+    """The retired explode + groupBy((doc_id, tok)) + 64-sum chain, verbatim."""
+    from op_etl_spark.suite.dedup import SIMHASH64_BAND_BITS, SIMHASH64_BANDS
+
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hx = F.md5(F.col("tok").cast("binary"))
+    vcols = [
+        F.conv(F.substring(hx, 1 + 4 * t, 4), 16, 10).cast("long").alias(f"v{t}")
+        for t in range(SIMHASH64_BANDS)
+    ]
+    tv = toks.select("doc_id", "cnt", *vcols)
+    votes = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(F.col(f"v{t}"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{t}_{i}")
+        for t in range(SIMHASH64_BANDS)
+        for i in range(SIMHASH64_BAND_BITS)
+    ]
+    agg = tv.groupBy("doc_id").agg(*votes)
+    outs = []
+    for t in range(SIMHASH64_BANDS):
+        fp = None
+        for i in range(SIMHASH64_BAND_BITS):
+            bit = F.when(F.col(f"s{t}_{i}") > 0, 2**i).otherwise(0)
+            fp = bit if fp is None else fp + bit
+        outs.append(fp.cast("long").alias(f"b{t}"))
+    return agg.select("doc_id", *outs)
+
+
+def test_kernel_simhash64_matches_retired_formulation(spark):
+    """The mapInPandas vote kernel + narrow groupBy(doc_id) must reproduce
+    the retired two-Exchange token chain bit-for-bit: on the real corpus,
+    and on a synthetic fixture exercising duplicate doc_id rows (vote
+    additivity), NULL text (dropped), empty text / multi-space runs
+    (empty-string tokens kept by split), unicode tokens and heavy
+    multiplicity."""
+    from op_etl_spark.suite.dedup import _docs, _simhash64
+
+    d = _docs(spark, SF)
+    got = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in _simhash64(d).collect()}
+    want = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in _retired_simhash64(d).collect()
+    }
+    assert got == want and len(got) == d.count()
+
+    rows = [
+        (1, "a b b ü tøk"),
+        (1, "b c a"),
+        (2, ""),
+        (3, None),
+        (4, "x  y "),
+        (5, "a a a b b"),
+        (6, " leading"),
+    ]
+    sd = spark.createDataFrame(rows, "doc_id long, text string")
+    got2 = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in _simhash64(sd).collect()}
+    want2 = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in _retired_simhash64(sd).collect()
+    }
+    assert got2 == want2
+    assert 3 not in got2 and 1 in got2 and 2 in got2
+    spark.catalog.clearCache()
