@@ -32,7 +32,7 @@ as a catalog table bucketed by the band key (`bucketBy(...,
 *band_key()).saveAsTable(...)`, the sinks/catalog machinery), which
 this module's read path works with unchanged. Minhash signatures are
 pure functions of the text (md5-derived 60/56-bit integers,
-suite/dedup._minhash_sigs), so index rows written today and rows
+suite/dedup._minhash_sigs_np), so index rows written today and rows
 computed tomorrow always agree.
 """
 
@@ -47,11 +47,10 @@ def _banded(docs: DataFrame):
     the exact expressions the suite gate verifies, shared by deferred
     import (suite.dedup imports operators.counters, so the import points
     down-module to avoid a cycle)."""
-    from ..suite.dedup import _band_structs, _minhash_sigs, _shingle_arrays
+    from ..suite.dedup import _band_structs, _minhash_sigs_np, _shingle_arrays
 
     arrs = _shingle_arrays(docs)
-    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
-    sigs = _minhash_sigs(sh)
+    sigs = _minhash_sigs_np(arrs)
     bands = sigs.select(
         "doc_id", F.explode(_band_structs()).alias("band")
     ).select("doc_id", "band.*")

@@ -167,11 +167,46 @@ def _lloyd_update(qv: DataFrame, cent_list: list[list[float]]) -> list[list[floa
     ]
 
 
-def _index_tables(spark: SparkSession, sf_dir: str):
-    """Shared build for the recall gates: quantized corpus (checkpointed —
-    ONE embeddings scan feeds seeding, every Lloyd round, probing, and
-    both search arms), trained centroids (driver-side list + an 8-row
-    DataFrame for probe ranking), final assignment, and the probe set."""
+def _assign_residual(qv: DataFrame, cent_list: list[list[float]]) -> DataFrame:
+    """(vec_id, list_id, q = vector - centroid[list_id]) in ONE kernel
+    pass — the fused form of `_assign_literal(...).localCheckpoint()`
+    followed by the broadcast-centroid join + zip_with subtraction
+    (guide §2.3/§2.4/§4.2): one pass over the vectors instead of two,
+    one materialization instead of two, no join. Bit-exact: the argmin
+    is the identical NumPy expression `_assign_literal` uses, and the
+    residual subtraction operates on exact-integer-valued doubles
+    (< 2^53, the module's quantization contract), where NumPy and
+    zip_with(x - y) agree bit-for-bit elementwise. Pinned by
+    tests/test_round12_more.py::
+    test_fused_assign_residual_matches_retired_formulation."""
+    C = np.asarray(cent_list, dtype="float64")  # (n_lists, 64)
+
+    def _ar(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["q"].to_numpy())
+            diff = Q[:, None, :] - C[None, :, :]
+            a = (diff * diff).sum(axis=2).argmin(axis=1)
+            R = Q - C[a]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "list_id": a.astype("int32"),
+                    "q": list(R),
+                }
+            )
+
+    return qv.select("vec_id", "q").mapInPandas(
+        _ar, "vec_id bigint, list_id int, q array<double>"
+    )
+
+
+def _index_tables_core(spark: SparkSession, sf_dir: str):
+    """Shared coarse-quantizer build for the recall gates: quantized
+    corpus (checkpointed — ONE embeddings scan feeds seeding, every Lloyd
+    round, probing, and both search arms), trained centroid list
+    (driver-side), and the probe set."""
     with phases.phase("ivf_build", "quantize"):
         qv = _quantized(spark, sf_dir).localCheckpoint()
     with phases.phase("ivf_build", "seeds"):
@@ -184,15 +219,26 @@ def _index_tables(spark: SparkSession, sf_dir: str):
     for _ in range(RECALL_ITERS):
         with phases.phase("ivf_build", "lloyd"):
             cent_list = _lloyd_update(qv, cent_list)
-    with phases.phase("ivf_build", "assign"):
-        alist = _assign_literal(qv, cent_list).localCheckpoint()
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cent_list)], "list_id int, c array<double>"
-    )
     probes = qv.filter(F.col("vec_id") < RECALL_N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
-    return qv, cents, alist, probes
+    return qv, cent_list, probes
+
+
+def _cents_df(spark: SparkSession, cent_list: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent_list)], "list_id int, c array<double>"
+    )
+
+
+def _index_tables(spark: SparkSession, sf_dir: str):
+    """`_index_tables_core` + the final original-vector assignment the
+    IVF recall gates search over (the IVFPQ gate skips this and fuses
+    assignment into its residual pass — `_assign_residual`)."""
+    qv, cent_list, probes = _index_tables_core(spark, sf_dir)
+    with phases.phase("ivf_build", "assign"):
+        alist = _assign_literal(qv, cent_list).localCheckpoint()
+    return qv, _cents_df(spark, cent_list), alist, probes
 
 
 def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:

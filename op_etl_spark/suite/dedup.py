@@ -5,9 +5,12 @@ scale-first:
  - exact dedup = one hash-groupBy (single shuffle, map-side combine);
  - n-gram Jaccard = shingle inverted-index self-join (the exact baseline;
    at 100 TB you run it only on LSH candidates);
- - MinHash+LSH = signatures in ONE shuffle (16 min() aggregates over the
-   exploded shingle stream), band-bucket join produces candidates without
-   any all-pairs work;
+ - MinHash+LSH = signatures in one pass: a fused mapInPandas kernel over
+   the shingle arrays for scan-direct callers (one md5 per distinct
+   shingle per batch, per-doc minima via reduceat), the codegen
+   md5/conv expression chain for callers whose arrays are already
+   persisted (dispatch rule on `_minhash_sigs`); band-bucket join
+   produces candidates without any all-pairs work;
  - SimHash = 16-bit fingerprint via per-bit majority vote, prefix-bucket
    join (banding) instead of an O(n^2) cross join.
 
@@ -17,9 +20,9 @@ hex-parsed into 60/56-bit ints on both engines (Spark `conv`, DuckDB
 (2^61-1) derives all minhash functions with exact int64 arithmetic — 16×
 less hashing than the naive min(md5(k|shingle)) per k, with the pairwise-
 independence guarantee the naive seeding lacks. Everything is codegen'd
-column expressions, except the 64-bit SimHash fingerprint whose vote
-partials run as one vectorized mapInPandas kernel (bit-exact by integer
-arithmetic — see `_simhash64`).
+column expressions, except the 64-bit SimHash vote partials and the
+minhash signature minima, which run as vectorized mapInPandas kernels
+(bit-exact by integer arithmetic — see `_simhash64`, `_minhash_sigs_np`).
 """
 
 from __future__ import annotations
@@ -63,11 +66,6 @@ def _shingle_arrays(d: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
     return d.select("doc_id", sh.alias("shingles"))
-
-
-def _shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct word-3-gram shingles."""
-    return _shingle_arrays(d).select("doc_id", F.explode("shingles").alias("shingle"))
 
 
 def _hashed_shingle_arrays(d: DataFrame) -> DataFrame:
@@ -210,10 +208,20 @@ WHERE floor((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) /
 # --- MinHash signatures + LSH band candidates ---
 
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    """One shuffle: groupBy doc_id with 16 min((a + k*b) mod p) aggregates.
+    """One shuffle: groupBy doc_id with 16 min((a + k*b) mod p) aggregates
+    over an exploded (doc_id, shingle) stream.
 
     ONE md5 per shingle; a = md5 hex chars 1-15 (60 bits), b = chars 17-30
-    (56 bits), so a + 15*b < 2^61 stays exact in int64 on both engines."""
+    (56 bits), so a + 15*b < 2^61 stays exact in int64 on both engines.
+
+    Dispatch rule vs the fused kernel `_minhash_sigs_np` (measured at
+    sf0.1, guide §1): callers whose shingle-array table is ALREADY
+    persisted use this JVM expression chain — reading cached arrays into
+    codegen is cheaper than shipping them through Arrow to Python
+    (0.57 vs 0.69 s) — while scan-direct callers use the kernel, which
+    beats the per-occurrence md5/conv expression work 0.71 vs 1.07 s.
+    Both produce bit-identical signatures (pinned by
+    test_round12_more.py)."""
     hx = F.md5(F.col("shingle").cast("binary"))
     base = sh.select(
         "doc_id",
@@ -225,6 +233,95 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
         for k in range(N_HASHES)
     ]
     return base.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sigs_np(arrs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) minhash signatures from the shingle-ARRAY table
+    (`_shingle_arrays` output) — h_k = min over the doc's shingles of
+    (a + k*b) mod p, a = md5 hex chars 1-15 (60 bits), b = chars 17-30
+    (56 bits), so a + 15*b < 2^61 stays exact in int64 on both engines.
+
+    Fused (guide §2.3/§2.4/§4.2 — the `_simhash64` discipline): the
+    retired chain exploded every (doc, shingle) occurrence and ran
+    md5 -> 32-char hex -> two conv() hex-parses -> 16 modular
+    multiply-adds per exploded row, then folded the corpus-sized stream
+    through the 16-way min aggregate. Now ONE mapInPandas pass per Arrow
+    batch: each DISTINCT shingle in the batch is hashed once
+    (hashlib.md5 over the same UTF-8 bytes Spark's md5(cast binary)
+    hashes; the hex-slice parses are identical to the conv() columns),
+    the 16 Carter-Wegman values are one int64 NumPy expression, and
+    per-doc batch minima come from one reduceat over the array offsets.
+    The groupBy(doc_id) min that follows combines batch partials —
+    one 16-long row per (doc, batch) instead of the per-shingle stream.
+
+    Bit-exact vs the retired formulation: min is associative and
+    commutative over any row split, so batch-local minima + the final
+    min-agg equal the retired global min for ANY doc_id multiplicity;
+    int64 (a + k*b) % p never wraps (envelope above) so NumPy and JVM
+    long arithmetic agree bit-for-bit; NULL shingle elements (the
+    null-text fallback array [NULL]) are ignored exactly like min()
+    ignores NULL rows, a doc whose every element is NULL keeps its row
+    with NULL h's in both formulations, and NULL/empty ARRAYS drop the
+    doc exactly like explode() did. Pinned by tests/test_round12_more.py
+    ::test_kernel_minhash_sigs_matches_retired_formulation."""
+
+    def _sigs(batches):
+        import hashlib
+
+        ks = np.arange(N_HASHES, dtype=np.int64)
+        sentinel = np.int64(1) << 62  # > any (a + k*b) % p < 2^61
+        for pdf in batches:
+            lists = pdf["shingles"].to_numpy()
+            keep = np.array(
+                [x is not None and len(x) > 0 for x in lists], dtype=bool
+            )
+            if not keep.all():
+                lists = lists[keep]
+            n = len(lists)
+            if not n:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()[keep] if not keep.all() else pdf[
+                "doc_id"
+            ].to_numpy()
+            lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for x in lists:
+                flat[pos : pos + len(x)] = x
+                pos += len(x)
+            # factorize: one hash per DISTINCT shingle per batch; None
+            # elements code to -1 and take the sentinel (ignored by min)
+            codes, uniq = pd.factorize(flat)
+            a = np.empty(len(uniq), dtype=np.int64)
+            b = np.empty(len(uniq), dtype=np.int64)
+            for i, s in enumerate(uniq):
+                hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                a[i] = int(hx[0:15], 16)
+                b[i] = int(hx[16:30], 16)
+            hs = (a[:, None] + ks[None, :] * b[:, None]) % MINHASH_P  # (u, 16)
+            full = np.where(
+                codes[:, None] >= 0,
+                hs[np.clip(codes, 0, None)],
+                sentinel,
+            )
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(full, offsets, axis=0)  # (n, 16)
+            out = pd.DataFrame({"doc_id": doc_ids})
+            all_null = mins[:, 0] == sentinel  # NULL-only docs
+            for k in range(N_HASHES):
+                col = pd.Series(mins[:, k], dtype="int64")
+                if all_null.any():
+                    col = col.astype("object")
+                    col[all_null] = None
+                out[f"h{k}"] = col
+            yield out
+
+    sch = "doc_id bigint, " + ", ".join(f"h{k} bigint" for k in range(N_HASHES))
+    partial = arrs.select("doc_id", "shingles").mapInPandas(_sigs, sch)
+    return partial.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(N_HASHES)]
+    )
 
 
 LSH_BUCKET_CAP = 32
@@ -252,11 +349,13 @@ def _band_structs():
     )
 
 
-def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
-    """LSH candidate pairs from an exploded (doc_id, shingle) stream:
-    bands exploded in ONE pass over the signature table (not a 4-way
-    union re-reading it), bucketed directly on the (band_id, h..h) int
-    4-tuple — no band re-hash, no self-join; pairs generated in-array.
+def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a signature table (doc_id, h0..h15 — the
+    caller picks `_minhash_sigs_np` or `_minhash_sigs` per the dispatch
+    rule documented on the latter): bands exploded in ONE pass over the
+    signature table (not a 4-way union re-reading it), bucketed directly
+    on the (band_id, h..h) int 4-tuple — no band re-hash, no self-join;
+    pairs generated in-array.
 
     Buckets larger than LSH_BUCKET_CAP are dropped before pair
     expansion: a bucket that big means a boilerplate/exact-dup cluster
@@ -264,7 +363,6 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     same quadratic cost curve the scale probe caught in the exact
     jaccard — the cap bounds pairs per bucket at CAP^2 at any corpus
     size."""
-    sigs = _minhash_sigs(sh)
     band_structs = _band_structs()
     banded = sigs.select(
         F.struct(F.col("doc_id")).alias("m"), F.explode(band_structs).alias("band")
@@ -282,7 +380,9 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_candidate_pairs(_shingles(_docs(spark, sf_dir)))
+    return _lsh_candidate_pairs(
+        _minhash_sigs_np(_shingle_arrays(_docs(spark, sf_dir)))
+    )
 
 
 _DUCK_MINHASH_AB = """
@@ -345,7 +445,7 @@ def minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 signature components for a deterministic sample of docs —
     verifies the signature computation itself, not just the candidate set."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
-    sigs = _minhash_sigs(_shingles(d))
+    sigs = _minhash_sigs_np(_shingle_arrays(d))  # scan-direct -> kernel
     return sigs.select("doc_id", "h0", "h1", "h2", "h3")
 
 
@@ -991,9 +1091,14 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = arrs.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles")
     )
+    # expression-chain sigs, not the kernel: arrs is persisted here and
+    # cached arrays feed codegen cheaper than an Arrow crossing
+    # (dispatch rule on _minhash_sigs)
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     cand = (
-        counters.observe_stage(_lsh_candidate_pairs(sh), _QN, "lsh_candidates")
+        counters.observe_stage(
+            _lsh_candidate_pairs(_minhash_sigs(sh)), _QN, "lsh_candidates"
+        )
         .union(
             _capped_candidate_pairs(hashed, qname=_QN).select("id1", "id2")
         )
@@ -1501,6 +1606,9 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     arrs = _shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    # expression-chain sigs: arrs is persisted (dispatch rule on
+    # _minhash_sigs), and this subtree runs twice (posting build +
+    # broadcast delta side) so the cached-array read matters doubly
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     sigs = _minhash_sigs(sh)
     band_structs = _band_structs()

@@ -184,13 +184,21 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log2((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab))) * 1000000
         + F.lit(0.5)
     ).cast("long")
+    # Per-bigram surprisal is a function of (c2, c1, V) alone, so the LM
+    # tables join each other FIRST (bigram-vocab-sized shuffle) and the
+    # corpus-sized bgd is reshuffled ONCE, on (w1, w2) — the retired
+    # bgd⋈c2⋈c1 order reshuffled the joined corpus table a second time
+    # on w1 (guide §2.4). Same rows, same operands: c2 is unique per
+    # (w1, w2) and c1 per w1, so both join orders attach the identical
+    # (c2, c1) pair to every bgd row, and the exact-integer micro sums
+    # are order-independent.
+    lm = c2.join(c1, "w1").select("w1", "w2", micro.alias("micro"))
     return (
-        bgd.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        bgd.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.sum("m").alias("n_bigrams"),
-            F.sum(F.col("m") * micro).alias("tot_micro"),
+            F.sum(F.col("m") * F.col("micro")).alias("tot_micro"),
         )
         .select(
             "doc_id",

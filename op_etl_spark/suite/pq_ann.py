@@ -511,19 +511,17 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     this measures exactly what adding residual PQ to the existing IVF
     index buys; the PQ codebooks are trained on residuals q - centroid
     (still exact integers on the micro grid)."""
-    from .ann_recall import _index_tables
+    from .ann_recall import _assign_residual, _cents_df, _index_tables_core
 
-    qv, cents, alist, probes = _index_tables(spark, sf_dir)
+    qv, cent_list, probes = _index_tables_core(spark, sf_dir)
+    cents = _cents_df(spark, cent_list)
+    # fused assign + residual (guide §2.3/§2.4): the retired chain
+    # materialized the original-vector assignment (`_assign_literal` +
+    # localCheckpoint) only to join it back to the broadcast centroids
+    # and subtract — two passes over the vectors and two checkpoint
+    # materializations for one table this gate never reads otherwise
     with phases.phase("ivfpq_build", "residuals"):
-        rv = (
-            alist.join(F.broadcast(cents), "list_id")
-            .select(
-                "vec_id",
-                "list_id",
-                F.zip_with("q", "c", lambda x, y: x - y).alias("q"),
-            )
-            .localCheckpoint()
-        )
+        rv = _assign_residual(qv, cent_list).localCheckpoint()
     books = _train_codebooks(rv.select("vec_id", "q"), pipeline="ivfpq_build")
     enc = _encode(rv, books).localCheckpoint(eager=False)
     return qv, cents, enc, books, probes
